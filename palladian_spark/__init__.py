@@ -1,0 +1,18 @@
+"""palladian_spark — a PySpark-native knowledge-graph construction engine.
+
+Reimplements the extraction semantics of the Palladian IR toolkit
+(reference: xiaming9880/palladian) as an idiomatic Spark pipeline:
+
+- ``kernels``   pure-Python, golden-tested extraction kernels (regex taggers,
+                n-gram classifier, string metrics, NER pipeline, evaluation).
+                These run inside Arrow-batched pandas UDFs on executors and
+                double as the local oracle for correctness tests.
+- ``operators`` Spark DataFrame operators: mention detection, dictionary
+                scoring joins, triple materialization, canonicalization
+                (MinHash-LSH + connected components), dedup, text stats,
+                similarity search.
+- ``sources``   readers/writers (parquet corpus, CoNLL column fixtures,
+                checkpoint-resumable stage manifests).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,7 @@
+"""Pure-Python extraction kernels (no Spark imports).
+
+Every function here is deterministic, picklable, and golden-tested against
+the reference fixtures (see tests/). The Spark operators ship these kernels
+to executors inside pandas UDFs; keeping them Spark-free means the same code
+is unit-testable locally and runnable distributed.
+"""

@@ -1,0 +1,252 @@
+"""Palladian-style text classification: n-gram dictionary model + scorers.
+
+The dictionary model is a plain dict-of-dicts — small enough to broadcast to
+Spark executors; the same structures are produced distributed by
+``operators.ner_pipeline`` via groupBy aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import log
+
+from .text import char_ngrams, iterate_tokens, word_ngrams
+
+NO_ENTITY = "###NO_ENTITY###"
+
+
+@dataclass(frozen=True)
+class FeatureSetting:
+    """Reference: classification/text/FeatureSetting.java:60-135."""
+
+    feature_type: str = "char"  # "char" | "word"
+    min_ngram: int = 4
+    max_ngram: int = 7
+    max_terms: int = 800
+    min_term_length: int = 3
+    max_term_length: int = 20
+    case_sensitive: bool = False
+    character_padding: bool = False
+
+
+# NER settings (reference: PalladianNerTrainingSettings.java:83-88)
+ANNOTATION_FEATURE_SETTING = FeatureSetting("char", 5, 5, character_padding=True)
+CONTEXT_FEATURE_SETTING = FeatureSetting("char", 5, 5, character_padding=False)
+WINDOW_SIZE = 40
+
+
+def preprocess(text: str, fs: FeatureSetting) -> list[str]:
+    """Term stream in first-seen order (reference: Preprocessor.java:27-77)."""
+    content = text if fs.case_sensitive else text.lower()
+    if fs.feature_type == "char":
+        return char_ngrams(content, fs.min_ngram, fs.max_ngram, fs.character_padding)
+    tokens = [v for _, v in iterate_tokens(content)]
+    grams = word_ngrams(tokens, fs.min_ngram, fs.max_ngram)
+    return [g for g in grams if fs.min_term_length <= len(g) <= fs.max_term_length]
+
+
+@dataclass
+class DictionaryModel:
+    """term -> {category -> count}, plus priors.
+
+    Reference: DictionaryModel / DictionaryTrieModel (DictionaryTrieModel.java
+    :43-113): ``num_documents``/``document_counts`` are per-category document
+    counts; ``term_counts`` are per-category summed term counts.
+    """
+
+    feature_setting: FeatureSetting = field(default_factory=FeatureSetting)
+    entries: dict[str, dict[str, int]] = field(default_factory=dict)
+    document_counts: dict[str, int] = field(default_factory=dict)
+    term_counts: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def num_documents(self) -> int:
+        return sum(self.document_counts.values())
+
+    @property
+    def num_uniq_terms(self) -> int:
+        return len(self.entries)
+
+    @property
+    def num_terms(self) -> int:
+        return sum(self.term_counts.values())
+
+    @property
+    def categories(self) -> set[str]:
+        return set(self.document_counts)
+
+    def category_prior(self, category: str) -> float:
+        total = self.num_documents
+        return self.document_counts.get(category, 0) / total if total else 0.0
+
+    def add_document(self, terms, category: str, weight: int = 1) -> None:
+        """Reference: DictionaryTrieModel.Builder.addDocument (:78-100)."""
+        for term in terms:
+            cats = self.entries.setdefault(term, {})
+            cats[category] = cats.get(category, 0) + weight
+            self.term_counts[category] = self.term_counts.get(category, 0) + weight
+        self.document_counts[category] = self.document_counts.get(category, 0) + weight
+
+    def prune_min_count(self, min_count: int) -> None:
+        """Drop terms with total count < min_count.
+
+        Reference: PruningStrategies.TermCountPruningStrategy (:36-55).
+        """
+        if min_count <= 1:
+            return
+        self.entries = {
+            t: c for t, c in self.entries.items() if sum(c.values()) >= min_count
+        }
+
+
+def train(
+    instances: list[tuple[str, str]], fs: FeatureSetting, min_count: int = 1
+) -> DictionaryModel:
+    """Train over (text, label) pairs.
+
+    Reference: PalladianTextClassifier.train (:194-208) — per document, the
+    term *set* capped at first-seen max_terms distinct terms.
+    """
+    model = DictionaryModel(feature_setting=fs)
+    for text, label in instances:
+        terms: set[str] = set()
+        for term in preprocess(text, fs):
+            if len(terms) >= fs.max_terms:
+                break
+            terms.add(term)
+        model.add_document(terms, label)
+    model.prune_min_count(min_count)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Scorers (reference: PalladianTextClassifier.java:101-133, BayesScorer.java,
+# ExperimentalScorers.java:19-25)
+# ---------------------------------------------------------------------------
+class DefaultScorer:
+    score_non_matches = False
+
+    def score(self, term, category, term_cat_count, dict_count, doc_count,
+              category_sum, num_uniq_terms, num_docs, num_terms) -> float:
+        if dict_count == 0:
+            return 0.0
+        p = term_cat_count / dict_count
+        return p * p
+
+    def score_category(self, category, category_score, category_probability, matched):
+        return category_score if matched else category_probability
+
+
+class CategoryEqualizationScorer(DefaultScorer):
+    """DefaultScorer whose matched score is divided by the category prior.
+
+    Reference: ExperimentalScorers.CategoryEqualizationScorer (:19-25).
+    """
+
+    def score_category(self, category, category_score, category_probability, matched):
+        if matched and category_probability > 0:
+            return category_score / category_probability
+        return super().score_category(category, category_score, category_probability, matched)
+
+
+class BayesScorer:
+    """Reference: classification/text/BayesScorer.java:25-119."""
+
+    def __init__(self, laplace=False, priors=False, frequencies=False, complement=False):
+        self.laplace = laplace
+        self.priors = priors
+        self.frequencies = frequencies
+        self.complement = complement
+        self.score_non_matches = laplace or complement
+
+    def score(self, term, category, term_cat_count, dict_count, doc_count,
+              category_sum, num_uniq_terms, num_docs, num_terms) -> float:
+        numerator = (dict_count - term_cat_count if self.complement else term_cat_count) + (
+            1 if self.laplace else 0
+        )
+        denominator = (num_terms - category_sum if self.complement else category_sum) + (
+            num_uniq_terms if self.laplace else 0
+        )
+        if numerator == 0 or denominator == 0:
+            return 0.0
+        if self.frequencies:
+            idf = log((num_docs + 1) / (dict_count + 1))
+            weight = log(doc_count + 1) * idf
+        else:
+            weight = doc_count
+        return weight * log(numerator / denominator)
+
+    def score_category(self, category, summed, category_probability, matched):
+        if matched:
+            return (-1 if self.complement else 1) * summed + (
+                log(category_probability) if self.priors else 0.0
+            )
+        return category_probability
+
+
+def normalize_scores(scores: dict[str, float]) -> dict[str, float]:
+    """Score map -> probability distribution.
+
+    Reference: CategoryEntriesBuilder.create (:134-159) — total==0 gives all
+    zeros; negative totals (summed log-probs) invert: p = 1 - score/total.
+    """
+    total = sum(scores.values())
+    if total == 0:
+        return {k: 0.0 for k in scores}
+    if total < 0:
+        return {k: 1.0 - v / total for k, v in scores.items()}
+    return {k: v / total for k, v in scores.items()}
+
+
+def classify(text: str, model: DictionaryModel, scorer=None) -> dict[str, float]:
+    """Classify one text; returns category -> probability.
+
+    Reference: PalladianTextClassifier.classify (:210-269): unique-term cap
+    at max_terms; per unique term, add scorer.score for each matched
+    category (plus non-matches when the scorer requires); then re-score each
+    category present in document_counts and normalize.
+    """
+    scorer = scorer or DefaultScorer()
+    fs = model.feature_setting
+    term_counts: dict[str, int] = {}
+    for term in preprocess(text, fs):
+        if term not in term_counts and len(term_counts) >= fs.max_terms:
+            break
+        term_counts[term] = term_counts.get(term, 0) + 1
+
+    num_uniq = model.num_uniq_terms
+    num_docs = model.num_documents
+    num_terms = model.num_terms
+    scores: dict[str, float] = {}
+
+    for term, doc_count in term_counts.items():
+        cats = model.entries.get(term, {})
+        dict_count = sum(cats.values())
+        matched_cats = set()
+        for category, count in cats.items():
+            category_sum = model.term_counts.get(category, 0)
+            s = scorer.score(term, category, count, dict_count, doc_count,
+                             category_sum, num_uniq, num_docs, num_terms)
+            scores[category] = scores.get(category, 0.0) + s
+            matched_cats.add(category)
+        if scorer.score_non_matches:
+            for category, category_sum in model.term_counts.items():
+                if category not in matched_cats:
+                    s = scorer.score(term, category, 0, dict_count, doc_count,
+                                     category_sum, num_uniq, num_docs, num_terms)
+                    scores[category] = scores.get(category, 0.0) + s
+
+    matched = sum(scores.values()) != 0
+    final: dict[str, float] = dict(scores)
+    for category in model.document_counts:
+        term_score = scores.get(category, 0.0)
+        prior = model.category_prior(category)
+        final[category] = scorer.score_category(category, term_score, prior, matched)
+    return normalize_scores(final)
+
+
+def most_likely(probabilities: dict[str, float]) -> tuple[str, float]:
+    if not probabilities:
+        return "", 0.0
+    best = max(probabilities.items(), key=lambda kv: kv[1])
+    return best

@@ -1,0 +1,202 @@
+"""NER evaluation: alignment sweep + P/R/F1 in EXACT/MUC/RECOGNITION modes.
+
+The sweep is order-dependent and must be replicated procedurally (reference:
+NamedEntityRecognizer.evaluate, NamedEntityRecognizer.java:98-184); P/R
+formulas per EvaluationResult.java:182-328. This runs per document inside a
+grouped-map UDF; counters merge associatively across documents.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from .tagging import Annotation, sort_key
+
+CORRECT = "CORRECT"
+ERROR1 = "ERROR1"  # spurious (false positive)
+ERROR2 = "ERROR2"  # miss (false negative)
+ERROR3 = "ERROR3"  # right span, wrong tag
+ERROR4 = "ERROR4"  # overlap, right tag
+ERROR5 = "ERROR5"  # overlap, wrong tag
+
+EXACT_MATCH = "EXACT_MATCH"
+MUC = "MUC"
+RECOGNITION = "RECOGNITION"
+
+
+@dataclass
+class EvaluationResult:
+    # (tag, result_type) -> count; tag is the GOLD tag except for ERROR1
+    assignments: Counter = field(default_factory=Counter)
+    actual_assignments: Counter = field(default_factory=Counter)
+    possible_assignments: Counter = field(default_factory=Counter)
+    result_annotations: dict = field(default_factory=lambda: {
+        t: [] for t in (CORRECT, ERROR1, ERROR2, ERROR3, ERROR4, ERROR5)
+    })
+
+    def add(self, result_type: str, real: Annotation | None, ner: Annotation | None):
+        """Reference: EvaluationResult.add (:530-556)."""
+        if result_type in (CORRECT, ERROR3, ERROR4, ERROR5):
+            self.actual_assignments[ner.tag] += 1
+            self.result_annotations[result_type].append(ner)
+            self.assignments[(real.tag, result_type)] += 1
+        elif result_type == ERROR1:
+            self.actual_assignments[ner.tag] += 1
+            self.result_annotations[result_type].append(ner)
+            self.assignments[(ner.tag, result_type)] += 1
+        elif result_type == ERROR2:
+            self.result_annotations[result_type].append(real)
+            self.assignments[(real.tag, result_type)] += 1
+        else:
+            raise ValueError(result_type)
+
+    def merge(self, other: "EvaluationResult") -> None:
+        self.assignments.update(other.assignments)
+        self.actual_assignments.update(other.actual_assignments)
+        self.possible_assignments.update(other.possible_assignments)
+        for k, v in other.result_annotations.items():
+            self.result_annotations[k].extend(v)
+
+    # --- counters ---
+    def count(self, result_type: str, tag: str | None = None) -> int:
+        if tag is not None:
+            return self.assignments[(tag, result_type)]
+        return sum(c for (t, rt), c in self.assignments.items() if rt == result_type)
+
+    def actual(self, tag: str | None = None) -> int:
+        if tag is not None:
+            return self.actual_assignments[tag]
+        return sum(self.actual_assignments.values())
+
+    def possible(self, tag: str | None = None) -> int:
+        if tag is not None:
+            return self.possible_assignments[tag]
+        return sum(self.possible_assignments.values())
+
+    def _weighted_muc(self, tag: str) -> int:
+        return (
+            self.count(ERROR3, tag)
+            + self.count(ERROR4, tag)
+            + 2 * self.count(CORRECT, tag)
+        )
+
+    def _tags(self) -> set[str]:
+        return {t for (t, _rt) in self.assignments}
+
+    def precision_for(self, tag: str, mode: str = EXACT_MATCH) -> float:
+        actual = self.actual(tag)
+        if actual == 0:
+            return -1.0
+        if mode == EXACT_MATCH:
+            correct = self.count(CORRECT, tag)
+        elif mode == MUC:
+            correct = self._weighted_muc(tag)
+            actual *= 2
+        else:
+            correct = self.count(CORRECT, tag) + self.count(ERROR3, tag)
+        return correct / actual
+
+    def recall_for(self, tag: str, mode: str = EXACT_MATCH) -> float:
+        possible = self.possible(tag)
+        if possible == 0:
+            return -1.0
+        if mode == EXACT_MATCH:
+            correct = self.count(CORRECT, tag)
+        elif mode == MUC:
+            correct = self._weighted_muc(tag)
+            possible *= 2
+        else:
+            correct = self.count(CORRECT, tag) + self.count(ERROR3, tag)
+        return correct / possible
+
+    def precision(self, mode: str = EXACT_MATCH) -> float:
+        total = self.actual()
+        if mode == MUC:
+            total *= 2
+        correct = 0
+        for tag in self._tags():
+            if mode == EXACT_MATCH:
+                correct += self.count(CORRECT, tag)
+            elif mode == MUC:
+                correct += self._weighted_muc(tag)
+            else:
+                correct += self.count(CORRECT, tag) + self.count(ERROR3, tag)
+        return correct / total if total else 0.0
+
+    def recall(self, mode: str = EXACT_MATCH) -> float:
+        total = self.possible()
+        if mode == MUC:
+            total *= 2
+        correct = 0
+        for tag in self._tags():
+            if mode == EXACT_MATCH:
+                correct += self.count(CORRECT, tag)
+            elif mode == MUC:
+                correct += self._weighted_muc(tag)
+            else:
+                correct += self.count(CORRECT, tag) + self.count(ERROR3, tag)
+        return correct / total if total else 0.0
+
+    def f1(self, mode: str = EXACT_MATCH) -> float:
+        p, r = self.precision(mode), self.recall(mode)
+        if p == 0 or r == 0:
+            return 0.0
+        if p < 0 or r < 0:
+            return -1.0
+        return 2 * p * r / (p + r)
+
+
+def evaluate(
+    gold_standard: list[Annotation],
+    ner_result: list[Annotation],
+    ignore: set[str] | None = None,
+) -> EvaluationResult:
+    """The exact sequential alignment sweep.
+
+    Reference: NamedEntityRecognizer.evaluate (:98-184) — one overlap credit
+    per gold span; both inputs sorted (start asc, end desc); gold identity
+    tracked by list index (Java uses a HashSet of annotation objects).
+    """
+    ignore = ignore or set()
+    gold = sorted(gold_standard, key=sort_key)
+    ner = sorted(ner_result, key=sort_key)
+
+    result = EvaluationResult()
+    for g in gold:
+        result.possible_assignments[g.tag] += 1
+
+    tagged: set[int] = set()
+    for n in ner:
+        if n.tag.lower() == "o":
+            continue
+        tagged_overlap = False
+        counter = 0
+        for gi, g in enumerate(gold):
+            counter += 1
+            if g.value in ignore and not (n.start < g.end and not tagged_overlap):
+                continue
+            if n.congruent(g):
+                tagged.add(gi)
+                if n.same_tag(g):
+                    result.add(CORRECT, g, n)
+                else:
+                    result.add(ERROR3, g, n)
+                break
+            elif n.overlaps(g):
+                tagged.add(gi)
+                if n.same_tag(g):
+                    result.add(ERROR4, g, n)
+                else:
+                    result.add(ERROR5, g, n)
+                tagged_overlap = True
+            elif n.start < g.end or counter == len(gold):
+                if not tagged_overlap:
+                    result.add(ERROR1, None, n)
+                break
+
+    for gi, g in enumerate(gold):
+        if gi not in tagged:
+            result.add(ERROR2, g, None)
+
+    return result

@@ -1,0 +1,125 @@
+"""CoNLL-column / inline-XML fixture parsing (evaluation-harness I/O).
+
+Production input is the parquet/Iceberg source table; these parsers exist so
+the P/R harness can consume the reference's training/eval fixtures with
+byte-identical offset arithmetic.
+"""
+
+from __future__ import annotations
+
+import regex
+
+from .tagging import Annotation
+
+# Reference: FileFormatParser.getAnnotationsFromXmlText (:536-580)
+_XML_ANNOTATION_PATTERN = regex.compile(
+    r"\<([A-Z]+)\>(.{1,1000}?)\</\1\>", regex.DOTALL | regex.IGNORECASE
+)
+_ANY_TAG_PATTERN = regex.compile(r"<(.*?)>", regex.DOTALL | regex.IGNORECASE)
+_STRIP_TAGS_PATTERN = regex.compile(r"</?[^>]+>")
+
+
+def _count_tag_length(tagged_text: str) -> int:
+    """Sum of lengths of all <...> tags (reference: HtmlHelper.java:105-116)."""
+    return sum(len(m.group(1)) + 2 for m in _ANY_TAG_PATTERN.finditer(tagged_text))
+
+
+def get_annotations_from_xml_text(tagged_text: str) -> list[Annotation]:
+    """Inline <TAG>span</TAG> -> annotations with plain-text char offsets.
+
+    Reference: FileFormatParser.java:536-580 — cumulative tag-length
+    subtraction; nested tags stripped from the value.
+    """
+    annotations = []
+    cumulated_tag_offset = 0
+    for m in _XML_ANNOTATION_PATTERN.finditer(tagged_text):
+        concept = m.group(1)
+        entity = m.group(2)
+        nested_tag_length = _count_tag_length(entity)
+        entity = _STRIP_TAGS_PATTERN.sub("", entity).replace("\n", "")
+        tag_offset = len(concept) + 2
+        cumulated_tag_offset += tag_offset
+        offset = m.start() + tag_offset - cumulated_tag_offset
+        annotations.append(Annotation(offset, entity, concept))
+        cumulated_tag_offset += nested_tag_length + len(concept) + 3
+    return annotations
+
+
+def get_text_from_xml(tagged_text: str) -> str:
+    """Strip all tags (reference: FileFormatParser.getTextFromXML :192-196)."""
+    return _STRIP_TAGS_PATTERN.sub("", tagged_text)
+
+
+def _is_bracket(ch: str) -> bool:
+    return ch in "(){}[]"
+
+
+def column_to_xml(column_text: str, separator: str = "\t") -> str:
+    """CoNLL column format -> inline-XML tagged text.
+
+    Reference: FileFormatParser.ColumnToXmlAction (FileFormatParser.java:
+    39-110): one token TAB tag per line; blank line = break (newline in
+    text); ``=-DOCSTART-`` lines skipped; space inserted before tokens that
+    start with letter/digit/bracket unless a tag was just opened or a break
+    preceded; tag transitions close/open XML elements.
+    """
+    out: list[str] = []
+    current_tag = "o"
+    previous_line_break = True
+    at_beginning = True
+    lines = column_text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # a trailing \n is not an extra (empty) line
+    for line_number, line in enumerate(lines):
+        # Java String.split drops trailing empty fields (a bare "\t" line
+        # yields a zero-length array, not ['', '']).
+        parts = line.split(separator)
+        while parts and parts[-1] == "":
+            parts.pop()
+        if len(parts) < 2 and at_beginning:
+            at_beginning = False
+            continue
+        at_beginning = False
+        if "=-DOCSTART-" in line:
+            continue
+        if len(parts) < 2:
+            if line == "":
+                if current_tag.lower() != "o" and line_number > 1:
+                    out.append("</" + current_tag + ">")
+                    current_tag = "o"
+                out.append("\n")
+                previous_line_break = True
+            continue
+        open_tag = False
+        tag = parts[1]
+        value = parts[0]
+        if current_tag.lower() != tag.lower():
+            if current_tag.lower() != "o" and line_number > 1:
+                out.append("</" + current_tag + ">")
+            if tag.lower() != "o":
+                if line_number > 1 and not previous_line_break:
+                    out.append(" ")
+                out.append("<" + tag + ">")
+                open_tag = True
+        current_tag = tag
+        if (
+            value
+            and (value[0].isalnum() or _is_bracket(value[0]))
+            and not open_tag
+            and line_number > 1
+            and not previous_line_break
+        ):
+            out.append(" ")
+        out.append(value)
+        previous_line_break = False
+    return "".join(out)
+
+
+def get_annotations_from_column(column_text: str) -> list[Annotation]:
+    """Phrase-level annotations from a CoNLL column file (via XML form)."""
+    return get_annotations_from_xml_text(column_to_xml(column_text))
+
+
+def get_text_from_column(column_text: str) -> str:
+    """Plain text of a CoNLL column file (reference: getText :198-205)."""
+    return get_text_from_xml(column_to_xml(column_text))

@@ -1,0 +1,135 @@
+"""Pattern-based relation/classification rule engine.
+
+Rule grammar (reference: extraction/location/AnnotationRuleEngine.java:
+27-217; fixture palladian-core/src/test/resources/ruleEngine.rules):
+
+    |entity|         whole-value match (glob '*', or {{raw regex}})
+    prefix|          match the last of the k-token RIGHT contexts
+    |suffix          match the last of the k-token LEFT contexts
+
+Actions: REMOVE_THIS, REMOVE_FRAGMENTS, CLASSIFY_THIS,
+CLASSIFY_VALUE (propagate to equal-valued mentions),
+CLASSIFY_FRAGMENTS (propagate to token-sharing mentions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import regex
+
+from .classifier import normalize_scores
+from .ner import get_left_contexts, get_right_contexts
+from .tagging import Annotation
+from .text import any_contains_word, java_split_whitespace
+
+BOUNDARY = "|"
+REGEX_START = "{{"
+REGEX_END = "}}"
+
+REMOVE_THIS = "REMOVE_THIS"
+REMOVE_FRAGMENTS = "REMOVE_FRAGMENTS"
+CLASSIFY_THIS = "CLASSIFY_THIS"
+CLASSIFY_VALUE = "CLASSIFY_VALUE"
+CLASSIFY_FRAGMENTS = "CLASSIFY_FRAGMENTS"
+
+
+@dataclass
+class Rule:
+    kind: str  # 'entity_regex' | 'entity' | 'prefix' | 'suffix'
+    pattern: "regex.Pattern"
+    context_size: int
+    action: str
+    outcome: str | None
+
+    def matches(self, text: str, annotation: Annotation) -> bool:
+        if self.kind in ("entity", "entity_regex"):
+            return self.pattern.fullmatch(annotation.value) is not None
+        if self.kind == "prefix":
+            ctxs = get_right_contexts(annotation, text, self.context_size)
+            return bool(ctxs) and self.pattern.fullmatch(ctxs[-1]) is not None
+        if self.kind == "suffix":
+            ctxs = get_left_contexts(annotation, text, self.context_size)
+            return bool(ctxs) and self.pattern.fullmatch(ctxs[-1]) is not None
+        return False
+
+
+def parse_rule(line: str, line_number: int = 0) -> Rule:
+    """Reference: AnnotationRuleEngine.parseRule (:140-193)."""
+    split = line.split("\t")
+    if len(split) not in (2, 3):
+        raise ValueError(f"Could not parse {line!r} in line {line_number}.")
+    condition, action = split[0], split[1]
+    outcome = split[2] if len(split) == 3 else None
+    if condition.startswith(BOUNDARY + REGEX_START) and condition.endswith(REGEX_END + BOUNDARY):
+        return Rule("entity_regex", regex.compile(condition[3:-3]), 0, action, outcome)
+    pattern_string = condition.replace(BOUNDARY, "").strip().replace(".", r"\.").replace("*", ".*")
+    pattern = regex.compile(pattern_string, regex.IGNORECASE)
+    context_size = len(java_split_whitespace(pattern_string)) or 1
+    if condition.startswith(BOUNDARY) and condition.endswith(BOUNDARY):
+        return Rule("entity", pattern, 0, action, outcome)
+    if condition.startswith(BOUNDARY):
+        return Rule("prefix", pattern, context_size, action, outcome)
+    if condition.endswith(BOUNDARY):
+        return Rule("suffix", pattern, context_size, action, outcome)
+    raise ValueError(f"Could not parse {line!r} in line {line_number}.")
+
+
+def parse_rules(text: str) -> list[Rule]:
+    rules = []
+    for i, line in enumerate(text.splitlines()):
+        if not line or line.startswith("#"):
+            continue
+        rules.append(parse_rule(line, i))
+    return rules
+
+
+def apply_rules(
+    text: str, annotations: list[Annotation], rules: list[Rule]
+) -> list[tuple[Annotation, str | None]]:
+    """Apply all rules; returns surviving (annotation, tag-or-None) in input
+    order. Reference: AnnotationRuleEngine.apply (:200-215) — probabilities
+    map keyed by annotation (insertion-ordered); REMOVE_* deletes entries;
+    CLASSIFY_* adds outcome score 1.
+    """
+    probabilities: dict[Annotation, dict[str, float]] = {
+        a: {} for a in annotations
+    }
+    for annotation in annotations:
+        for rule in rules:
+            if annotation not in probabilities and rule.action in (
+                REMOVE_THIS,
+                REMOVE_FRAGMENTS,
+            ):
+                # Java still evaluates rules for removed annotations (the map
+                # lookup in CLASSIFY_THIS would NPE, but REMOVE/* are safe);
+                # matching remains harmless here.
+                pass
+            if not rule.matches(text, annotation):
+                continue
+            if rule.action == REMOVE_THIS:
+                probabilities.pop(annotation, None)
+            elif rule.action == REMOVE_FRAGMENTS:
+                parts = set(java_split_whitespace(annotation.value))
+                for other in list(probabilities):
+                    if any_contains_word(parts, other.value):
+                        probabilities.pop(other)
+            elif rule.action == CLASSIFY_THIS:
+                if annotation in probabilities:
+                    scores = probabilities[annotation]
+                    scores[rule.outcome] = scores.get(rule.outcome, 0.0) + 1.0
+            elif rule.action == CLASSIFY_VALUE:
+                for other, scores in probabilities.items():
+                    if other.value.lower() == annotation.value.lower():
+                        scores[rule.outcome] = scores.get(rule.outcome, 0.0) + 1.0
+            elif rule.action == CLASSIFY_FRAGMENTS:
+                parts = set(java_split_whitespace(annotation.value))
+                for other, scores in probabilities.items():
+                    if any_contains_word(parts, other.value):
+                        scores[rule.outcome] = scores.get(rule.outcome, 0.0) + 1.0
+    result = []
+    for annotation, scores in probabilities.items():
+        probs = normalize_scores(scores)
+        tag = max(probs, key=probs.get) if probs and any(probs.values()) else None
+        result.append((annotation, tag))
+    return result

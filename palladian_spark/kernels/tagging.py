@@ -1,0 +1,207 @@
+"""Regex-based mention taggers and the Annotation model.
+
+Each tagger returns a list of Annotation(start, value, tag) tuples over a
+single text blob; the Spark layer vectorizes these over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import regex
+
+from .text import replace_protected_space
+
+CANDIDATE_TAG = "CANDIDATE"
+
+
+class Annotation(NamedTuple):
+    start: int
+    value: str
+    tag: str = ""
+
+    @property
+    def end(self) -> int:
+        return self.start + len(self.value)
+
+    def congruent(self, other: "Annotation") -> bool:
+        """Same span. Reference: AbstractToken.java:29-33."""
+        return self.start == other.start and self.end == other.end
+
+    def overlaps(self, other: "Annotation") -> bool:
+        """Interval intersection. Reference: AbstractToken.java:21-26."""
+        return (
+            self.start <= other.start < self.end
+            or self.start <= other.end <= self.end
+            or other.start <= self.start < other.end
+            or other.start <= self.end <= other.end
+        )
+
+    def same_tag(self, other: "Annotation") -> bool:
+        return self.tag.lower() == other.tag.lower()
+
+
+def sort_key(a: Annotation) -> tuple[int, int]:
+    """Ascending start; at equal start, LONGER (larger end) first.
+
+    Reference: AbstractToken.compareTo (AbstractToken.java:6-13).
+    """
+    return (a.start, -a.end)
+
+
+def remove_nested(annotations: list[Annotation]) -> list[Annotation]:
+    """Greedy left-to-right nested-span removal after sorting.
+
+    Reference: Annotations.removeNested (Annotations.java:43-56).
+    """
+    out = []
+    last_end = 0
+    for a in sorted(annotations, key=sort_key):
+        if a.start < last_end:
+            continue
+        out.append(a)
+        last_end = a.end
+    return out
+
+
+# ---------------------------------------------------------------------------
+# StringTagger: English entity-candidate alternation regex.
+# Reference: extraction/entity/StringTagger.java:25-77. The alternation order
+# is semantically significant (leftmost-first) and is preserved exactly; the
+# only dialect changes are \p{Ll} (supported by the `regex` module) and
+# literal curly apostrophes.
+# ---------------------------------------------------------------------------
+_CAMEL_CASE_WORDS = r"(GmbH|LLC)"
+_SUFFIXES = r"((?<=(Inc|Corp|Co|Ave))\.)?"
+
+STRING_TAGGER_REGEX = (
+    # dashes ("Ontario-based", "St. Louis-based")
+    r"([A-Z][a-z]\. )?([A-Z]{1}[A-Za-z\p{Ll}]+(-[a-z\p{Ll}]+)(-[A-Za-z\p{Ll}]+)*)"
+    r"|"
+    # A. Anderson
+    r"([A-Z]\.)( )?[A-Z]{1}['’A-Za-z\p{Ll}]{1,100}"
+    r"|"
+    # Alexander A. Anderson, Mayor Bobby E. Horton
+    r"([A-Z][a-z\p{Ll}]+ ){1,2}[A-Z]{1}\. [A-Za-z\p{Ll}]{1,100}"
+    r"|"
+    # Dr. Anderson Emeraldy
+    r"([A-Z][a-z\p{Ll}]{0,2}\.) [A-Z]{1}[A-Za-z\p{Ll}]{1,100}( [A-Z]{1}[A-Za-z\p{Ll}]{1,100})?"
+    r"|"
+    # A.B.C. Anderson
+    r"([A-Z]\.)+( ([A-Z]{1}([A-Za-z-\p{Ll}0-9&]+))+(([ ])*[A-Z]+([A-Za-z-\p{Ll}0-9]*)){0,10})*"
+    r"|"
+    # ending with dash ("Real- Rumble" should be two words)
+    r"([A-Z][A-Za-z\p{Ll}]+ )*[A-Z][A-Za-z\p{Ll}]+(?=-+? )"
+    r"|"
+    # small with dash (ex-President)
+    r"([A-Z][A-Za-z\p{Ll}]+ )?([a-z\p{Ll}]+-[A-Z][A-Za-z\p{Ll}0-9]+)"
+    r"|"
+    # X Y of Z / X of Y Z ("National Bank of Scotland", "L’Arc de Triomphe")
+    r"(([A-Z]{1}['’]?[A-Za-z\p{Ll}]+ )+(?:of|de) (([A-Z]{1}[A-Za-z-\p{Ll}]+)(?!([a-z-]{0,20}\s[A-Z]))))"
+    r"|([A-Z]{1}[A-Za-z-\p{Ll}]+ of( [A-Z]{1}[A-Za-z\p{Ll}]+){1,})"
+    r"|"
+    # title-case sequences, GmbH/LLC, Inc./Corp./Co./Ave. suffixes
+    r"([A-Z]{1}([a-z-\p{Ll}0-9®]+)(( " + _CAMEL_CASE_WORDS + r")?"
+    r"(([ &])*([A-Z]['’])?[A-Z]{1}([a-z-\p{Ll}0-9®]+))?)*)" + _SUFFIXES +
+    r"|"
+    # O'Sullivan, D&G, all-caps runs
+    r"((([A-Z]{1}([A-Za-z-\p{Ll}0-9&]+|['’][A-Z][A-Za-z]{2,20}))+"
+    r"(([ &])*[A-Z]+(['’][A-Z])?([A-Za-z-\p{Ll}0-9®]*)){0,10})(?!(\.[A-Z])+))" + _SUFFIXES +
+    r"|"
+    # camel case (iPhone 4)
+    r"([a-z][A-Z][A-Za-z0-9]+( [A-Z0-9][A-Za-z0-9]{0,20}){0,20})"
+)
+
+_STRING_TAGGER_PATTERN = regex.compile(STRING_TAGGER_REGEX)
+
+
+def regex_tag(text: str, pattern, tag: str) -> list[Annotation]:
+    """Run one compiled regex over the protected-space-cleaned text.
+
+    Reference: RegExTagger.getAnnotations (RegExTagger.java:31-40).
+    """
+    clean = replace_protected_space(text)
+    return [Annotation(m.start(), m.group(), tag) for m in pattern.finditer(clean) if m.group()]
+
+
+def string_tag(text: str) -> list[Annotation]:
+    """English candidate mentions, tag=CANDIDATE (StringTagger.java:13-77)."""
+    return regex_tag(text, _STRING_TAGGER_PATTERN, CANDIDATE_TAG)
+
+
+# ---------------------------------------------------------------------------
+# Simple auxiliary taggers
+# ---------------------------------------------------------------------------
+# Reference: extraction/entity/TwitterTagger.java:16-23
+_TWITTER_PATTERN = regex.compile(r"[@#]\w+")
+# Reference: extraction/entity/SmileyTagger.java:15-49
+_SMILEY_PATTERN = regex.compile(r":\)|:-\)|:\(|:-\(|;\)|;-\)|:-O|:O")
+# URL tagger: Daring-Fireball-derived pattern over common TLDs
+# (reference: UrlHelper.java:107-110; TLD list trimmed to frequent ones —
+# full IANA list is resource data, not semantics).
+_COMMON_TLDS = (
+    "com|org|net|edu|gov|mil|int|io|co|de|uk|fr|au|ca|cn|jp|ru|ch|it|nl|se|no|es|info|biz|dev|app|ai"
+)
+_URL_PATTERN = regex.compile(
+    r"\b(?:https?://)?([0-9a-zäöü-]{1,63}?\.)+(?:" + _COMMON_TLDS + r")"
+    r"(?:[?/](?:\([^\s()<>\[\]\"']{0,255}\)|[^\s()<>\[\]\"']{0,255})+"
+    r"(?:\([^\s()<>\[\]\"']{0,255}\)|[^\s.,;!?:()<>\[\]\"'])|/|\b)",
+    regex.IGNORECASE,
+)
+
+URI_TAG = "URI"
+DATETIME_TAG = "DATETIME"
+TWITTER_TAG = "TWITTER"
+SMILEY_TAG = "SMILEY"
+
+
+def twitter_tag(text: str) -> list[Annotation]:
+    return regex_tag(text, _TWITTER_PATTERN, TWITTER_TAG)
+
+
+def smiley_tag(text: str) -> list[Annotation]:
+    return regex_tag(text, _SMILEY_PATTERN, SMILEY_TAG)
+
+
+def url_tag(text: str) -> list[Annotation]:
+    return regex_tag(text, _URL_PATTERN, URI_TAG)
+
+
+# Date/time tagger over common date shapes (reference: DateAndTimeTagger.java
+# :25-61 with RegExp.ALL_DATE_FORMATS; we compile the frequent textual+ISO
+# formats — sufficient for the NER pipeline, whose defaults leave
+# tagDates=false, PalladianNerTaggingSettings.java:38).
+_MONTH_LONG = (
+    "[Jj]anuary|[Ff]ebruary|[Mm]arch|[Aa]pril|[Mm]ay|[Jj]une|[Jj]uly|[Aa]ugust|"
+    "[Ss]eptember|[Oo]ctober|[Nn]ovember|[Dd]ecember"
+)
+_DATE_PATTERN = regex.compile(
+    r"\d{4}-\d{2}-\d{2}"
+    r"|(?:" + _MONTH_LONG + r")\s\d{1,2}(?:st|nd|rd|th)?,?\s\d{4}"
+    r"|\d{1,2}\s(?:" + _MONTH_LONG + r")\s\d{4}"
+    r"|\d{1,2}/\d{1,2}/\d{2,4}"
+)
+
+
+def date_tag(text: str) -> list[Annotation]:
+    return regex_tag(text, _DATE_PATTERN, DATETIME_TAG)
+
+
+def dictionary_tag(
+    text: str, dictionary: dict[str, str], case_sensitive: bool = False
+) -> list[Annotation]:
+    """Exact gazetteer matching with word boundaries, then removeNested.
+
+    Reference: extraction/DictionaryTagger.java:24-83 — per entry pattern
+    ``(?<!\\w)QUOTED(?!\\w)``, entries shorter than 2 chars skipped, matches
+    collected across entries in dictionary order, nested spans removed.
+    """
+    flags = 0 if case_sensitive else regex.IGNORECASE
+    annotations: list[Annotation] = []
+    for entry, tag in dictionary.items():
+        if len(entry) <= 1:
+            continue
+        pattern = regex.compile(r"(?<!\w)" + regex.escape(entry) + r"(?!\w)", flags)
+        for m in pattern.finditer(text):
+            annotations.append(Annotation(m.start(), m.group(), tag))
+    return remove_nested(annotations)

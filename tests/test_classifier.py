@@ -1,0 +1,47 @@
+"""Classifier goldens: Manning IR ch.13 fixture
+(PalladianTextClassifierTest.java:22-62): DefaultScorer 0.79/"no",
+BayesScorer(PRIORS) 0.74/"yes", BayesScorer(PRIORS,COMPLEMENT) 0.88/"yes"."""
+
+import pytest
+
+from palladian_spark.kernels.classifier import (
+    BayesScorer,
+    DefaultScorer,
+    FeatureSetting,
+    classify,
+    most_likely,
+    train,
+)
+
+DOCS = [
+    ("Chinese Beijing Chinese", "yes"),
+    ("Chinese Chinese Shanghai", "yes"),
+    ("Chinese Macao", "yes"),
+    ("Tokyo Japan Chinese", "no"),
+]
+TEST_TEXT = "Chinese Chinese Chinese Tokyo Japan"
+WORDS = FeatureSetting("word", 1, 1)
+
+
+def test_default_scorer():
+    model = train(DOCS, WORDS)
+    result = classify(TEST_TEXT, model, DefaultScorer())
+    name, prob = most_likely(result)
+    assert name == "no"
+    assert prob == pytest.approx(0.79, abs=0.01)
+
+
+def test_bayes_scorer_priors():
+    model = train(DOCS, WORDS)
+    result = classify(TEST_TEXT, model, BayesScorer(priors=True))
+    name, prob = most_likely(result)
+    assert name == "yes"
+    assert prob == pytest.approx(0.74, abs=0.01)
+
+
+def test_bayes_scorer_complement():
+    model = train(DOCS, WORDS)
+    result = classify(TEST_TEXT, model, BayesScorer(priors=True, complement=True))
+    name, prob = most_likely(result)
+    assert name == "yes"
+    assert prob == pytest.approx(0.88, abs=0.01)

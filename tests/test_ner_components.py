@@ -1,0 +1,86 @@
+"""Goldens from PalladianNerTest.java:18-76 (date fragments, left contexts,
+case dictionary) and the rule-engine fixture
+(AnnotationRuleEngineTest.java + ruleEngine.rules)."""
+
+from palladian_spark.kernels.ner import (
+    build_case_dictionary,
+    get_left_contexts,
+    is_date_fragment,
+    remove_date_fragment,
+)
+from palladian_spark.kernels.rules import apply_rules, parse_rules
+from palladian_spark.kernels.tagging import Annotation, string_tag
+
+
+def test_remove_date_fragment():
+    r = remove_date_fragment(Annotation(10, "June John Hiatt", ""))
+    assert r.start == 15 and r.value == "John Hiatt"
+
+    r = remove_date_fragment(Annotation(0, "John Hiatt June", ""))
+    assert r.start == 0 and r.value == "John Hiatt"
+
+    r = remove_date_fragment(Annotation(0, "Apr. John Hiatt", ""))
+    assert r.start == 5 and r.value == "John Hiatt"
+
+    r = remove_date_fragment(Annotation(0, "John Hiatt Apr.", ""))
+    assert r.start == 0 and r.value == "John Hiatt"
+
+
+def test_is_date_fragment():
+    assert not is_date_fragment("June John Hiatt")
+    assert is_date_fragment("January")
+    assert is_date_fragment("JANUARY")
+    assert is_date_fragment("January ")
+
+
+def test_get_left_contexts():
+    text = ("Blistering heat blanketed much of the eastern United States for the "
+            "third straight day on Sunday, after violent storms that took at least "
+            "a dozen lives and knocked out power to more than 3 million customers.")
+    contexts = get_left_contexts(Annotation(46, "United States", ""), text, 3)
+    assert contexts == ["eastern", "the eastern", "of the eastern"]
+
+
+def test_build_case_dictionary():
+    text = ("Despite their shared upbringing and involvement in the Spanish "
+            "Treason, the conspirators chose not to reveal the plot to him until "
+            "14 October 1605, shortly after his father died, and just weeks before "
+            "the planned explosion. According to his confession, the meeting took "
+            "place at the home of Tresham's brother-in-law, Lord Stourton, in "
+            "Clerkenwell.")
+    case_dict = build_case_dictionary(text)
+    assert len(case_dict) == 33
+    assert "despite" not in case_dict
+    assert "according" not in case_dict
+    assert "involvement" in case_dict
+
+
+RULES_FIXTURE = "\n".join([
+    "|English|\tREMOVE_THIS",
+    "|Mr. *|\tREMOVE_FRAGMENTS",
+    "within|\tCLASSIFY_THIS\tLOC",
+    "|commented\tCLASSIFY_VALUE\tPER",
+    "a trip to|\tCLASSIFY_VALUE\tLOC",
+    "|flows through\tCLASSIFY_FRAGMENTS\tLOC",
+    "|{{(?!US|GB|UK)[A-Z]{2}}}|\tREMOVE_THIS",
+])
+
+
+def test_rule_engine_golden():
+    """Reference: AnnotationRuleEngineTest.java:18-46."""
+    rules = parse_rules(RULES_FIXTURE)
+    text = ("English is the language of the world. There is a place called "
+            "English Lake in Indiana. Mr. Smith speaks English. It is common "
+            "within Great Britain to speak English, Mr. John Smith commented. "
+            "John likes marvel cakes. Let's make a trip to Miami, yes Miami is "
+            "nice! The incredibly beautiful River Neckar flows through Stuttgart. "
+            "And the Neckar also flows through Heilbronn. USA, US, GB, XY, yeah.")
+    annotations = string_tag(text)
+    result = apply_rules(text, annotations, rules)
+    assert len(result) == 17
+    tags = [tag for _, tag in result]
+    expected_prefix = [
+        None, None, None, None, "LOC", None, "LOC", "LOC",
+        None, "LOC", None, None, "LOC", None, None, None,
+    ]
+    assert tags[:16] == expected_prefix

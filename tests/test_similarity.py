@@ -1,0 +1,61 @@
+"""Goldens from LevenshteinSimilarityTest.java:10-17 and
+JaroWinklerDistanceTest.java:12-51 (census pairs)."""
+
+import pytest
+
+from palladian_spark.kernels.similarity import (
+    char_ngram_similarity,
+    dice,
+    jaccard,
+    jaro_winkler_similarity,
+    levenshtein_similarity,
+    overlap,
+    token_similarity,
+)
+
+
+def test_levenshtein_goldens():
+    assert levenshtein_similarity("Levenshtein", "Lenvinsten") == pytest.approx(0.64, abs=0.01)
+    assert levenshtein_similarity("Levenshtein", "Levensthein") == pytest.approx(0.82, abs=0.01)
+    assert levenshtein_similarity("Levenshtein", "Levenshten") == pytest.approx(0.91, abs=0.01)
+    assert levenshtein_similarity("Levenshtein", "Levenshtein") == 1
+    assert levenshtein_similarity("", "") == 1
+
+
+JW_GOLDENS = [
+    ("", "", 1), ("MARHTA", "", 0), ("", "MARHTA", 0), ("MARHTA", "MARHTA", 1),
+    ("MARTHA", "MARHTA", 0.961), ("DWAYNE", "DUANE", 0.84), ("DIXON", "DICKSONX", 0.813),
+    ("SHACKLEFORD", "SHACKELFORD", 0.982), ("DUNNINGHAM", "CUNNIGHAM", 0.896),
+    ("NICHLESON", "NICHULSON", 0.956), ("JONES", "JOHNSON", 0.832),
+    ("MASSEY", "MASSIE", 0.933), ("ABROMS", "ABRAMS", 0.922),
+    ("JERALDINE", "GERALDINE", 0.926), ("MARHTA", "MARTHA", 0.961),
+    ("MICHELLE", "MICHAEL", 0.921), ("JULIES", "JULIUS", 0.933),
+    ("TANYA", "TONYA", 0.880), ("SEAN", "SUSAN", 0.805), ("JON", "JOHN", 0.933),
+    ("cat", "car", 0.822),
+    ("http://movies.yahoo.com/browse/list/q", "http://movies.yahoo.com/browse/list/r", 0.989),
+    ("http://movies.yahoo.com/browse/list/r", "http://movies.yahoo.com/browse/list/q", 0.989),
+]
+
+
+@pytest.mark.parametrize("s1,s2,expected", JW_GOLDENS)
+def test_jaro_winkler_goldens(s1, s2, expected):
+    assert jaro_winkler_similarity(s1, s2) == pytest.approx(expected, abs=0.001)
+
+
+def test_set_similarities():
+    a, b = {"x", "y", "z"}, {"y", "z", "w"}
+    assert dice(a, b) == pytest.approx(4 / 6)
+    assert jaccard(a, b) == pytest.approx(2 / 4)
+    assert overlap(a, b) == pytest.approx(2 / 3)
+    assert dice(set(), set()) == 1
+    assert jaccard(set(), {"a"}) == 0
+
+
+def test_char_ngram_similarity_identity():
+    assert char_ngram_similarity("Word", "word", 3) == 1
+    assert 0 < char_ngram_similarity("word", "ward", 3) < 1
+
+
+def test_token_similarity():
+    assert token_similarity("new york", "New York") == 1
+    assert token_similarity("new york city", "new york") == pytest.approx(2 / 3)

@@ -1,0 +1,66 @@
+"""Goldens ported from TokenizerTest.java:86-118 and n-gram fixtures."""
+
+from palladian_spark.kernels.text import (
+    case_signature,
+    char_ngrams,
+    contains_word,
+    get_sub_phrases,
+    is_completely_uppercase,
+    tokenize,
+    word_ngrams,
+)
+
+
+def test_tokenize_goldens():
+    assert len(tokenize("That poster costs $22.40. twenty-one.")) == 7
+    assert len(tokenize("Mr. <MUSICIAN>John Hiatt</MUSICIAN> is awesome.")) == 8
+    assert len(tokenize("Mr. '<MUSICIAN>John Hiatt</MUSICIAN>' is awesome.")) == 10
+    assert len(tokenize("Mr. ^<MUSICIAN>John Hiatt</MUSICIAN>) is awesome!!!")) == 10
+    assert len(tokenize("asp.net is very web 2.0. isn't it? web2.0, .net")) == 14
+    assert len(tokenize("40,000 residents")) == 2
+    text = ("The United States of America are often called the USA, the U.S.A., "
+            "or simply the U.S. The U.N. has its headquarter in N.Y.C. on the "
+            "east coast.")
+    assert len(tokenize(text)) == 30
+
+
+def test_char_ngrams_padding():
+    # CharacterNGramSimilarity javadoc example, n=3 with padding
+    grams = char_ngrams("word", 3, 3, padding=True)
+    assert grams == ["##w", "#wo", "wor", "ord", "rd#", "d##"]
+
+
+def test_char_ngrams_order_min_first():
+    # reference iterates lengths min..max per offset before advancing
+    assert char_ngrams("abcd", 2, 3) == ["ab", "abc", "bc", "bcd", "cd"]
+
+
+def test_word_ngrams():
+    toks = "all the lilacs in ohio".split()
+    assert len([g for g in word_ngrams(toks, 5, 5)]) == 1
+    assert len([g for g in word_ngrams(toks, 6, 6)]) == 0
+    assert len([g for g in word_ngrams(toks, 2, 2)]) == 4
+
+
+def test_case_signature():
+    # examples from StringHelper.getCaseSignature javadoc
+    assert case_signature("iPhone 4") == "aAa 0"
+    assert case_signature("SUPER 8") == "A 0"
+    assert case_signature("Super!? 8 Zorro") == "Aa- 0 Aa"
+
+
+def test_sub_phrases():
+    assert get_sub_phrases("quick brown fox") == [
+        "quick", "quick brown", "quick brown fox", "brown", "brown fox", "fox",
+    ]
+
+
+def test_is_completely_uppercase():
+    assert is_completely_uppercase("NEW YORK CITY")
+    assert not is_completely_uppercase("New York")
+    assert not is_completely_uppercase("")
+
+
+def test_contains_word():
+    assert contains_word("new", "Brand New York")
+    assert not contains_word("new", "Newton rules")
