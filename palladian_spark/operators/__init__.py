@@ -1,0 +1,1 @@
+"""Spark DataFrame operators built on the golden-tested kernels."""

@@ -1,0 +1,90 @@
+"""Distributed NER evaluation: per-document exact alignment sweep
+(grouped-map UDF) + associative counter merge.
+
+The sweep (NamedEntityRecognizer.java:98-184) is order-dependent within a
+document, so it runs doc-local inside applyInPandas; the per-doc counters
+merge by summation — exactly how EvaluationResult.merge (:558-570) works.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.evaluation import EvaluationResult, evaluate
+from ..kernels.tagging import Annotation
+
+_SWEEP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("kind", StringType()),      # 'assignment' | 'actual' | 'possible' | 'error1_value'
+        StructField("tag", StringType()),
+        StructField("result_type", StringType()),
+        StructField("value", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _sweep_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id = pdf["doc_id"].iloc[0]
+    gold = [
+        Annotation(int(s), v, t)
+        for s, v, t, side in zip(pdf["start"], pdf["value"], pdf["tag"], pdf["side"])
+        if side == "gold"
+    ]
+    ner = [
+        Annotation(int(s), v, t)
+        for s, v, t, side in zip(pdf["start"], pdf["value"], pdf["tag"], pdf["side"])
+        if side == "ner"
+    ]
+    result = evaluate(gold, ner)
+    rows = []
+    for (tag, rt), cnt in result.assignments.items():
+        rows.append((doc_id, "assignment", tag, rt, None, cnt))
+    for tag, cnt in result.actual_assignments.items():
+        rows.append((doc_id, "actual", tag, None, None, cnt))
+    for tag, cnt in result.possible_assignments.items():
+        rows.append((doc_id, "possible", tag, None, None, cnt))
+    for a in result.result_annotations["ERROR1"]:
+        rows.append((doc_id, "error1_value", a.tag, "ERROR1", a.value, 1))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "kind", "tag", "result_type", "value", "cnt"]
+    )
+
+
+def sweep_counters(gold_mentions: DataFrame, ner_mentions: DataFrame) -> DataFrame:
+    """Both inputs: (doc_id, start, value, tag). Returns merged counter rows."""
+    union = gold_mentions.select(
+        "doc_id", "start", "value", "tag", F.lit("gold").alias("side")
+    ).unionByName(
+        ner_mentions.select("doc_id", "start", "value", "tag", F.lit("ner").alias("side"))
+    )
+    return union.groupBy("doc_id").applyInPandas(_sweep_group, _SWEEP_SCHEMA)
+
+
+def evaluate_documents(
+    gold_mentions: DataFrame, ner_mentions: DataFrame
+) -> EvaluationResult:
+    """Global EvaluationResult over all documents (counters merged on the
+    driver; only counter rows are collected, never text)."""
+    rows = sweep_counters(gold_mentions, ner_mentions).collect()
+    result = EvaluationResult()
+    for r in rows:
+        if r["kind"] == "assignment":
+            result.assignments[(r["tag"], r["result_type"])] += r["cnt"]
+        elif r["kind"] == "actual":
+            result.actual_assignments[r["tag"]] += r["cnt"]
+        elif r["kind"] == "possible":
+            result.possible_assignments[r["tag"]] += r["cnt"]
+        elif r["kind"] == "error1_value":
+            result.result_annotations["ERROR1"].append(Annotation(0, r["value"], r["tag"]))
+    return result

@@ -1,0 +1,105 @@
+"""Mention detection over a DataFrame text column.
+
+Spark mapping of the reference taggers (SURVEY.md §2.2): one vectorized
+pandas-UDF pass per content blob returning an array of annotation structs,
+exploded into a mentions DataFrame. Regexes compile once per executor
+(module import time), the counterpart of the reference's static Pattern
+constants (StringTagger.java:17).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import tagging
+
+ANNOTATION_STRUCT = StructType(
+    [
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("value", StringType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+_TAGGERS = {
+    "candidates": tagging.string_tag,     # StringTagger.java:13-77
+    "urls": tagging.url_tag,              # UrlTagger.java:13-24
+    "dates": tagging.date_tag,            # DateAndTimeTagger.java:25-61
+    "twitter": tagging.twitter_tag,       # TwitterTagger.java:16-23
+    "smileys": tagging.smiley_tag,        # SmileyTagger.java:15-49
+}
+
+
+def _make_tagger_udf(tagger_name: str):
+    tagger = _TAGGERS[tagger_name]
+
+    @F.pandas_udf(ArrayType(ANNOTATION_STRUCT))
+    def tag_series(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                (a.start, a.end, a.value, a.tag) for a in tagger(t or "")
+            ]
+        )
+
+    return tag_series
+
+
+def detect_mentions(
+    df: DataFrame,
+    text_col: str = "content",
+    tagger: str = "candidates",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """df -> one row per mention: (keep_cols..., start, end, value, tag).
+
+    The UDF is the only Python hop; everything downstream (explode, filters,
+    joins) stays JVM-side so Catalyst prunes the scan to keep_cols + text.
+    """
+    keep_cols = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    udf = _make_tagger_udf(tagger)
+    exploded = (
+        df.select(*keep_cols, udf(F.col(text_col)).alias("_anns"))
+        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
+    )
+    return exploded
+
+
+def dictionary_mentions(
+    df: DataFrame,
+    dictionary: dict[str, str],
+    text_col: str = "content",
+    case_sensitive: bool = False,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gazetteer matching (DictionaryTagger.java:24-83) as a broadcast-
+    variable pandas UDF — the dictionary ships once per executor."""
+    keep_cols = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    spark = df.sparkSession
+    dict_bc = spark.sparkContext.broadcast(dictionary)
+
+    @F.pandas_udf(ArrayType(ANNOTATION_STRUCT))
+    def tag_series(texts: pd.Series) -> pd.Series:
+        d = dict_bc.value
+        return texts.map(
+            lambda t: [
+                (a.start, a.end, a.value, a.tag)
+                for a in tagging.dictionary_tag(t or "", d, case_sensitive)
+            ]
+        )
+
+    return (
+        df.select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
+        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
+    )

@@ -1,0 +1,1 @@
+"""Sources/sinks: parquet corpus readers, checkpoint-resumable stage store."""

@@ -1,0 +1,124 @@
+"""Spark/kernel parity: the distributed training aggregates and the
+broadcast-model tagger must reproduce the pure-Python kernels exactly."""
+
+import pytest
+
+from palladian_spark.kernels import ner as kner
+from palladian_spark.kernels.evaluation import evaluate as kernel_evaluate
+from palladian_spark.kernels.fileformats import (
+    get_annotations_from_column,
+    get_text_from_column,
+)
+from palladian_spark.kernels.tagging import Annotation
+
+# A small self-authored CoNLL-style corpus (PER/LOC/ORG) used as the training
+# fixture; sentences follow the shapes Palladian's StringTagger detects.
+CORPUS = "\n".join(
+    [
+        "=-DOCSTART-\tO", "",
+        "President\tO", "John\tPER", "Smith\tPER", "visited\tO", "Berlin\tLOC",
+        "on\tO", "Monday\tO", ".\tO", "",
+        "The\tO", "United\tORG", "Nations\tORG", "met\tO", "in\tO",
+        "New\tLOC", "York\tLOC", ".\tO", "",
+        "President\tO", "Maria\tPER", "Garcia\tPER", "spoke\tO", "with\tO",
+        "John\tPER", "Smith\tPER", "in\tO", "Paris\tLOC", ".\tO", "",
+        "The\tO", "World\tORG", "Bank\tORG", "praised\tO", "Berlin\tLOC",
+        "and\tO", "Paris\tLOC", ".\tO", "",
+        "President\tO", "Anna\tPER", "Meyer\tPER", "left\tO", "Berlin\tLOC",
+        "for\tO", "New\tLOC", "York\tLOC", ".\tO", "",
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def gold_doc():
+    text = get_text_from_column(CORPUS)
+    annotations = get_annotations_from_column(CORPUS)
+    return text, annotations
+
+
+@pytest.fixture(scope="module")
+def kernel_model(gold_doc):
+    return kner.train_english(CORPUS, complete_retraining=True)
+
+
+def _gold_df(spark, gold_doc):
+    text, annotations = gold_doc
+    rows = [("d0", text, [(a.start, a.end, a.value, a.tag) for a in annotations])]
+    from palladian_spark.operators.ner_pipeline import GOLD_SCHEMA
+
+    return spark.createDataFrame(rows, GOLD_SCHEMA)
+
+
+def test_spark_training_matches_kernel(spark, gold_doc, kernel_model):
+    from palladian_spark.operators.ner_pipeline import train_ner
+
+    spark_model = train_ner(_gold_df(spark, gold_doc), complete_retraining=True)
+
+    assert spark_model.entity_dictionary.entries == kernel_model.entity_dictionary.entries
+    assert (
+        spark_model.entity_dictionary.document_counts
+        == kernel_model.entity_dictionary.document_counts
+    )
+    assert spark_model.lower_case_dictionary == kernel_model.lower_case_dictionary
+    assert spark_model.left_contexts == kernel_model.left_contexts
+    assert (
+        spark_model.annotation_dictionary.entries
+        == kernel_model.annotation_dictionary.entries
+    )
+    assert (
+        spark_model.annotation_dictionary.document_counts
+        == kernel_model.annotation_dictionary.document_counts
+    )
+    assert (
+        spark_model.annotation_dictionary.term_counts
+        == kernel_model.annotation_dictionary.term_counts
+    )
+    assert (
+        spark_model.context_dictionary.entries
+        == kernel_model.context_dictionary.entries
+    )
+    assert spark_model.remove_annotations == kernel_model.remove_annotations
+
+
+def test_spark_tagging_matches_kernel(spark, gold_doc, kernel_model):
+    from palladian_spark.operators.ner_pipeline import tag_documents
+
+    text, _ = gold_doc
+    test_text = "President John Smith went to Berlin. The World Bank met in Paris."
+    expected = kner.tag_text(test_text, kernel_model)
+
+    df = spark.createDataFrame([("t0", test_text)], ["doc_id", "content"])
+    got = tag_documents(df, kernel_model).orderBy("start").collect()
+    got_annotations = [Annotation(r["start"], r["value"], r["tag"]) for r in got]
+    assert got_annotations == sorted(expected, key=lambda a: (a.start, -a.end))
+
+
+def test_distributed_evaluation_matches_kernel(spark):
+    import os
+
+    from palladian_spark.kernels.fileformats import get_annotations_from_xml_text
+    from palladian_spark.operators.evaluate import evaluate_documents
+
+    fixture_dir = "/root/reference/palladian-core/src/test/resources/ner/evaluation"
+    if not os.path.isdir(fixture_dir):
+        pytest.skip("reference fixtures not available")
+    with open(os.path.join(fixture_dir, "goldStandardXml.txt"), encoding="utf-8") as f:
+        gold = get_annotations_from_xml_text(f.read())
+    with open(os.path.join(fixture_dir, "nerResultXml.txt"), encoding="utf-8") as f:
+        ner = get_annotations_from_xml_text(f.read())
+
+    kernel_result = kernel_evaluate(gold, ner)
+
+    gold_df = spark.createDataFrame(
+        [("d0", a.start, a.value, a.tag) for a in gold],
+        ["doc_id", "start", "value", "tag"],
+    )
+    ner_df = spark.createDataFrame(
+        [("d0", a.start, a.value, a.tag) for a in ner],
+        ["doc_id", "start", "value", "tag"],
+    )
+    spark_result = evaluate_documents(gold_df, ner_df)
+    assert spark_result.assignments == kernel_result.assignments
+    assert spark_result.precision("EXACT_MATCH") == kernel_result.precision("EXACT_MATCH")
+    assert spark_result.recall("MUC") == kernel_result.recall("MUC")
