@@ -1,0 +1,217 @@
+"""Entity canonicalization at scale: MinHash-LSH blocking -> pairwise metric
+re-scoring -> iterative hash-min connected components -> canonical ids.
+
+North-rule stage (BASELINE.json): upgrades the reference's implicit
+canonicalization (dictionary override T11, WordDB synonym sets) to an
+explicit scalable pipeline. Blocking bounds the candidate-pair space to
+O(n·bands) instead of O(n²); the exact string metric
+(kernels.similarity.jaro_winkler_similarity, golden-tested) only runs inside
+blocks; components converge in O(log d) hash-min iterations with
+localCheckpoint per iteration to cut lineage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..kernels.similarity import jaro_winkler_similarity
+
+# 31-bit Mersenne prime: a*h'+b stays < 2^62 (no ANSI long overflow)
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_bands(
+    values: DataFrame,
+    value_col: str = "value",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(value) -> (value, band_id, band_hash) rows for LSH bucketing.
+
+    Shingling + minhash run JVM-side: char-n-gram shingles via substring
+    over a sequence expression, per-shingle hashes via xxhash64, per-
+    permutation min via aggregate — no Python in the hot path.
+    """
+    n_bands = num_hashes // band_size
+    df = values.select(
+        value_col,
+        F.lower(F.col(value_col)).alias("_lv"),
+    ).withColumn(
+        "_shingles",
+        F.expr(
+            f"transform(sequence(0, greatest(length(_lv) - {shingle_n}, 0)), "
+            f"i -> substring(_lv, i + 1, {shingle_n}))"
+        ),
+    )
+    # one minhash per permutation: min over (a_i * h + b_i) mod p
+    minhash_cols = []
+    for i in range(num_hashes):
+        a = (2 * i + 1) % _MERSENNE
+        b = (0x9E3779B97F4A7C15 ^ (i * 0xBF58476D1CE4E5B9)) % _MERSENNE
+        col = F.expr(
+            f"aggregate(transform(_shingles, s -> "
+            f"pmod({a}L * pmod(xxhash64(s), {_MERSENNE}L) + {b}L, {_MERSENNE}L)), "
+            f"{_MERSENNE}L, (acc, x) -> least(acc, x))"
+        ).alias(f"_mh{i}")
+        minhash_cols.append(col)
+    df = df.select(value_col, *minhash_cols)
+    bands = []
+    for band in range(n_bands):
+        cols = [f"_mh{band * band_size + j}" for j in range(band_size)]
+        bands.append(
+            df.select(
+                value_col,
+                F.lit(band).alias("band_id"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@F.pandas_udf(DoubleType())
+def _jw_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler_similarity(a or "", b or "") for a, b in zip(left, right)]
+    )
+
+
+def candidate_pairs(
+    values: DataFrame,
+    value_col: str = "value",
+    num_hashes: int = 8,
+    band_size: int = 1,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH-blocked candidate pairs (left < right), deduplicated.
+
+    Entity values are short strings: single-hash bands (band_size=1) keep
+    recall high at low shingle-Jaccard (P(collide) = 1-(1-J)^num_hashes),
+    and a deterministic lowercase-2-prefix block guarantees that
+    edit-distance-close names sharing a prefix are always compared.
+    """
+    bands = _minhash_bands(values, value_col, num_hashes, band_size, shingle_n)
+    prefix_band = values.select(
+        value_col,
+        F.lit(-1).alias("band_id"),
+        F.xxhash64(F.lower(F.substring(F.col(value_col), 1, 2))).alias("band_hash"),
+    )
+    bands = bands.unionByName(prefix_band)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{value_col}") < F.col(f"r.{value_col}")),
+        )
+        .select(
+            F.col(f"l.{value_col}").alias("left_value"),
+            F.col(f"r.{value_col}").alias("right_value"),
+        )
+        .dropDuplicates(["left_value", "right_value"])
+    )
+    return pairs
+
+
+def score_pairs(pairs: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Exact Jaro-Winkler re-scoring inside blocks; keep pairs >= threshold."""
+    return pairs.withColumn("sim", _jw_udf("left_value", "right_value")).where(
+        F.col("sim") >= threshold
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Iterative hash-min label propagation over an undirected edge list.
+
+    edges: (left_value, right_value). Returns (value, component) where
+    component is the lexicographic-min value reachable. Driver-side loop with
+    localCheckpoint per iteration (lineage cut); stops when no label changes
+    — the GraphFrames-style pattern from SURVEY.md §2.7.
+    """
+    sym = edges.select(
+        F.col("left_value").alias("src"), F.col("right_value").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("right_value").alias("src"), F.col("left_value").alias("dst")
+        )
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("value"))
+        .distinct()
+        .withColumn("component", F.col("value"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # candidate label per node = min over neighbors' labels and own
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.value)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.value == neighbor_min.src, "left")
+            .select(
+                "value",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+        )
+        changed = new_labels.where(F.col("component") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old").localCheckpoint()
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonicalize_values(
+    values: DataFrame,
+    value_col: str = "value",
+    threshold: float = 0.9,
+    num_hashes: int = 8,
+    band_size: int = 1,
+) -> DataFrame:
+    """(value) -> (value, canonical): full block -> score -> CC -> pick.
+
+    Canonical surface form per component = most frequent, ties by longest
+    then lexicographic (deterministic). Values outside any component map to
+    themselves.
+    """
+    distinct = values.select(value_col).where(F.col(value_col).isNotNull()).distinct()
+    pairs = candidate_pairs(distinct, value_col, num_hashes, band_size)
+    edges = score_pairs(pairs, threshold).select("left_value", "right_value")
+    components = connected_components(edges)
+
+    freq = values.groupBy(value_col).agg(F.count("*").alias("freq"))
+    member = components.join(freq, components.value == freq[value_col], "left").select(
+        components.value.alias("member"),
+        "component",
+        F.coalesce("freq", F.lit(1)).alias("freq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("freq"), F.desc(F.length("member")), F.asc("member")
+    )
+    canonical = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("member").alias("canonical"))
+    )
+    mapping = components.join(canonical, "component").select(
+        F.col("value").alias(value_col), "canonical"
+    )
+    return distinct.join(mapping, value_col, "left").select(
+        value_col, F.coalesce("canonical", F.col(value_col)).alias("canonical")
+    )

@@ -1,0 +1,208 @@
+"""Deduplication operators over a documents table (doc_id, text, ...).
+
+Scale notes: every variant avoids O(n²) — exact dedup is one hash
+aggregate; near-dup variants bound the pair space by blocking (LSH bands /
+shared shingles) before any pairwise math. All hot paths are built-in
+expressions (xxhash64, md5, array ops) — no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents via md5 hash-groupBy.
+
+    Returns (content_hash, dup_count, doc_ids) for groups with >1 member.
+    md5 (not xxhash64) so a DuckDB oracle can verify values byte-for-byte.
+    """
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per identical content (deterministic)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _word_shingles(df: DataFrame, text_col: str, n: int = 3):
+    """Distinct word n-gram shingles per document, JVM-side only."""
+    return df.withColumn(
+        "_words", F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    ).withColumn(
+        "_shingles",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, greatest(size(_words) - {n}, 0) - 1), "
+                f"i -> concat_ws(' ', slice(_words, i + 1, {n})))"
+            )
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard, exact within blocks.
+
+    Blocking = shared shingle (only docs sharing >=1 shingle are compared);
+    Jaccard computed from shared-shingle counts + per-doc shingle counts —
+    a join + two aggregates, fully relational (DuckDB-verifiable).
+    """
+    shingled = _word_shingles(df, text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("_shingles").alias("shingle")
+    )
+    sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by exact Jaccard.
+
+    shingle -> per-permutation minhash (xxhash64 affine family, JVM-side) ->
+    band buckets -> bucket join -> exact Jaccard re-check on candidates only.
+    This is the 100 TB-scale path: the full-corpus work is linear scans +
+    one bucket-key shuffle; exact verification touches only candidates.
+    """
+    # 31-bit Mersenne prime modulus with pre-reduction of the raw hash:
+    # a*h' + b stays < 2^62, so ANSI-mode long arithmetic cannot overflow.
+    mersenne = (1 << 31) - 1
+    shingled = _word_shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("doc"), "_shingles"
+    ).where(F.size("_shingles") > 0)
+    sig_cols = []
+    for i in range(num_hashes):
+        a = (2 * i + 1) % mersenne
+        b = (0x9E3779B97F4A7C15 ^ (i * 0xBF58476D1CE4E5B9)) % mersenne
+        sig_cols.append(
+            F.expr(
+                f"aggregate(transform(_shingles, s -> "
+                f"pmod({a}L * pmod(xxhash64(s), {mersenne}L) + {b}L, {mersenne}L)), "
+                f"{mersenne}L, (acc, x) -> least(acc, x))"
+            ).alias(f"mh{i}")
+        )
+    sigs = shingled.select("doc", "_shingles", *sig_cols).persist()
+
+    n_bands = num_hashes // band_size
+    band_frames = []
+    for band in range(n_bands):
+        cols = [F.col(f"mh{band * band_size + j}") for j in range(band_size)]
+        band_frames.append(
+            sigs.select(
+                "doc",
+                F.lit(band).alias("band_id"),
+                F.xxhash64(*cols).alias("band_hash"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sh_a = sigs.select(F.col("doc").alias("doc_a"), F.col("_shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc").alias("doc_b"), F.col("_shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from word-token hashes, JVM-side.
+
+    Per token: xxhash64; per bit: sum(+1/-1) weighted votes; signature bit =
+    sign of the vote. Near-dups then differ in few bits (hamming joins by
+    rotating bands, not implemented here — signatures alone support
+    `hamming_distance <= k` filters on candidate pairs).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    bit_votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = tokens.groupBy("doc").agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft wraps at bit 63 like Java longs — intentional
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        sig = sig + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc", sig.alias("simhash"))

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The decode kernels are STUBS (this container has no image/audio libraries):
+`_decode_image`/`_decode_audio` produce deterministic fake tensors derived
+from the bytes, so the Spark-side plumbing — schema, batch iteration,
+partitioning, UDF signatures — is real and tested, and swapping in a real
+decoder (PIL/librosa) is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-image from the byte content.
+
+    Replace with `PIL.Image.open(io.BytesIO(data))` when pillow is
+    available; raises for empty payloads like a real decoder would.
+    """
+    if not data:
+        raise ValueError("empty image payload")
+    digest = hashlib.sha256(data).digest()
+    side = 16 + digest[0] % 48  # fake 16..63 square
+    rng = np.frombuffer((digest * ((side * side * 3) // len(digest) + 1))[: side * side * 3],
+                        dtype=np.uint8)
+    return rng.reshape(side, side, 3)
+
+
+def _resize(img: np.ndarray, size: int = 8) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy — no library dependency)."""
+    h, w, _ = img.shape
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    feat_size: int = 8,
+) -> DataFrame:
+    """binary media column -> (media_id, width, height, feature[64*3]).
+
+    mapInPandas so each Arrow batch is decoded in one Python hop; bad
+    payloads are skipped (filter semantics), not failed — at 10^12 rows a
+    single corrupt blob must not kill the stage.
+    """
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    img = _decode_image(bytes(data) if data is not None else b"")
+                except (ValueError, TypeError):
+                    continue
+                small = _resize(img, feat_size).astype(np.float32) / 255.0
+                rows.append(
+                    (str(media_id), img.shape[1], img.shape[0], small.ravel().tolist())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "feature"])
+
+    return df.select(id_col, media_col).mapInPandas(process, IMAGE_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video frame sampling STUB: treats the payload as fixed-size frame
+    chunks, emits every n-th chunk's sha (the real version swaps the chunker
+    for an ffmpeg/pyav iterator; the fan-out shape — one row in, many rows
+    out via mapInPandas — is the part that matters for the plan)."""
+    frame_bytes = 4096
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(data) if data is not None else b""
+                n_frames = max(len(raw) // frame_bytes, 0)
+                for idx in range(0, n_frames, every_n):
+                    chunk = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        (str(media_id), idx, hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    return df.select(id_col, media_col).mapInPandas(process, FRAME_SCHEMA)
+
+
+def synthesize_media_table(spark, documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table derived from document texts (test
+    input for the plumbing; binary column + typed metadata)."""
+    return documents.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.lit("image/fake").alias("mime"),
+        F.length(F.col(text_col)).alias("n_bytes"),
+    )

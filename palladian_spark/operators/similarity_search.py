@@ -1,0 +1,142 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>).
+
+- brute-force cosine top-k: the exactness baseline; crossJoin against a
+  broadcast query set, dot products via zip_with/aggregate (JVM-side).
+- LSH-bucketed variant: signed-random-projection buckets bound the
+  candidate space — the 100 TB path (bucket shuffle instead of full cross).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries must be small (broadcast)."""
+    q = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ))
+    scored = embeddings.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(_cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (splitmix64-seeded)."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            row.append((z / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _srp_bucket(vec_col, planes: list[list[float]]):
+    """Signed-random-projection bucket id (one int per row)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """SRP-LSH candidate buckets -> exact cosine within bucket -> top-k.
+
+    Recall trades against bucket size via n_planes; at 2^8 buckets the
+    candidate set is ~1/256 of the corpus per query. Approximate: rows whose
+    bucket differs from the query's find no match (documented recall loss).
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = _random_hyperplanes(dim, n_planes)
+    emb_b = embeddings.withColumn("_bucket", _srp_bucket(F.col(vec_col), planes))
+    q_b = F.broadcast(
+        queries.select(
+            query_id_col,
+            F.col(vec_col).alias("_qvec"),
+        ).withColumn("_bucket", _srp_bucket(F.col("_qvec"), planes))
+    )
+    scored = emb_b.join(q_b, "_bucket").select(
+        query_id_col,
+        id_col,
+        F.round(_cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP bucket self-join."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _random_hyperplanes(dim, n_planes)
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("_bucket", _srp_bucket(F.col(vec_col), planes))
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(_cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data curation over the documents
+table: token counting, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+Everything is built-in-expression SQL (whole-stage codegen, DuckDB-
+verifiable) except where noted; the token regex is RE2-compatible so the
+DuckDB oracle runs the byte-identical pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-compatible subset of the reference TOKEN_SPLIT_REGEX (Tokenizer.java:27)
+# — the full pattern needs no lookarounds, so it ports to RE2 verbatim.
+TOKEN_REGEX_RE2 = (
+    r"(?:[A-Z][a-z]?\.)+"
+    r"|[\p{L}\w+]+(?:[-\.,][\p{L}\w]+)*"
+    r"|\.[\p{L}\w]+"
+    r"|</?[\p{L}\w]+>"
+    r"|\$\d+\.\d+"
+    r"|[^\w\s<]+"
+)
+
+_WORD_REGEX = "[a-z]+"
+
+# Tiny per-language stopword marker sets for the n-gram language heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "y", "una", "por", "con"],
+}
+
+
+def _extract_all(col, pattern: str):
+    # F.lit pattern avoids SQL string-literal backslash mangling
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(0))
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Palladian word-token count per document — one regex scan, codegen."""
+    return df.select(
+        id_col,
+        F.size(_extract_all(F.col(text_col), TOKEN_REGEX_RE2)).alias("token_count"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality metrics: length, word stats, punctuation/stopword
+    ratios — the standard pretraining-corpus filters, all column math."""
+    en = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .withColumn("_words", _extract_all(F.lower(F.col("_t")), _WORD_REGEX))
+        .select(
+            id_col,
+            F.length("_t").alias("n_chars"),
+            F.size("_words").alias("n_words"),
+            F.round(
+                F.when(F.size("_words") > 0,
+                       F.aggregate("_words", F.lit(0).cast("double"),
+                                   lambda acc, w: acc + F.length(w)) / F.size("_words")
+                       ).otherwise(F.lit(0.0)), 6
+            ).alias("avg_word_len"),
+            F.round(
+                F.size(F.expr(f"filter(_words, w -> w in ({en}))"))
+                / F.greatest(F.size("_words"), F.lit(1)),
+                6,
+            ).alias("stopword_ratio"),
+            F.round(
+                (F.length("_t") - F.length(F.regexp_replace("_t", r"[^\w\s]", "")))
+                / F.greatest(F.length("_t"), F.lit(1)),
+                6,
+            ).alias("punct_ratio"),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language heuristic: most-hit marker set wins.
+
+    Ties broken by language code order (deterministic). A codegen-only
+    n-gram/stopword classifier — the scalable first-pass filter before any
+    model-based LID.
+    """
+    out = df.select(
+        F.col(id_col),
+        _extract_all(F.lower(F.col(text_col)), _WORD_REGEX).alias("_words"),
+    )
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ",".join(f"'{w}'" for w in markers)
+        hit_cols.append(
+            F.size(F.expr(f"filter(_words, w -> w in ({lst}))")).alias(f"hits_{lang}")
+        )
+    out = out.select(id_col, *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    # left-to-right: strictly-greater wins, so earlier langs win ties
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, F.col(f"hits_{lang}"))
+    return out.select(
+        id_col, *[F.col(f"hits_{lang}") for lang in langs], best.alias("lang_guess")
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the normalized word stream + a 64-bit
+    xxhash64 rolling variant. Normalization = lowercase word tokens joined
+    by single spaces — robust to whitespace/punctuation reflows."""
+    normalized = F.concat_ws(
+        " ", _extract_all(F.lower(F.col(text_col)), _WORD_REGEX)
+    )
+    return df.select(
+        id_col,
+        F.md5(normalized).alias("fingerprint_md5"),
+        F.xxhash64(normalized).alias("fingerprint_64"),
+    )

@@ -1,0 +1,104 @@
+"""End-to-end KG-construction pipeline (the north rule's four stages):
+
+1. batched mention detection per content blob,
+2. candidate entity-link scoring (broadcast dictionary classify),
+3. connected-components canonicalization (MinHash-LSH blocked),
+4. deduplicated (subj, pred, obj) triple materialization, partitioned by
+   repo-hash with salted skew handling.
+
+Stages checkpoint through StageStore (resume on restart); per-row
+sha256(content) lineage flows source -> mentions -> triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.ner import NerModel
+from .operators import triples as T
+from .operators.canonicalize import canonicalize_values
+from .operators.mentions import detect_mentions
+from .operators.ner_pipeline import tag_documents
+from .sources.checkpoint import StageStore
+
+
+def extract_triples(
+    source: DataFrame,
+    model: NerModel | None = None,
+    content_col: str = "content",
+    doc_ref_cols: tuple[str, ...] = ("repo", "path"),
+    canonicalize: bool = True,
+    store: StageStore | None = None,
+) -> DataFrame:
+    """source(repo, path, commit, lang, content) -> deduplicated triples.
+
+    With a trained NerModel the full T1-T14 chain runs (typed entities);
+    without one, StringTagger candidates become untyped `mentioned-in`/
+    `co-occurs-with` edges only.
+    """
+    lineage = T.with_lineage(source, content_col)
+    lineage = lineage.withColumn("doc_ref", F.concat_ws("/", *[F.col(c) for c in doc_ref_cols]))
+
+    keep = ["doc_ref", "content_sha256"]
+
+    def build_mentions() -> DataFrame:
+        if model is not None:
+            return tag_documents(lineage, model, text_col=content_col, keep_cols=keep)
+        return detect_mentions(lineage, text_col=content_col, keep_cols=keep)
+
+    if store is not None:
+        mentions = store.run("mentions", build_mentions, lineage_col="content_sha256")
+    else:
+        mentions = build_mentions()
+
+    parts = [T.mentioned_in_triples(mentions), T.co_occurrence_triples(mentions)]
+    if model is not None:
+        parts.append(T.instance_of_triples(mentions))
+
+    if canonicalize:
+        def build_canonical() -> DataFrame:
+            return canonicalize_values(mentions.select("value"))
+
+        canonical_map = (
+            store.run("canonical", build_canonical) if store is not None else build_canonical()
+        )
+        parts.append(T.synonym_triples(canonical_map))
+
+    all_triples = parts[0]
+    for p in parts[1:]:
+        all_triples = all_triples.unionByName(p)
+
+    def build_triples() -> DataFrame:
+        return T.dedup_triples(all_triples)
+
+    if store is not None:
+        return store.run("triples", build_triples, lineage_col="content_sha256")
+    return build_triples()
+
+
+def verify_lineage(source: DataFrame, triples: DataFrame, content_col: str = "content") -> int:
+    """Per-row invariant check: every non-null triple lineage hash must
+    exist in the source table's sha256 set. Returns violation count (0 =
+    pass). Anti-join — no collect."""
+    source_hashes = T.with_lineage(source, content_col).select("content_sha256").distinct()
+    return (
+        triples.where(F.col("content_sha256").isNotNull())
+        .select("content_sha256")
+        .distinct()
+        .join(source_hashes, "content_sha256", "left_anti")
+        .count()
+    )
+
+
+def documents_as_source(documents: DataFrame) -> DataFrame:
+    """Adapt the synthetic documents table (doc_id, text, lang, source,
+    n_chars) to the source-code-table shape from BASELINE.json input_hint."""
+    source_col = F.col("source") if "source" in documents.columns else F.lit("synthetic")
+    return documents.select(
+        F.concat(F.lit("corpus/"), source_col).alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 12).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,168 @@
+"""Functional tests for the Spark operators on tiny in-memory data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog in Berlin today", "en"),
+        (2, "The quick brown fox jumps over the lazy dog in Berlin today", "en"),
+        (3, "Der schnelle braune Fuchs springt und das ist nicht alles", "de"),
+        (4, "The quick brown fox jumps over the lazy cat in Berlin today", "en"),
+        (5, "completely different content about President John Smith and Paris", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_duplicates(docs):
+    from palladian_spark.operators.dedup import exact_dedup, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["doc_ids"] == [1, 2]
+    assert exact_dedup(docs).count() == 4
+
+
+def test_ngram_jaccard_pairs(docs):
+    from palladian_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.4 <= pairs[(1, 4)] < 1.0
+
+
+def test_minhash_lsh_pairs(docs):
+    from palladian_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+
+
+def test_simhash(docs):
+    from palladian_spark.operators.dedup import simhash_signatures
+
+    sigs = {r["doc"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical docs -> identical signature
+    assert sigs[1] != sigs[5]
+
+
+def test_textstats(docs):
+    from palladian_spark.operators.textstats import (
+        fingerprints,
+        language_id,
+        quality_scores,
+        token_counts,
+    )
+
+    tc = {r["doc_id"]: r["token_count"] for r in token_counts(docs).collect()}
+    assert tc[1] == 12
+    qs = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert qs[1]["n_words"] == 12
+    assert qs[1]["stopword_ratio"] > 0
+    lid = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
+    assert lid[1] == "en"
+    assert lid[3] == "de"
+    fp = {r["doc_id"]: r["fingerprint_md5"] for r in fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_canonicalize(spark):
+    from palladian_spark.operators.canonicalize import canonicalize_values
+
+    values = spark.createDataFrame(
+        [("Johnson",), ("Johnson",), ("Jonson",), ("Berlin",), ("Bernie",)],
+        ["value"],
+    )
+    out = {r["value"]: r["canonical"] for r in canonicalize_values(values, threshold=0.9).collect()}
+    # Johnson (freq 2) is the canonical form for the Johnson/Jonson component
+    assert out["Jonson"] == "Johnson"
+    assert out["Johnson"] == "Johnson"
+    assert out["Berlin"] == "Berlin"
+
+
+def test_connected_components_chain(spark):
+    from palladian_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        ["left_value", "right_value"],
+    )
+    comp = {r["value"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_similarity_search(spark):
+    from palladian_spark.operators.similarity_search import brute_force_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], ["query_id", "embedding"])
+    top = brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == 1.0
+
+    lsh = lsh_topk(emb, q, k=2, dim=3).orderBy("rank").collect()
+    assert lsh[0]["vec_id"] == 1  # exact match always shares the bucket
+
+
+def test_multimodal_plumbing(spark, docs):
+    from palladian_spark.operators.multimodal import (
+        image_features,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, docs)
+    feats = image_features(media).collect()
+    assert len(feats) == 5
+    assert all(len(r["feature"]) == 8 * 8 * 3 for r in feats)
+    # deterministic: identical payloads -> identical features
+    by_id = {r["media_id"]: r["feature"] for r in feats}
+    assert by_id["m1"] == by_id["m2"]
+
+    big = spark.createDataFrame(
+        [("v1", bytearray(b"x" * 50000))], ["media_id", "media"]
+    )
+    frames = sample_frames(big, every_n=3).collect()
+    assert len(frames) == 4  # 12 frames, every 3rd
+
+
+def test_pipeline_end_to_end(spark, docs, tmp_path):
+    from palladian_spark.pipeline import documents_as_source, extract_triples, verify_lineage
+    from palladian_spark.sources.checkpoint import StageStore
+
+    source = documents_as_source(docs)
+    store = StageStore(spark, str(tmp_path / "stages"))
+    triples = extract_triples(source, store=store)
+    rows = triples.collect()
+    assert len(rows) > 0
+    preds = {r["pred"] for r in rows}
+    assert "mentioned-in" in preds
+    # lineage invariant holds
+    assert verify_lineage(source, triples) == 0
+    # resume: second run reads from manifests (no recompute) and matches
+    triples2 = extract_triples(source, store=store)
+    assert triples2.count() == len(rows)
+    assert store.manifest("triples")["status"] == "complete"
+
+
+def test_triples_write_partitioned(spark, docs, tmp_path):
+    from palladian_spark.pipeline import documents_as_source, extract_triples
+    from palladian_spark.operators.triples import write_triples
+
+    triples = extract_triples(documents_as_source(docs), canonicalize=False)
+    out = str(tmp_path / "triples")
+    write_triples(triples, out)
+    back = spark.read.parquet(out)
+    assert back.count() == triples.count()
+    assert "repo_hash" in back.columns
