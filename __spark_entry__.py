@@ -3,36 +3,550 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Each query maps to an operator from SURVEY.md §2; non-SQL-expressible
+ops (pandas-UDF regex kernels, xxhash64 MinHash, iterative connected
+components) are registered without an oracle -> rows-only check.
+
+All oracle-verified outputs are integers/strings (or exact decimals as
+integer cents) so the value-hash never depends on float summation order
+or rounding-mode differences between Spark and DuckDB.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# make the package importable when the driver runs this file from /root/repo
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Shared fixtures: gazetteer over the synthetic corpus vocabulary, and a
+# derived "code-like" corpus where marker words are capitalized so the
+# StringTagger candidate regex (uppercase-driven) has entities to find.
+# ---------------------------------------------------------------------------
+GAZETTEER = {
+    "spark": "ENGINE",
+    "vector": "ENGINE",
+    "stream": "ENGINE",
+    "table": "OBJECT",
+    "column": "OBJECT",
+    "row": "OBJECT",
+    "join": "OP",
+    "scan": "OP",
+    "filter": "OP",
+    "merge": "OP",
+    "sort": "OP",
+}
+
+_CAP_WORDS = ["spark", "vector", "stream", "table", "customer", "window"]
+
+
+def _capitalized_corpus(docs: DataFrame) -> DataFrame:
+    """documents.text with marker words Title-Cased (deterministic derivation
+    of an entity-bearing corpus from the driver's synthetic table)."""
+    content = F.col("text")
+    for w in _CAP_WORDS:
+        content = F.regexp_replace(content, r"\b" + w + r"\b", w.capitalize())
+    return docs.select("doc_id", "lang", "source", content.alias("content"))
+
+
+def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mentions over documents: (doc_id, start, end, value, tag)."""
+    from palladian_spark.operators.mentions import dictionary_mentions
+
+    docs = _read(spark, sf_dir, "documents")
+    return dictionary_mentions(
+        docs, GAZETTEER, text_col="text", keep_cols=["doc_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: end-to-end KG construction (mention detection -> co-occurrence /
+# provenance edges -> LSH-blocked canonicalization -> deduplicated triples).
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from palladian_spark.pipeline import documents_as_source, extract_triples
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    source = documents_as_source(_capitalized_corpus(docs).withColumnRenamed("content", "text"))
+    return extract_triples(source, model=None, canonicalize=True)
 
 
+# ---------------------------------------------------------------------------
+# queries(): one entry per operator. Callables take (spark, sf_dir).
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- text analysis over documents (SURVEY §2.5 + curation ops) ----
+    def doc_token_counts(spark, sf_dir):
+        from palladian_spark.operators.textstats import token_counts
+
+        return token_counts(_read(spark, sf_dir, "documents"))
+
+    def doc_quality(spark, sf_dir):
+        from palladian_spark.operators.textstats import quality_counts
+
+        return quality_counts(_read(spark, sf_dir, "documents"))
+
+    def doc_language_id(spark, sf_dir):
+        from palladian_spark.operators.textstats import language_id
+
+        return language_id(_read(spark, sf_dir, "documents"))
+
+    def doc_fingerprints(spark, sf_dir):
+        from palladian_spark.operators.textstats import fingerprints
+
+        return fingerprints(_read(spark, sf_dir, "documents")).select(
+            "doc_id", "fingerprint_md5"
+        )
+
+    # ---- dedup family (SURVEY training-data ops) ----
+    def doc_exact_dedup(spark, sf_dir):
+        from palladian_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(_read(spark, sf_dir, "documents")).select(
+            "doc_id", F.md5("text").alias("content_hash")
+        )
+
+    def doc_ngram_jaccard(spark, sf_dir):
+        from palladian_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+        return ngram_jaccard_pairs_exact(
+            _read(spark, sf_dir, "documents"), n=3, threshold_num=1, threshold_den=5
+        )
+
+    def doc_minhash_pairs(spark, sf_dir):
+        from palladian_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            _read(spark, sf_dir, "documents"), threshold=0.2
+        )
+        return pairs.select(
+            "doc_a", "doc_b", (F.col("jaccard") * 1000000).cast("long").alias("jaccard_ppm")
+        )
+
+    def doc_simhash(spark, sf_dir):
+        from palladian_spark.operators.dedup import simhash_signatures
+
+        return simhash_signatures(_read(spark, sf_dir, "documents"))
+
+    # ---- mention detection (SURVEY §2.2) ----
+    def dict_mentions(spark, sf_dir):
+        return (
+            _doc_mentions(spark, sf_dir)
+            .groupBy("doc_id", "tag")
+            .agg(F.count("*").alias("n_mentions"))
+        )
+
+    def string_tagger_candidates(spark, sf_dir):
+        from palladian_spark.operators.mentions import detect_mentions
+
+        corpus = _capitalized_corpus(_read(spark, sf_dir, "documents"))
+        return detect_mentions(
+            corpus, text_col="content", tagger="candidates", keep_cols=["doc_id"]
+        )
+
+    # ---- co-occurrence edges (SURVEY §2.6, CoOccurrenceRetriever) ----
+    def doc_cooccur(spark, sf_dir):
+        m = _doc_mentions(spark, sf_dir).select("doc_id", "value").dropDuplicates()
+        a = m.alias("a")
+        b = m.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.value") < F.col("b.value")),
+            )
+            .groupBy(F.col("a.value").alias("subj"), F.col("b.value").alias("obj"))
+            .agg(F.count("*").alias("support"))
+        )
+
+    # ---- full KG triples (north-rule pipeline; rows-only) ----
+    def kg_triples(spark, sf_dir):
+        from palladian_spark.pipeline import documents_as_source, extract_triples
+
+        docs = _read(spark, sf_dir, "documents")
+        source = documents_as_source(
+            _capitalized_corpus(docs).withColumnRenamed("content", "text")
+        )
+        return extract_triples(source, model=None, canonicalize=True)
+
+    # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
+    def canonicalize_mentions(spark, sf_dir):
+        from palladian_spark.operators.canonicalize import canonicalize_values
+
+        values = _doc_mentions(spark, sf_dir).select("value")
+        return canonicalize_values(values, threshold=0.85)
+
+    # ---- ANN / embeddings ----
+    def ann_topk(spark, sf_dir):
+        from palladian_spark.operators.similarity_search import brute_force_topk
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qset = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = brute_force_topk(emb, qset, k=5)
+        return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
+
+    def embedding_near_dups(spark, sf_dir):
+        from palladian_spark.operators.similarity_search import embedding_near_duplicates
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        pairs = embedding_near_duplicates(emb, threshold=0.3)
+        return pairs.select(
+            "id_a", "id_b", (F.col("cosine") * 1000000).cast("long").alias("cosine_ppm")
+        )
+
+    # ---- relational checklist over TPC-H-ish tables (SURVEY §2.8) ----
+    def tpch_pricing(spark, sf_dir):
+        li = _read(spark, sf_dir, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                    "sum_base_price_cents"
+                ),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).alias("sum_disc_price_cents"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def join_customer_orders(spark, sf_dir):
+        o = _read(spark, sf_dir, "orders")
+        c = F.broadcast(_read(spark, sf_dir, "customer"))
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "sum_total_cents"
+                ),
+            )
+        )
+
+    def anti_join_customers(spark, sf_dir):
+        # customers with no large order — the T2 blacklist anti-join shape
+        c = _read(spark, sf_dir, "customer")
+        o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+        return c.join(
+            o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        ).select("c_custkey", "c_name")
+
+    def semi_join_parts(spark, sf_dir):
+        p = _read(spark, sf_dir, "part")
+        li = _read(spark, sf_dir, "lineitem")
+        return (
+            p.join(
+                li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_semi"
+            )
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"))
+        )
+
+    def events_seed_sample(spark, sf_dir):
+        ev = _read(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("event_type", "event_id", "rn")
+        )
+
+    def events_sessionize(spark, sf_dir):
+        # ts is TIMESTAMP_NTZ in the parquet; the tz-cast offset is constant,
+        # so gaps (differences) match DuckDB's naive epoch_us exactly.
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        gap = F.col("us") - F.lag("us").over(w)
+        sess = ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0),
+        )
+        return sess.groupBy("user_id").agg(
+            F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+
+    def events_topk(spark, sf_dir):
+        ev = _read(spark, sf_dir, "events")
+        counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+        w = Window.orderBy(F.desc("n"), F.asc("event_type"))
+        return (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("event_type", "n", "rnk")
+        )
+
+    # ---- multimodal plumbing (stub decode; rows-only) ----
+    def media_features(spark, sf_dir):
+        from palladian_spark.operators.multimodal import (
+            image_features,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(spark, _read(spark, sf_dir, "documents"))
+        return image_features(media).select("media_id", "width", "height")
+
+    q.update(
+        doc_token_counts=doc_token_counts,
+        doc_quality=doc_quality,
+        doc_language_id=doc_language_id,
+        doc_fingerprints=doc_fingerprints,
+        doc_exact_dedup=doc_exact_dedup,
+        doc_ngram_jaccard=doc_ngram_jaccard,
+        doc_minhash_pairs=doc_minhash_pairs,
+        doc_simhash=doc_simhash,
+        dict_mentions=dict_mentions,
+        string_tagger_candidates=string_tagger_candidates,
+        doc_cooccur=doc_cooccur,
+        kg_triples=kg_triples,
+        canonicalize_mentions=canonicalize_mentions,
+        ann_topk=ann_topk,
+        embedding_near_dups=embedding_near_dups,
+        tpch_pricing=tpch_pricing,
+        join_customer_orders=join_customer_orders,
+        anti_join_customers=anti_join_customers,
+        semi_join_parts=semi_join_parts,
+        events_seed_sample=events_seed_sample,
+        events_sessionize=events_sessionize,
+        events_topk=events_topk,
+        media_features=media_features,
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents (views: region nation customer supplier
+# part orders lineitem events documents embeddings).
+# ---------------------------------------------------------------------------
+_TOKEN_REGEX_SQL = (
+    r"(?:[A-Z][a-z]?\.)+"
+    r"|[\p{L}\w+]+(?:[-\.,][\p{L}\w]+)*"
+    r"|\.[\p{L}\w]+"
+    r"|</?[\p{L}\w]+>"
+    r"|\$\d+\.\d+"
+    r"|[^\w\s<]+"
+)
+
+_EN_MARKERS = "'the','and','of','to','in','is','that','with'"
+
+
+def _lang_hits_sql() -> str:
+    from palladian_spark.operators.textstats import LANG_MARKERS
+
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        cols.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            f"w -> w in ({lst}))) as hits_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _gazetteer_union_sql() -> str:
+    parts = []
+    for term, tag in GAZETTEER.items():
+        parts.append(
+            f"select doc_id, '{tag}' as tag, "
+            f"len(regexp_extract_all(text, '\\b{term}\\b')) as cnt from documents"
+        )
+    return " union all ".join(parts)
+
+
+def _gazetteer_presence_sql() -> str:
+    parts = []
+    for term in GAZETTEER:
+        parts.append(
+            f"select doc_id, '{term}' as value from documents "
+            f"where regexp_matches(text, '\\b{term}\\b')"
+        )
+    return " union all ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from palladian_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    # best-language expression: left-to-right strictly-greater scan, matching
+    # the Spark fold in language_id (earlier language wins ties).
+    best = "'unknown'"
+    best_hits = "0"
+    for lang in langs:
+        best = f"case when hits_{lang} > {best_hits} then '{lang}' else {best} end"
+        best_hits = f"greatest({best_hits}, hits_{lang})"
+
+    return {
+        "doc_token_counts": f"""
+            select doc_id,
+                   len(regexp_extract_all(text, '{_TOKEN_REGEX_SQL}')) as token_count
+            from documents
+        """,
+        "doc_quality": f"""
+            with w as (
+              select doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z]+') as words
+              from documents)
+            select doc_id,
+                   length(text) as n_chars,
+                   len(words) as n_words,
+                   coalesce(list_sum(list_transform(words, w -> length(w))), 0)::int
+                       as sum_word_chars,
+                   len(list_filter(words, w -> w in ({_EN_MARKERS}))) as stopword_hits,
+                   (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       as punct_chars
+            from w
+        """,
+        "doc_language_id": f"""
+            with h as (select doc_id, {_lang_hits_sql()} from documents)
+            select doc_id, {", ".join(f"hits_{lang}" for lang in langs)},
+                   {best} as lang_guess
+            from h
+        """,
+        "doc_fingerprints": """
+            select doc_id,
+                   md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' '))
+                       as fingerprint_md5
+            from documents
+        """,
+        "doc_exact_dedup": """
+            select doc_id, md5(text) as content_hash
+            from (select doc_id, text,
+                         row_number() over (partition by md5(text) order by doc_id) rn
+                  from documents)
+            where rn = 1
+        """,
+        "doc_ngram_jaccard": """
+            with sh as (
+              select doc_id as doc,
+                     list_distinct(list_transform(
+                        list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                    (x, i) -> i <= len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+                        (x, i) -> x || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) as shingles
+              from documents),
+            tok as (select doc, unnest(shingles) as shingle from sh),
+            sizes as (select doc, count(*) as n_shingles from tok group by doc),
+            shared as (
+              select a.doc as doc_a, b.doc as doc_b, count(*) as shared
+              from tok a join tok b on a.shingle = b.shingle and a.doc < b.doc
+              group by 1, 2)
+            select doc_a, doc_b, shared, sa.n_shingles as n_a, sb.n_shingles as n_b
+            from shared
+            join sizes sa on doc_a = sa.doc
+            join sizes sb on doc_b = sb.doc
+            where 5 * shared >= 1 * (sa.n_shingles + sb.n_shingles - shared)
+        """,
+        "dict_mentions": f"""
+            with hits as ({_gazetteer_union_sql()})
+            select doc_id, tag, sum(cnt)::bigint as n_mentions
+            from hits where cnt > 0
+            group by doc_id, tag
+        """,
+        "doc_cooccur": f"""
+            with pres as ({_gazetteer_presence_sql()})
+            select a.value as subj, b.value as obj, count(*) as support
+            from pres a join pres b
+              on a.doc_id = b.doc_id and a.value < b.value
+            group by 1, 2
+        """,
+        "ann_topk": """
+            with q as (select vec_id as qid, embedding::DOUBLE[] as qv
+                       from embeddings where vec_id < 3),
+            s as (select q.qid as query_id, e.vec_id,
+                         round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
+                  from embeddings e cross join q),
+            r as (select query_id, vec_id,
+                         row_number() over (partition by query_id
+                                            order by cos desc, vec_id) as rnk
+                  from s)
+            select query_id, vec_id, rnk from r where rnk <= 5
+        """,
+        "tpch_pricing": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity)::bigint as sum_qty,
+                   sum(round(l_extendedprice * 100)::bigint) as sum_base_price_cents,
+                   sum(round(l_extendedprice * (1.0 - l_discount) * 100)::bigint)
+                       as sum_disc_price_cents,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '2000-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "join_customer_orders": """
+            select c_mktsegment, count(*) as n_orders,
+                   sum(round(o_totalprice * 100)::bigint) as sum_total_cents
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
+        """,
+        "anti_join_customers": """
+            select c_custkey, c_name from customer
+            where c_custkey not in
+              (select o_custkey from orders where o_totalprice > 450000)
+        """,
+        "semi_join_parts": """
+            select p_brand, count(*) as n_parts
+            from part
+            where p_partkey in (select l_partkey from lineitem)
+            group by p_brand
+        """,
+        "events_seed_sample": """
+            select event_type, event_id, rn
+            from (select event_type, event_id,
+                         row_number() over (partition by event_type
+                                            order by ts, event_id) as rn
+                  from events)
+            where rn <= 5
+        """,
+        "events_sessionize": """
+            with e as (select user_id, event_id, epoch_us(ts) as us from events),
+            lagged as (
+              select user_id,
+                     us - lag(us) over (partition by user_id
+                                        order by us, event_id) as gap
+              from e)
+            select user_id,
+                   sum(case when gap is null or gap > 1800000000 then 1 else 0 end)
+                       as n_sessions,
+                   count(*) as n_events
+            from lagged group by user_id
+        """,
+        "events_topk": """
+            select event_type, n, rnk
+            from (select event_type, count(*) as n,
+                         row_number() over (order by count(*) desc, event_type) as rnk
+                  from events group by event_type)
+            where rnk <= 5
+        """,
+    }

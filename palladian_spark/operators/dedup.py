@@ -97,6 +97,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """ngram_jaccard_pairs with integer-only outputs and a rational
+    threshold filter (den*shared >= num*union), so the DuckDB oracle
+    compares exact integers with no float rounding in play."""
+    shingled = _word_shingles(df, text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("_shingles").alias("shingle")
+    )
+    sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("sa.n_shingles").alias("n_a"),
+            F.col("sb.n_shingles").alias("n_b"),
+        )
+        .where(
+            F.lit(threshold_den) * F.col("shared")
+            >= F.lit(threshold_num) * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -78,6 +78,30 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def quality_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Integer-exact quality metrics (the oracle-verifiable core of
+    quality_scores): character/word counts, total word chars, stopword hits,
+    punctuation chars. Ratios are numerator/denominator pairs so the DuckDB
+    oracle compares exact integers, never rounded floats."""
+    en = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .withColumn("_words", _extract_all(F.lower(F.col("_t")), _WORD_REGEX))
+        .select(
+            id_col,
+            F.length("_t").alias("n_chars"),
+            F.size("_words").alias("n_words"),
+            F.aggregate("_words", F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+                "sum_word_chars"
+            ),
+            F.size(F.expr(f"filter(_words, w -> w in ({en}))")).alias("stopword_hits"),
+            (
+                F.length("_t") - F.length(F.regexp_replace("_t", r"[^\w\s]", ""))
+            ).alias("punct_chars"),
+        )
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker language heuristic: most-hit marker set wins.
 
