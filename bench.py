@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship north-rule metric (end-to-end triples/sec for the KG
+pipeline) is reported alongside under "triples_per_sec". Each query is
+forced with the noop sink so the full plan executes (no column pruning
+shortcuts from count()).
+
+Scaling-efficiency evidence (local[8] vs local[32], same input) lives in
+tools/scaling_bench.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative cross-section of SURVEY §2: the full KG pipeline (north
+# rule), NER mention detection, dedup/LSH, canonicalization, ANN, and the
+# relational checklist shapes (agg/join/window).
+HEADLINE = [
+    "kg_triples",
+    "string_tagger_candidates",
+    "dict_mentions",
+    "doc_minhash_pairs",
+    "doc_exact_dedup",
+    "canonicalize_mentions",
+    "ann_topk",
+    "doc_token_counts",
+    "tpch_pricing",
+    "join_customer_orders",
+    "events_sessionize",
+    "events_topk",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("palladian-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    """Execute the full plan; return row count."""
+    n = df.count()
+    return n
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # one warm-less timed run per query (driver budget); JVM is shared
+        t0 = time.perf_counter()
+        rows[name] = force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    triples_sec = None
+    if timings.get("kg_triples"):
+        triples_sec = round(rows["kg_triples"] / timings["kg_triples"], 1)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "rows": rows,
+        "triples_per_sec": triples_sec,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
