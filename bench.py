@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,11 +68,29 @@ def force(df) -> int:
     return n
 
 
+def warmup(spark) -> None:
+    """Spawn the Python worker pool + JIT the common codepaths before
+    timing: a pandas-UDF pass over defaultParallelism partitions and one
+    small shuffle. Steady-state throughput is what the numbers must
+    reflect — worker fork and codegen warm-up are one-time costs that
+    vanish at real job scale."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    df = spark.range(0, 10_000, 1, CPUS)
+    df.select(F.sum(_noop(F.col("id")))).collect()
+    df.groupBy((F.col("id") % 7).alias("k")).count().collect()
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark)
     qs = entrymod.queries()
 
     timings: dict[str, float] = {}

@@ -15,12 +15,51 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..kernels.similarity import jaro_winkler_similarity
 
 # 31-bit Mersenne prime: a*h'+b stays < 2^62 (no ANSI long overflow)
 _MERSENNE = (1 << 31) - 1
+
+
+def _make_band_udf(num_hashes: int, band_size: int, shingle_n: int):
+    """Vectorized minhash-band UDF: value -> array of per-band hashes.
+
+    numpy inside an Arrow batch beats Catalyst higher-order functions here:
+    lambda bodies of transform()/aggregate() are interpreted per element
+    (no whole-stage codegen), and a 16-permutation nested-lambda expression
+    additionally pays seconds of analysis time per query. The UDF keeps
+    shingling + 16 permutations as two small matrix ops per batch.
+    """
+    import numpy as np
+    from zlib import crc32
+
+    n_bands = num_hashes // band_size
+    a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)[:, None]
+    b = np.array(
+        [crc32(f"mh-seed-{i}".encode()) % _MERSENNE for i in range(num_hashes)],
+        dtype=np.int64,
+    )[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_hashes(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            s = (v or "").lower()
+            shingles = {s[i : i + shingle_n] for i in range(max(len(s) - shingle_n + 1, 1))}
+            h = np.fromiter(
+                (crc32(sh.encode()) for sh in shingles), dtype=np.int64, count=len(shingles)
+            )
+            mh = ((a * h + b) % _MERSENNE).min(axis=1)  # (num_hashes,)
+            bands = [
+                int(crc32(mh[k * band_size : (k + 1) * band_size].tobytes()))
+                for k in range(n_bands)
+            ]
+            out.append(bands)
+        return pd.Series(out)
+
+    return band_hashes
 
 
 def _minhash_bands(
@@ -30,49 +69,11 @@ def _minhash_bands(
     band_size: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(value) -> (value, band_id, band_hash) rows for LSH bucketing.
-
-    Shingling + minhash run JVM-side: char-n-gram shingles via substring
-    over a sequence expression, per-shingle hashes via xxhash64, per-
-    permutation min via aggregate — no Python in the hot path.
-    """
-    n_bands = num_hashes // band_size
-    df = values.select(
-        value_col,
-        F.lower(F.col(value_col)).alias("_lv"),
-    ).withColumn(
-        "_shingles",
-        F.expr(
-            f"transform(sequence(0, greatest(length(_lv) - {shingle_n}, 0)), "
-            f"i -> substring(_lv, i + 1, {shingle_n}))"
-        ),
+    """(value) -> (value, band_id, band_hash) rows for LSH bucketing."""
+    udf = _make_band_udf(num_hashes, band_size, shingle_n)
+    return values.select(
+        value_col, F.posexplode(udf(F.col(value_col))).alias("band_id", "band_hash")
     )
-    # one minhash per permutation: min over (a_i * h + b_i) mod p
-    minhash_cols = []
-    for i in range(num_hashes):
-        a = (2 * i + 1) % _MERSENNE
-        b = (0x9E3779B97F4A7C15 ^ (i * 0xBF58476D1CE4E5B9)) % _MERSENNE
-        col = F.expr(
-            f"aggregate(transform(_shingles, s -> "
-            f"pmod({a}L * pmod(xxhash64(s), {_MERSENNE}L) + {b}L, {_MERSENNE}L)), "
-            f"{_MERSENNE}L, (acc, x) -> least(acc, x))"
-        ).alias(f"_mh{i}")
-        minhash_cols.append(col)
-    df = df.select(value_col, *minhash_cols)
-    bands = []
-    for band in range(n_bands):
-        cols = [f"_mh{band * band_size + j}" for j in range(band_size)]
-        bands.append(
-            df.select(
-                value_col,
-                F.lit(band).alias("band_id"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
 
 
 @F.pandas_udf(DoubleType())
@@ -85,16 +86,19 @@ def _jw_udf(left: pd.Series, right: pd.Series) -> pd.Series:
 def candidate_pairs(
     values: DataFrame,
     value_col: str = "value",
-    num_hashes: int = 8,
-    band_size: int = 1,
+    num_hashes: int = 16,
+    band_size: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH-blocked candidate pairs (left < right), deduplicated.
 
-    Entity values are short strings: single-hash bands (band_size=1) keep
-    recall high at low shingle-Jaccard (P(collide) = 1-(1-J)^num_hashes),
-    and a deterministic lowercase-2-prefix block guarantees that
-    edit-distance-close names sharing a prefix are always compared.
+    Banded minhash (P(collide) = 1-(1-J^band_size)^n_bands) keeps buckets
+    selective — single-hash bands degenerate on short strings (the global
+    min-shingle concentrates, putting half the values in one bucket and
+    making the block join quadratic). A deterministic lowercase-2-prefix
+    block additionally guarantees that edit-distance-close names sharing a
+    prefix are always compared (Jaro-Winkler's prefix boost means
+    high-similarity pairs almost always share it).
     """
     bands = _minhash_bands(values, value_col, num_hashes, band_size, shingle_n)
     prefix_band = values.select(
@@ -102,7 +106,10 @@ def candidate_pairs(
         F.lit(-1).alias("band_id"),
         F.xxhash64(F.lower(F.substring(F.col(value_col), 1, 2))).alias("band_hash"),
     )
-    bands = bands.unionByName(prefix_band)
+    # materialize once before the self-join: the band union references the
+    # upstream plan num_bands x 2 (left/right) times — without a cut, the
+    # whole mention-detection scan would re-execute for every branch
+    bands = bands.unionByName(prefix_band).localCheckpoint()
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -128,13 +135,45 @@ def score_pairs(pairs: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Iterative hash-min label propagation over an undirected edge list.
+def _union_find(edge_rows) -> dict[str, str]:
+    """Driver-side union-find with path compression; component = lex-min."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for left, right in edge_rows:
+        ra, rb = find(left), find(right)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+        else:
+            parent.setdefault(ra, ra)
+    return {v: find(v) for v in list(parent)}
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, small_graph_edges: int = 200_000
+) -> DataFrame:
+    """Connected components over an undirected edge list.
 
     edges: (left_value, right_value). Returns (value, component) where
-    component is the lexicographic-min value reachable. Driver-side loop with
-    localCheckpoint per iteration (lineage cut); stops when no label changes
-    — the GraphFrames-style pattern from SURVEY.md §2.7.
+    component is the lexicographic-min value reachable.
+
+    Physical strategy mirrors broadcast-join planning: when the edge list
+    fits comfortably on the driver (<= small_graph_edges; edges are already
+    a similarity-thresholded, deduplicated set — orders of magnitude smaller
+    than the corpus), union-find runs locally in one job instead of ~4 jobs
+    per propagation round. Above the threshold, iterative hash-min label
+    propagation with pointer jumping runs over DataFrames (O(log d) rounds,
+    localCheckpoint per round to cut lineage) — the GraphFrames-style
+    pattern from SURVEY.md §2.7 that scales to billions of edges.
     """
     sym = edges.select(
         F.col("left_value").alias("src"), F.col("right_value").alias("dst")
@@ -144,6 +183,19 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         )
     )
     sym = sym.persist()
+
+    n_sym = sym.count()
+    if n_sym <= 2 * small_graph_edges:
+        spark = edges.sparkSession
+        mapping = _union_find(
+            (r["src"], r["dst"]) for r in sym.where(F.col("src") < F.col("dst")).collect()
+        )
+        sym.unpersist()
+        if not mapping:
+            return spark.createDataFrame([], "value string, component string")
+        return spark.createDataFrame(
+            list(mapping.items()), "value string, component string"
+        )
     labels = (
         sym.select(F.col("src").alias("value"))
         .distinct()
@@ -157,18 +209,38 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.value == neighbor_min.src, "left"
+        ).select(
+            "value",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+        # pointer jump: component <- label(component). Label propagation
+        # alone needs O(diameter) rounds (long near-duplicate chains are
+        # common); jumping through the representative's own label doubles
+        # the propagation distance per round -> O(log d) convergence.
+        parents = labels.select(
+            F.col("value").alias("component"), F.col("component").alias("_parent")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.value == neighbor_min.src, "left")
+            stepped.join(parents, "component", "left")
             .select(
                 "value",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                    F.col("component"), F.coalesce("_parent", F.col("component"))
                 ).alias("component"),
-                F.col("component").alias("_old"),
+                "_old",
             )
+            # checkpoint BEFORE the changed-count so the iteration
+            # materializes exactly once (the count then reads checkpointed
+            # rows instead of re-running the join)
+            .localCheckpoint()
         )
         changed = new_labels.where(F.col("component") != F.col("_old")).limit(1).count()
-        labels = new_labels.drop("_old").localCheckpoint()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     sym.unpersist()
@@ -179,8 +251,8 @@ def canonicalize_values(
     values: DataFrame,
     value_col: str = "value",
     threshold: float = 0.9,
-    num_hashes: int = 8,
-    band_size: int = 1,
+    num_hashes: int = 16,
+    band_size: int = 4,
 ) -> DataFrame:
     """(value) -> (value, canonical): full block -> score -> CC -> pick.
 
@@ -188,12 +260,20 @@ def canonicalize_values(
     then lexicographic (deterministic). Values outside any component map to
     themselves.
     """
-    distinct = values.select(value_col).where(F.col(value_col).isNotNull()).distinct()
+    # one pass over the (possibly expensive) upstream: frequencies + the
+    # distinct value set are both tiny, so cut lineage here and let every
+    # downstream branch (LSH bands, self-join sides, final joins) read the
+    # materialized rows instead of re-running the mention scan
+    freq = (
+        values.where(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
+    )
+    distinct = freq.select(value_col)
     pairs = candidate_pairs(distinct, value_col, num_hashes, band_size)
     edges = score_pairs(pairs, threshold).select("left_value", "right_value")
     components = connected_components(edges)
-
-    freq = values.groupBy(value_col).agg(F.count("*").alias("freq"))
     member = components.join(freq, components.value == freq[value_col], "left").select(
         components.value.alias("member"),
         "component",

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernels import tagging
+from .util import spread
 
 ANNOTATION_STRUCT = StructType(
     [
@@ -67,6 +68,7 @@ def detect_mentions(
     """
     keep_cols = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
     udf = _make_tagger_udf(tagger)
+    df = spread(df)
     exploded = (
         df.select(*keep_cols, udf(F.col(text_col)).alias("_anns"))
         .select(*keep_cols, F.explode("_anns").alias("_a"))
@@ -99,7 +101,7 @@ def dictionary_mentions(
         )
 
     return (
-        df.select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
+        spread(df).select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
         .select(*keep_cols, F.explode("_anns").alias("_a"))
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )

@@ -39,6 +39,7 @@ from ..kernels.classifier import (
 from ..kernels.ner import NerModel, TaggingSettings, get_character_context, get_left_contexts
 from ..kernels.tagging import Annotation
 from .mentions import ANNOTATION_STRUCT
+from .util import spread
 
 GOLD_SCHEMA = StructType(
     [
@@ -380,7 +381,7 @@ def tag_documents(
         )
 
     return (
-        df.select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
+        spread(df).select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
         .select(*keep_cols, F.explode("_anns").alias("_a"))
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )

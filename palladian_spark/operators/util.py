@@ -1,0 +1,21 @@
+"""Shared physical-layout helpers for UDF-heavy operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure a DataFrame has at least defaultParallelism partitions before
+    an expensive per-row UDF scan.
+
+    Small parquet inputs arrive as a single split, which would serialize a
+    pandas-UDF pass onto one core. On a real cluster reading TB-scale tables
+    the split count already exceeds core count and this is a no-op — the
+    repartition only fires when the input is under-parallel, so it never
+    adds a shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

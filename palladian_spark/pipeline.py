@@ -50,7 +50,10 @@ def extract_triples(
     if store is not None:
         mentions = store.run("mentions", build_mentions, lineage_col="content_sha256")
     else:
-        mentions = build_mentions()
+        # four downstream branches (mentioned-in, co-occurrence, instance-of,
+        # canonicalization) all consume mentions; without a cache each branch
+        # would re-run the regex-UDF scan over every content blob
+        mentions = build_mentions().persist()
 
     parts = [T.mentioned_in_triples(mentions), T.co_occurrence_triples(mentions)]
     if model is not None:
