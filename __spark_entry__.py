@@ -54,6 +54,12 @@ GAZETTEER = {
 
 _CAP_WORDS = ["spark", "vector", "stream", "table", "customer", "window"]
 
+# AnnotationRuleEngine fixture rules (reference grammar,
+# AnnotationRuleEngine.java:140-193): `X |` = suffix rule, matches the
+# 1-token LEFT context of a mention; CLASSIFY_THIS labels that mention.
+RULES_TEXT = "fast |\tCLASSIFY_THIS\tFAST_OP\nslow |\tCLASSIFY_THIS\tSLOW_OP"
+_RULE_OUTCOMES = [("fast", "FAST_OP"), ("slow", "SLOW_OP")]
+
 
 def _capitalized_corpus(docs: DataFrame) -> DataFrame:
     """documents.text with marker words Title-Cased (deterministic derivation
@@ -305,6 +311,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_type", "n", "rnk")
         )
 
+    # ---- pattern-based relation extraction (SURVEY §2.6) ----
+    def rule_engine_tags(spark, sf_dir):
+        from palladian_spark.operators.relations import classified_mention_counts
+
+        return classified_mention_counts(
+            _read(spark, sf_dir, "documents"), GAZETTEER, RULES_TEXT
+        )
+
+    def rule_triples(spark, sf_dir):
+        from palladian_spark.operators.relations import rule_instance_triples
+
+        return rule_instance_triples(
+            _read(spark, sf_dir, "documents"), GAZETTEER, RULES_TEXT
+        )
+
+    def pattern_mining(spark, sf_dir):
+        from palladian_spark.operators.relations import mine_context_patterns
+
+        return mine_context_patterns(
+            _read(spark, sf_dir, "documents"), list(GAZETTEER), top_k=20
+        )
+
+    def fpgrowth_itemsets(spark, sf_dir):
+        from palladian_spark.operators.relations import frequent_itemsets
+
+        return frequent_itemsets(
+            _read(spark, sf_dir, "documents"), GAZETTEER, min_support=0.2
+        )
+
+    # ---- url/date taggers + masked sentence detection (SURVEY §2.2/2.5) ----
+    def doc_structure(spark, sf_dir):
+        from palladian_spark.operators.textstats import structure_stats
+
+        docs = _read(spark, sf_dir, "documents")
+        derived = docs.select(
+            "doc_id",
+            F.concat(
+                F.regexp_replace("text", " the ", ". The "),
+                F.lit(" visit https://ex"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".org/a on March "),
+                (F.col("doc_id") % 28 + 1).cast("string"),
+                F.lit(", "),
+                (F.col("doc_id") % 25 + 2000).cast("string"),
+                F.lit(". Done"),
+            ).alias("text"),
+        )
+        return structure_stats(derived)
+
+    # ---- scoring join: DefaultScorer as broadcast dictionary join ----
+    def classify_docs(spark, sf_dir):
+        from palladian_spark.operators.scoring import classify_documents_relational
+
+        return classify_documents_relational(_read(spark, sf_dir, "documents"))
+
     # ---- multimodal plumbing (stub decode; rows-only) ----
     def media_features(spark, sf_dir):
         from palladian_spark.operators.multimodal import (
@@ -338,6 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_seed_sample=events_seed_sample,
         events_sessionize=events_sessionize,
         events_topk=events_topk,
+        rule_engine_tags=rule_engine_tags,
+        rule_triples=rule_triples,
+        pattern_mining=pattern_mining,
+        fpgrowth_itemsets=fpgrowth_itemsets,
+        classify_docs=classify_docs,
+        doc_structure=doc_structure,
         media_features=media_features,
     )
     return q
@@ -390,6 +457,25 @@ def _gazetteer_presence_sql() -> str:
             f"where regexp_matches(text, '\\b{term}\\b')"
         )
     return " union all ".join(parts)
+
+
+def _rule_hits_sql() -> str:
+    """Per (doc_id, term, rule-outcome): count of mentions whose 1-token
+    left context equals the rule context (regex `\\bctx term\\b` — the
+    corpus is single-space separated so the window semantics align with the
+    kernel's get_left_contexts)."""
+    parts = []
+    for ctx, outcome in _RULE_OUTCOMES:
+        for term in GAZETTEER:
+            parts.append(
+                f"select doc_id, '{term}' as value, '{outcome}' as tag, "
+                f"len(regexp_extract_all(text, '\\b{ctx} {term}\\b')) as n "
+                f"from documents"
+            )
+    return " union all ".join(parts)
+
+
+_GAZ_ALT = "|".join(sorted(GAZETTEER))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -548,5 +634,95 @@ def oracle_sql() -> dict[str, str]:
                          row_number() over (order by count(*) desc, event_type) as rnk
                   from events group by event_type)
             where rnk <= 5
+        """,
+        "rule_engine_tags": f"""
+            with hits as ({_rule_hits_sql()})
+            select doc_id, value, tag, n
+            from hits where n > 0
+        """,
+        "rule_triples": f"""
+            with hits as ({_rule_hits_sql()})
+            select value as subj, 'instance-of' as pred, tag as obj,
+                   sum(n)::bigint as support
+            from hits where n > 0
+            group by 1, 2, 3
+        """,
+        "pattern_mining": f"""
+            with m as (
+              select unnest(regexp_extract_all(
+                  text, '(\\w+ \\w+ \\w+) ({_GAZ_ALT})\\b')) as m
+              from documents),
+            s as (select regexp_replace(m, ' \\S+$', '') as prefix,
+                         regexp_extract(m, '(\\S+)$', 1) as term
+                  from m),
+            c as (select prefix, term, count(*)::bigint as cnt
+                  from s group by 1, 2),
+            r as (select prefix, term, cnt,
+                         row_number() over (order by cnt desc, prefix, term)
+                             as rnk
+                  from c)
+            select prefix, term, cnt, rnk from r where rnk <= 20
+        """,
+        "doc_structure": """
+            with derived as (
+              select doc_id,
+                     regexp_replace(text, ' the ', '. The ', 'g')
+                     || ' visit https://ex' || (doc_id % 50)
+                     || '.org/a on March ' || (doc_id % 28 + 1)
+                     || ', ' || (doc_id % 25 + 2000) || '. Done' as text
+              from documents)
+            select doc_id,
+                   len(regexp_extract_all(text, 'https?://[^ ]+'))::int as n_urls,
+                   len(regexp_extract_all(text, 'March \\d{1,2}, \\d{4}'))::int
+                       as n_dates,
+                   (1 + len(regexp_extract_all(text, '\\. [A-Z]')))::int
+                       as n_sentences
+            from derived
+        """,
+        "classify_docs": """
+            with words as (
+              select doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) as term
+              from documents),
+            model as (
+              select term, lang as category, count(*)::double as cnt
+              from (select lang,
+                           unnest(regexp_extract_all(lower(text), '[a-z]+')) as term
+                    from documents)
+              group by 1, 2),
+            dc as (select term, sum(cnt) as dict_count from model group by 1),
+            sm as (select m.term, m.category,
+                          pow(m.cnt / d.dict_count, 2) as term_score
+                   from model m join dc d using (term)),
+            scores as (select w.doc_id, s.category,
+                              round(sum(s.term_score), 9) as score
+                       from words w join sm s using (term)
+                       group by 1, 2),
+            r as (select doc_id, category,
+                         row_number() over (partition by doc_id
+                                            order by score desc, category) as rn
+                  from scores)
+            select doc_id, category as predicted from r where rn = 1
+        """,
+        "fpgrowth_itemsets": f"""
+            with baskets as (
+              select doc_id,
+                     list_distinct(regexp_extract_all(
+                         text, '\\b({_GAZ_ALT})\\b', 1)) as items
+              from documents
+              where len(regexp_extract_all(text, '\\b({_GAZ_ALT})\\b', 1)) > 0),
+            nb as (select count(*) as n from baskets),
+            singles as (select doc_id, unnest(items) as item from baskets),
+            s1 as (select item as items, count(*)::bigint as freq
+                   from singles group by 1),
+            pairs as (select a.item || ',' || b.item as items,
+                             count(*)::bigint as freq
+                      from singles a
+                      join singles b
+                        on a.doc_id = b.doc_id and a.item < b.item
+                      group by 1)
+            select items, freq
+            from (select * from s1 union all select * from pairs)
+            where freq >= ceil(0.2 * (select n from nb))
         """,
     }

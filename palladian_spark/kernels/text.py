@@ -254,3 +254,36 @@ def compile_regex(pattern: str, flags: int = 0):
     """Compile-once cache so per-executor UDF calls reuse patterns
     (counterpart of the reference's static Pattern constants)."""
     return regex.compile(pattern, flags)
+
+
+def detect_sentences(text: str) -> list[tuple[int, str]]:
+    """Sentence detection with URL/date/smiley masking.
+
+    Reference: PalladianSentenceDetector.java:33-129 — URLs, dates, and
+    smileys are masked to same-length filler ('M' runs, :71-84) so the
+    sentence-split regex cannot fire inside them; boundaries are found on
+    the masked text and sentences are cut from the ORIGINAL text at those
+    offsets. Returns (start_offset, sentence) pairs.
+    """
+    from .tagging import date_tag, smiley_tag, url_tag
+
+    masked = list(text)
+    for a in url_tag(text) + date_tag(text) + smiley_tag(text):
+        for i in range(a.start, a.end):
+            masked[i] = "M"
+    masked_text = "".join(masked)
+
+    sentences: list[tuple[int, str]] = []
+
+    def add(chunk_start: int, chunk_end: int) -> None:
+        raw = text[chunk_start:chunk_end]
+        stripped = raw.strip()
+        if stripped:
+            sentences.append((chunk_start + raw.index(stripped[0]), stripped))
+
+    last = 0
+    for m in _SENTENCE_PATTERN_EN.finditer(masked_text):
+        add(last, m.end())
+        last = m.end()
+    add(last, len(text))
+    return sentences

@@ -23,41 +23,53 @@ from ..kernels.similarity import jaro_winkler_similarity
 _MERSENNE = (1 << 31) - 1
 
 
+def _banding_params(num_hashes: int):
+    import numpy as np
+    from zlib import crc32
+
+    a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)[:, None]
+    b = np.array(
+        [crc32(f"mh-seed-{i}".encode()) % _MERSENNE for i in range(num_hashes)],
+        dtype=np.int64,
+    )[:, None]
+    return a, b
+
+
+def _band_hashes_one(value: str, a, b, band_size: int, shingle_n: int) -> list[int]:
+    """Minhash band hashes for one string (pure function; shared by the
+    distributed pandas UDF and the driver-local fast path so both paths
+    block identically)."""
+    import numpy as np
+    from zlib import crc32
+
+    s = (value or "").lower()
+    shingles = {s[i : i + shingle_n] for i in range(max(len(s) - shingle_n + 1, 1))}
+    h = np.fromiter(
+        (crc32(sh.encode()) for sh in shingles), dtype=np.int64, count=len(shingles)
+    )
+    mh = ((a * h + b) % _MERSENNE).min(axis=1)
+    n_bands = len(mh) // band_size
+    return [
+        int(crc32(mh[k * band_size : (k + 1) * band_size].tobytes()))
+        for k in range(n_bands)
+    ]
+
+
 def _make_band_udf(num_hashes: int, band_size: int, shingle_n: int):
     """Vectorized minhash-band UDF: value -> array of per-band hashes.
 
     numpy inside an Arrow batch beats Catalyst higher-order functions here:
     lambda bodies of transform()/aggregate() are interpreted per element
     (no whole-stage codegen), and a 16-permutation nested-lambda expression
-    additionally pays seconds of analysis time per query. The UDF keeps
-    shingling + 16 permutations as two small matrix ops per batch.
+    additionally pays seconds of analysis time per query.
     """
-    import numpy as np
-    from zlib import crc32
-
-    n_bands = num_hashes // band_size
-    a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)[:, None]
-    b = np.array(
-        [crc32(f"mh-seed-{i}".encode()) % _MERSENNE for i in range(num_hashes)],
-        dtype=np.int64,
-    )[:, None]
+    a, b = _banding_params(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
     def band_hashes(vals: pd.Series) -> pd.Series:
-        out = []
-        for v in vals:
-            s = (v or "").lower()
-            shingles = {s[i : i + shingle_n] for i in range(max(len(s) - shingle_n + 1, 1))}
-            h = np.fromiter(
-                (crc32(sh.encode()) for sh in shingles), dtype=np.int64, count=len(shingles)
-            )
-            mh = ((a * h + b) % _MERSENNE).min(axis=1)  # (num_hashes,)
-            bands = [
-                int(crc32(mh[k * band_size : (k + 1) * band_size].tobytes()))
-                for k in range(n_bands)
-            ]
-            out.append(bands)
-        return pd.Series(out)
+        return pd.Series(
+            [_band_hashes_one(v, a, b, band_size, shingle_n) for v in vals]
+        )
 
     return band_hashes
 
@@ -247,18 +259,80 @@ def connected_components(
     return labels
 
 
+def _local_canonicalize(
+    freq_rows: list[tuple[str, int]],
+    threshold: float,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> list[tuple[str, str]]:
+    """Driver-local block -> score -> union-find -> canonical pick.
+
+    Same blocking (shared _band_hashes_one + lowercase-2-prefix) and same
+    scorer (golden-tested Jaro-Winkler kernel) as the distributed path, so
+    results are identical; used when the distinct value set fits on the
+    driver. max_bucket caps degenerate blocks (same guard the LSH theory
+    gives the distributed path)."""
+    from collections import defaultdict
+
+    a, b = _banding_params(num_hashes)
+    values = [v for v, _ in freq_rows]
+    buckets: dict[tuple[int, object], list[str]] = defaultdict(list)
+    for v in values:
+        for band_id, band_hash in enumerate(
+            _band_hashes_one(v, a, b, band_size, shingle_n)
+        ):
+            buckets[(band_id, band_hash)].append(v)
+        buckets[(-1, (v or "")[:2].lower())].append(v)
+
+    pairs: set[tuple[str, str]] = set()
+    for bucket in buckets.values():
+        if len(bucket) < 2 or len(bucket) > max_bucket:
+            continue
+        bucket = sorted(set(bucket))
+        for i, x in enumerate(bucket):
+            for y in bucket[i + 1 :]:
+                pairs.add((x, y))
+
+    edges = [
+        (x, y) for x, y in pairs if jaro_winkler_similarity(x, y) >= threshold
+    ]
+    mapping = _union_find(edges)
+
+    comp_members: dict[str, list[str]] = defaultdict(list)
+    for v, c in mapping.items():
+        comp_members[c].append(v)
+    freq_d = dict(freq_rows)
+    canonical: dict[str, str] = {}
+    for members in comp_members.values():
+        rep = min(members, key=lambda m: (-freq_d.get(m, 1), -len(m), m))
+        for m in members:
+            canonical[m] = rep
+    return [(v, canonical.get(v, v)) for v in values]
+
+
 def canonicalize_values(
     values: DataFrame,
     value_col: str = "value",
     threshold: float = 0.9,
     num_hashes: int = 16,
     band_size: int = 4,
+    small_values: int = 100_000,
 ) -> DataFrame:
     """(value) -> (value, canonical): full block -> score -> CC -> pick.
 
     Canonical surface form per component = most frequent, ties by longest
     then lexicographic (deterministic). Values outside any component map to
     themselves.
+
+    Physical strategy is size-gated like broadcast-join planning: the
+    distinct-value set is usually orders of magnitude smaller than the
+    corpus (entity surface forms repeat), so when it fits on the driver
+    (<= small_values) the whole block/score/union-find runs locally in one
+    collect instead of ~10 distributed jobs whose fixed costs dominate.
+    Above the gate, the LSH + pandas-UDF + iterative-CC DataFrame path runs
+    — that is the 10^12-file shape.
     """
     # one pass over the (possibly expensive) upstream: frequencies + the
     # distinct value set are both tiny, so cut lineage here and let every
@@ -268,8 +342,23 @@ def canonicalize_values(
         values.where(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count("*").alias("freq"))
-        .localCheckpoint()
+        .persist()
     )
+    # one job decides the path AND fetches the local-path input: collect at
+    # most small_values+1 rows — if we got them all, canonicalize locally
+    probe = freq.limit(small_values + 1).collect()
+    if len(probe) <= small_values:
+        freq.unpersist()
+        spark = values.sparkSession
+        freq_rows = [(r[0], r[1]) for r in probe]
+        mapping = _local_canonicalize(freq_rows, threshold, num_hashes, band_size)
+        if not mapping:
+            return spark.createDataFrame([], f"{value_col} string, canonical string")
+        return spark.createDataFrame(mapping, f"{value_col} string, canonical string")
+
+    cached = freq
+    freq = freq.localCheckpoint()
+    cached.unpersist()
     distinct = freq.select(value_col)
     pairs = candidate_pairs(distinct, value_col, num_hashes, band_size)
     edges = score_pairs(pairs, threshold).select("left_value", "right_value")

@@ -385,3 +385,89 @@ def tag_documents(
         .select(*keep_cols, F.explode("_anns").alias("_a"))
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model persistence: a directory of parquet tables + meta.json — the
+# checkpointable stage boundary between training and tagging (SURVEY §2.1,
+# replacing PalladianNer.java:155-182 Java serialization).
+# ---------------------------------------------------------------------------
+_DICT_NAMES = ("entity", "annotation", "context")
+
+
+def save_model(spark: SparkSession, model: NerModel, path: str) -> None:
+    """Write each dictionary as (term, category, cnt) parquet plus priors;
+    sets and feature settings go to meta.json. Dictionary tables are the
+    potentially-large parts (term x category counts), so they are parquet
+    and re-read distributed; the sets are small driver-side data."""
+    import dataclasses
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    meta: dict = {
+        "lower_case_dictionary": sorted(model.lower_case_dictionary),
+        "left_contexts": sorted(model.left_contexts),
+        "remove_annotations": sorted(model.remove_annotations),
+        "concept_likelihood_order": model.concept_likelihood_order,
+        "feature_settings": {},
+        "has_context_dictionary": model.context_dictionary is not None,
+    }
+    dicts = {
+        "entity": model.entity_dictionary,
+        "annotation": model.annotation_dictionary,
+        "context": model.context_dictionary,
+    }
+    for name in _DICT_NAMES:
+        dic = dicts[name]
+        if dic is None:
+            continue
+        meta["feature_settings"][name] = dataclasses.asdict(dic.feature_setting)
+        entry_rows = [
+            (term, cat, int(cnt))
+            for term, cats in dic.entries.items()
+            for cat, cnt in cats.items()
+        ]
+        spark.createDataFrame(
+            entry_rows, "term string, category string, cnt long"
+        ).write.mode("overwrite").parquet(os.path.join(path, f"{name}_entries"))
+        prior_rows = [
+            ("document", cat, int(cnt)) for cat, cnt in dic.document_counts.items()
+        ] + [("term", cat, int(cnt)) for cat, cnt in dic.term_counts.items()]
+        spark.createDataFrame(
+            prior_rows, "kind string, category string, cnt long"
+        ).write.mode("overwrite").parquet(os.path.join(path, f"{name}_priors"))
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def load_model(spark: SparkSession, path: str) -> NerModel:
+    """Inverse of save_model; the result is broadcast by tag_documents."""
+    import json
+    import os
+
+    from ..kernels.classifier import DictionaryModel, FeatureSetting
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+
+    def read_dict(name: str) -> DictionaryModel:
+        fs = FeatureSetting(**meta["feature_settings"][name])
+        dic = DictionaryModel(feature_setting=fs)
+        for r in spark.read.parquet(os.path.join(path, f"{name}_entries")).collect():
+            dic.entries.setdefault(r["term"], {})[r["category"]] = r["cnt"]
+        for r in spark.read.parquet(os.path.join(path, f"{name}_priors")).collect():
+            target = dic.document_counts if r["kind"] == "document" else dic.term_counts
+            target[r["category"]] = r["cnt"]
+        return dic
+
+    model = NerModel(
+        entity_dictionary=read_dict("entity"),
+        annotation_dictionary=read_dict("annotation"),
+        context_dictionary=read_dict("context") if meta["has_context_dictionary"] else None,
+        lower_case_dictionary=set(meta["lower_case_dictionary"]),
+        left_contexts=set(meta["left_contexts"]),
+        remove_annotations=set(meta["remove_annotations"]),
+        concept_likelihood_order=meta["concept_likelihood_order"],
+    )
+    return model

@@ -1,0 +1,195 @@
+"""Pattern-based relation extraction over a documents DataFrame.
+
+Spark mapping of the reference's "PatternBasedExtractor" role (SURVEY.md
+§2.6): AnnotationRuleEngine (extraction/location/AnnotationRuleEngine.java:
+27-217) applied per document inside a pandas UDF using the golden-tested
+kernel, PatternAnalyzer context mining (palladian-experimental/.../
+PatternAnalyzer.java:11-74) as a pure JVM regexp + groupBy aggregate, and
+FPGrowth association mining (extraction/apriori/Apriori.java counterpart)
+via pyspark.ml.fpm over per-document entity sets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import tagging
+from ..kernels.rules import apply_rules, parse_rules
+from .util import spread
+
+TAGGED_STRUCT = StructType(
+    [
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("value", StringType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+
+def apply_rule_engine(
+    df: DataFrame,
+    dictionary: dict[str, str],
+    rules_text: str,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Detect gazetteer mentions per document, then run the rule engine on
+    them; emit only classified mentions (keep_cols..., start, end, value,
+    tag).
+
+    Doc-local by construction (mention contexts never cross documents), so
+    one Arrow-batched pass with the dictionary + parsed rules shipped via
+    broadcast — no shuffle until the caller aggregates.
+    """
+    keep_cols = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    spark = df.sparkSession
+    dict_bc = spark.sparkContext.broadcast(dictionary)
+    rules_bc = spark.sparkContext.broadcast(rules_text)
+
+    @F.pandas_udf(ArrayType(TAGGED_STRUCT))
+    def tag_series(texts: pd.Series) -> pd.Series:
+        d = dict_bc.value
+        rules = parse_rules(rules_bc.value)
+        out = []
+        for t in texts:
+            t = t or ""
+            mentions = tagging.dictionary_tag(t, d, case_sensitive=False)
+            classified = apply_rules(t, mentions, rules)
+            out.append(
+                [
+                    (a.start, a.end, a.value, tag)
+                    for a, tag in classified
+                    if tag is not None
+                ]
+            )
+        return pd.Series(out)
+
+    return (
+        spread(df)
+        .select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
+        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
+    )
+
+
+def classified_mention_counts(
+    df: DataFrame,
+    dictionary: dict[str, str],
+    rules_text: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, value, tag, n): rule-classified mention counts per doc."""
+    tagged = apply_rule_engine(
+        df, dictionary, rules_text, text_col=text_col, keep_cols=[id_col]
+    )
+    return tagged.groupBy(id_col, "value", "tag").agg(F.count("*").alias("n"))
+
+
+def rule_instance_triples(
+    df: DataFrame,
+    dictionary: dict[str, str],
+    rules_text: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(subj, pred='instance-of', obj, support): typed triples emitted from
+    rule-engine hits — the Hearst-style "context pattern => label" relation
+    producer generalizing WiktionaryParser's triple emission
+    (semantics/WiktionaryParser.java:192-257)."""
+    tagged = apply_rule_engine(
+        df, dictionary, rules_text, text_col=text_col, keep_cols=[id_col]
+    )
+    return tagged.groupBy(
+        F.col("value").alias("subj"),
+        F.lit("instance-of").alias("pred"),
+        F.col("tag").alias("obj"),
+    ).agg(F.count("*").alias("support"))
+
+
+def mine_context_patterns(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    prefix_words: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """PatternAnalyzer semantics: mine `prefix_words`-token windows that
+    precede known entity terms, ranked by frequency.
+
+    Pure JVM path (regexp_extract_all + explode + hash aggregate) — pattern
+    mining is a counting problem, so it stays in whole-stage codegen with
+    map-side partial aggregation; no Python.
+    """
+    alt = "|".join(sorted(terms))
+    words = " ".join([r"\\w+"] * prefix_words)
+    pattern = f"({words}) ({alt})\\\\b"
+    matches = spread(df).select(
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+        ).alias("m")
+    )
+    split = matches.select(
+        F.substring_index("m", " ", prefix_words).alias("prefix"),
+        F.substring_index("m", " ", -1).alias("term"),
+    )
+    counts = split.groupBy("prefix", "term").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("prefix"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("prefix", "term", "cnt", "rnk")
+    )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    dictionary: dict[str, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: float = 0.05,
+    max_size: int = 2,
+) -> DataFrame:
+    """Frequent entity itemsets over per-document gazetteer presence sets
+    (Apriori.java counterpart, via pyspark.ml.fpm.FPGrowth).
+
+    Returns (items: comma-joined sorted string, freq) for itemsets of size
+    <= max_size — string-typed output keeps the result oracle-hashable.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    alt = "|".join(sorted(dictionary))
+    baskets = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(f"regexp_extract_all({text_col}, '\\\\b({alt})\\\\b', 1)")
+                )
+            ).alias("items"),
+        )
+        .where(F.size("items") > 0)
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.where(F.size("items") <= max_size)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("items"),
+            F.col("freq"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Relational DefaultScorer classification — the "candidate entity-link
+scoring via broadcast dictionary join" stage expressed as pure DataFrame
+operations (no Python in the hot path).
+
+Reference semantics: PalladianTextClassifier.DefaultScorer
+(classification/text/PalladianTextClassifier.java:101-133):
+score(term, cat) = (termCategoryCount / dictCount)^2, summed over the
+document's term multiset; predicted category = argmax. The in-UDF variant
+of the same scorer lives in kernels/classifier.py (golden-tested against
+PalladianTextClassifierTest); this module is the join-based formulation
+that scales the dictionary side via broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def train_term_dictionary(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """(term, category, count): word-unigram dictionary model built with one
+    hash aggregate (map-side partial combine is Catalyst-native, so the
+    shuffle moves (term, category, partial-count) rows, never text).
+
+    Distributed twin of DictionaryTrieModel.Builder.addDocument
+    (DictionaryTrieModel.java:78-100)."""
+    words = docs.select(
+        F.col(label_col).alias("category"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    return words.groupBy("term", "category").agg(F.count("*").alias("cnt"))
+
+
+def classify_documents_relational(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, predicted): DefaultScorer argmax via broadcast dictionary
+    join.
+
+    Plan shape: explode terms -> broadcast hash join with the dictionary
+    (small side: distinct vocabulary x categories) -> two hash aggregates
+    (per doc x category score sum, then window argmax). Everything stays in
+    whole-stage codegen; the dictionary is broadcast so the big side never
+    shuffles for the join, only for the final per-document aggregate.
+
+    Scores are rounded to 9 decimals before ranking so the argmax is stable
+    across summation orders (floating addition is not associative; two
+    engines summing in different orders must not flip the winner).
+    """
+    if model is None:
+        model = train_term_dictionary(docs, text_col, label_col)
+    dict_counts = model.groupBy("term").agg(F.sum("cnt").alias("dict_count"))
+    scored_model = model.join(dict_counts, "term").select(
+        "term",
+        "category",
+        F.pow(F.col("cnt") / F.col("dict_count"), 2).alias("term_score"),
+    )
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    scores = (
+        words.join(F.broadcast(scored_model), "term")
+        .groupBy(id_col, "category")
+        .agg(F.round(F.sum("term_score"), 9).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("category"))
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, F.col("category").alias("predicted"))
+    )

@@ -9,6 +9,7 @@ DuckDB oracle runs the byte-identical pattern.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,4 +145,44 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         id_col,
         F.md5(normalized).alias("fingerprint_md5"),
         F.xxhash64(normalized).alias("fingerprint_64"),
+    )
+
+
+def structure_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_urls, n_dates, n_sentences): UrlTagger + DateAndTimeTagger
+    counts and masked sentence detection per document, one Arrow pass.
+
+    Reference: UrlTagger.java:13-24, DateAndTimeTagger.java:25-61,
+    PalladianSentenceDetector.java:33-129.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..kernels.tagging import date_tag, url_tag
+    from ..kernels.text import detect_sentences
+    from .util import spread
+
+    out_t = StructType(
+        [
+            StructField("n_urls", IntegerType()),
+            StructField("n_dates", IntegerType()),
+            StructField("n_sentences", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            t = t or ""
+            rows.append(
+                (len(url_tag(t)), len(date_tag(t)), len(detect_sentences(t)))
+            )
+        return pd.DataFrame(rows, columns=["n_urls", "n_dates", "n_sentences"])
+
+    return (
+        spread(df)
+        .select(F.col(id_col), stats(F.col(text_col)).alias("_s"))
+        .select(id_col, "_s.n_urls", "_s.n_dates", "_s.n_sentences")
     )

@@ -1,0 +1,139 @@
+"""Tests for relation extraction, relational scoring, and model persistence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the fast join beats a slow scan here", "en"),
+        (2, "fast join fast scan slow merge", "en"),
+        (3, "nothing relevant at all", "de"),
+        (4, "a slow join and then the fast filter", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+GAZ = {"join": "OP", "scan": "OP", "merge": "OP", "filter": "OP"}
+RULES = "fast |\tCLASSIFY_THIS\tFAST_OP\nslow |\tCLASSIFY_THIS\tSLOW_OP"
+
+
+def test_rule_engine_classifies_by_left_context(spark, docs):
+    from palladian_spark.operators.relations import classified_mention_counts
+
+    out = {
+        (r["doc_id"], r["value"], r["tag"]): r["n"]
+        for r in classified_mention_counts(docs, GAZ, RULES).collect()
+    }
+    assert out[(1, "join", "FAST_OP")] == 1
+    assert out[(1, "scan", "SLOW_OP")] == 1
+    assert out[(2, "join", "FAST_OP")] == 1
+    assert out[(2, "scan", "FAST_OP")] == 1
+    assert out[(2, "merge", "SLOW_OP")] == 1
+    assert out[(4, "join", "SLOW_OP")] == 1
+    assert out[(4, "filter", "FAST_OP")] == 1
+    # unclassified mentions (no fast/slow context) are dropped
+    assert (3, "join", "FAST_OP") not in out
+
+
+def test_rule_triples(spark, docs):
+    from palladian_spark.operators.relations import rule_instance_triples
+
+    out = {
+        (r["subj"], r["obj"]): r["support"]
+        for r in rule_instance_triples(docs, GAZ, RULES).collect()
+    }
+    assert out[("join", "FAST_OP")] == 2
+    assert out[("join", "SLOW_OP")] == 1
+    assert all(k == ("join", "FAST_OP") or v >= 1 for k, v in out.items())
+
+
+def test_pattern_mining_prefix_windows(spark, docs):
+    from palladian_spark.operators.relations import mine_context_patterns
+
+    out = mine_context_patterns(docs, list(GAZ), prefix_words=2, top_k=10).collect()
+    rows = {(r["prefix"], r["term"]): (r["cnt"], r["rnk"]) for r in out}
+    assert ("the fast", "join") in rows
+    # ranking is dense 1..k and deterministic
+    assert sorted(r["rnk"] for r in out) == list(range(1, len(out) + 1))
+
+
+def test_frequent_itemsets(spark, docs):
+    from palladian_spark.operators.relations import frequent_itemsets
+
+    out = {r["items"]: r["freq"] for r in frequent_itemsets(docs, GAZ, min_support=0.5).collect()}
+    # join appears in docs 1,2,4 of the 3 docs with >=1 item -> freq 3
+    assert out["join"] == 3
+    assert out["join,scan"] == 2
+
+
+def test_classify_documents_relational_matches_duckdb(spark, docs):
+    import duckdb
+
+    from palladian_spark.operators.scoring import classify_documents_relational
+
+    got = {
+        r["doc_id"]: r["predicted"]
+        for r in classify_documents_relational(docs).collect()
+    }
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = dict(
+        con.sql(
+            """
+        with words as (
+          select doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) as term
+          from documents),
+        model as (
+          select term, lang as category, count(*)::double as cnt
+          from (select lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) as term
+                from documents) group by 1,2),
+        dc as (select term, sum(cnt) as dict_count from model group by 1),
+        sm as (select m.term, m.category, pow(m.cnt/d.dict_count,2) as term_score
+               from model m join dc d using (term)),
+        scores as (select w.doc_id, s.category, round(sum(s.term_score),9) as score
+                   from words w join sm s using (term) group by 1,2),
+        r as (select doc_id, category,
+                     row_number() over (partition by doc_id
+                                        order by score desc, category) rn
+              from scores)
+        select doc_id, category from r where rn = 1
+        """
+        ).fetchall()
+    )
+    assert got == oracle
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    from palladian_spark.kernels.classifier import DictionaryModel, FeatureSetting
+    from palladian_spark.kernels.ner import NerModel
+    from palladian_spark.operators.ner_pipeline import load_model, save_model
+
+    ent = DictionaryModel(feature_setting=FeatureSetting("word", 1, 1))
+    ent.entries = {"Berlin": {"LOC": 3}, "Alice": {"PER": 2}}
+    ent.document_counts = {"LOC": 3, "PER": 2}
+    ent.term_counts = {"LOC": 3, "PER": 2}
+    ann = DictionaryModel()
+    ann.entries = {"##ber": {"LOC": 1}}
+    model = NerModel(
+        entity_dictionary=ent,
+        annotation_dictionary=ann,
+        context_dictionary=None,
+        lower_case_dictionary={"the", "a"},
+        left_contexts={"president"},
+        remove_annotations={"bad"},
+        concept_likelihood_order=["PER", "LOC"],
+    )
+    path = str(tmp_path / "model")
+    save_model(spark, model, path)
+    loaded = load_model(spark, path)
+    assert loaded.entity_dictionary.entries == ent.entries
+    assert loaded.entity_dictionary.document_counts == ent.document_counts
+    assert loaded.annotation_dictionary.entries == ann.entries
+    assert loaded.lower_case_dictionary == {"the", "a"}
+    assert loaded.left_contexts == {"president"}
+    assert loaded.remove_annotations == {"bad"}
+    assert loaded.concept_likelihood_order == ["PER", "LOC"]
+    assert loaded.entity_dictionary.feature_setting == ent.feature_setting

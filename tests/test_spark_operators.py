@@ -98,6 +98,47 @@ def test_connected_components_chain(spark):
     assert comp["x"] == comp["y"] == "x"
 
 
+def test_connected_components_distributed_path_matches_local(spark):
+    """The iterative hash-min DataFrame loop (scale path) must agree with
+    the driver-side union-find fast path on the same graph."""
+    from palladian_spark.operators.canonicalize import connected_components
+
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(0, 40, 2)] + [
+        ("n000", "n001"),
+        ("zz1", "zz2"),
+    ]
+    edges = spark.createDataFrame(rows, ["left_value", "right_value"])
+    local = {
+        r["value"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["value"]: r["component"]
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert local == dist
+
+
+def test_canonicalize_distributed_path_matches_local(spark):
+    """canonicalize_values with the size gate disabled (small_values=0)
+    must produce the same mapping as the driver-local fast path."""
+    from palladian_spark.operators.canonicalize import canonicalize_values
+
+    values = spark.createDataFrame(
+        [("Johnson",), ("Johnson",), ("Jonson",), ("Berlin",), ("Bernie",), ("Spark",), ("Sparks",)],
+        ["value"],
+    )
+    local = {
+        r["value"]: r["canonical"]
+        for r in canonicalize_values(values, threshold=0.9).collect()
+    }
+    dist = {
+        r["value"]: r["canonical"]
+        for r in canonicalize_values(values, threshold=0.9, small_values=0).collect()
+    }
+    assert local == dist
+
+
 def test_similarity_search(spark):
     from palladian_spark.operators.similarity_search import brute_force_topk, lsh_topk
 
