@@ -1,0 +1,47 @@
+"""End-to-end P/R gate on the reference NER corpus (north-rule acceptance).
+
+Train PalladianNer semantics on the reference's CoNLL-2003-subset corpus
+(palladian-core/src/test/resources/ner/training.txt, 4,598 gold entities)
+and self-tag it. Every component kernel is golden-tested individually
+against the reference's unit fixtures; this gate freezes the composed
+pipeline's corpus-level quality so drift in any stage (T1-T14, training
+builds, evaluation sweep) fails loudly.
+
+Measured baseline (frozen as thresholds with a small safety margin):
+EXACT_MATCH P=0.9231 R=0.9239, MUC P=0.9525 R=0.9533. The residual
+EXACT-mode loss is dominated by ERROR4 boundary overlaps (right tag,
+candidate span != gold span) — inherent to StringTagger candidate
+generation, i.e. faithful reference behavior, not pipeline drift.
+"""
+
+import os
+
+import pytest
+
+CORPUS = "/root/reference/palladian-core/src/test/resources/ner/training.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(CORPUS), reason="reference corpus not available")
+def test_full_corpus_self_tag_pr_gate():
+    from palladian_spark.kernels.evaluation import EXACT_MATCH, MUC, evaluate
+    from palladian_spark.kernels.fileformats import (
+        get_annotations_from_column,
+        get_text_from_column,
+    )
+    from palladian_spark.kernels.ner import tag_text, train_english
+
+    with open(CORPUS, encoding="utf-8") as f:
+        corpus = f.read()
+
+    model = train_english(corpus)
+    text = get_text_from_column(corpus)
+    gold = get_annotations_from_column(corpus)
+    assert len(gold) == 4598  # FileFormatParserTest.java:20
+
+    predicted = tag_text(text, model)
+    result = evaluate(gold, predicted)
+
+    assert result.precision(EXACT_MATCH) >= 0.92
+    assert result.recall(EXACT_MATCH) >= 0.92
+    assert result.precision(MUC) >= 0.95
+    assert result.recall(MUC) >= 0.95
