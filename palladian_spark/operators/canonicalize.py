@@ -23,36 +23,18 @@ from ..kernels.similarity import jaro_winkler_similarity
 _MERSENNE = (1 << 31) - 1
 
 
-def _banding_params(num_hashes: int):
-    import numpy as np
-    from zlib import crc32
+from .util import band_hashes_for_shingles, banding_params
 
-    a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)[:, None]
-    b = np.array(
-        [crc32(f"mh-seed-{i}".encode()) % _MERSENNE for i in range(num_hashes)],
-        dtype=np.int64,
-    )[:, None]
-    return a, b
+_banding_params = banding_params
 
 
 def _band_hashes_one(value: str, a, b, band_size: int, shingle_n: int) -> list[int]:
-    """Minhash band hashes for one string (pure function; shared by the
+    """Minhash band hashes for one string (char-shingled; shared by the
     distributed pandas UDF and the driver-local fast path so both paths
     block identically)."""
-    import numpy as np
-    from zlib import crc32
-
     s = (value or "").lower()
-    shingles = {s[i : i + shingle_n] for i in range(max(len(s) - shingle_n + 1, 1))}
-    h = np.fromiter(
-        (crc32(sh.encode()) for sh in shingles), dtype=np.int64, count=len(shingles)
-    )
-    mh = ((a * h + b) % _MERSENNE).min(axis=1)
-    n_bands = len(mh) // band_size
-    return [
-        int(crc32(mh[k * band_size : (k + 1) * band_size].tobytes()))
-        for k in range(n_bands)
-    ]
+    shingles = list({s[i : i + shingle_n] for i in range(max(len(s) - shingle_n + 1, 1))})
+    return band_hashes_for_shingles(shingles, a, b, band_size)
 
 
 def _make_band_udf(num_hashes: int, band_size: int, shingle_n: int):

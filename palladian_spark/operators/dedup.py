@@ -8,6 +8,7 @@ expressions (xxhash64, md5, array ops) — no Python per row.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -154,39 +155,34 @@ def minhash_lsh_pairs(
     This is the 100 TB-scale path: the full-corpus work is linear scans +
     one bucket-key shuffle; exact verification touches only candidates.
     """
-    # 31-bit Mersenne prime modulus with pre-reduction of the raw hash:
-    # a*h' + b stays < 2^62, so ANSI-mode long arithmetic cannot overflow.
-    mersenne = (1 << 31) - 1
-    shingled = _word_shingles(df, text_col, shingle_n).select(
-        F.col(id_col).alias("doc"), "_shingles"
-    ).where(F.size("_shingles") > 0)
-    sig_cols = []
-    for i in range(num_hashes):
-        a = (2 * i + 1) % mersenne
-        b = (0x9E3779B97F4A7C15 ^ (i * 0xBF58476D1CE4E5B9)) % mersenne
-        sig_cols.append(
-            F.expr(
-                f"aggregate(transform(_shingles, s -> "
-                f"pmod({a}L * pmod(xxhash64(s), {mersenne}L) + {b}L, {mersenne}L)), "
-                f"{mersenne}L, (acc, x) -> least(acc, x))"
-            ).alias(f"mh{i}")
-        )
-    sigs = shingled.select("doc", "_shingles", *sig_cols).persist()
+    from pyspark.sql.types import ArrayType, LongType
 
-    n_bands = num_hashes // band_size
-    band_frames = []
-    for band in range(n_bands):
-        cols = [F.col(f"mh{band * band_size + j}") for j in range(band_size)]
-        band_frames.append(
-            sigs.select(
-                "doc",
-                F.lit(band).alias("band_id"),
-                F.xxhash64(*cols).alias("band_hash"),
-            )
+    from .util import band_hashes_for_shingles, banding_params
+
+    a_const, b_const = banding_params(num_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _doc_bands(shingle_lists: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                band_hashes_for_shingles(
+                    list(lst) if lst is not None else [], a_const, b_const, band_size
+                )
+                for lst in shingle_lists
+            ]
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+
+    sigs = (
+        _word_shingles(df, text_col, shingle_n)
+        .select(F.col(id_col).alias("doc"), "_shingles")
+        .where(F.size("_shingles") > 0)
+        .persist()
+    )
+    # cache: the bucket self-join consumes bands on both sides — without a
+    # cache the band UDF would run twice over every document
+    bands = sigs.select(
+        "doc", F.posexplode(_doc_bands(F.col("_shingles"))).alias("band_id", "band_hash")
+    ).persist()
 
     cand = (
         bands.alias("x")

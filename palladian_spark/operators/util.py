@@ -4,6 +4,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# 31-bit Mersenne prime: a*h'+b stays < 2^62 (no ANSI long overflow)
+MERSENNE = (1 << 31) - 1
+
+
+def banding_params(num_hashes: int):
+    """Affine minhash permutation constants (a_i odd, b_i seeded crc32)."""
+    import numpy as np
+    from zlib import crc32
+
+    a = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)[:, None]
+    b = np.array(
+        [crc32(f"mh-seed-{i}".encode()) % MERSENNE for i in range(num_hashes)],
+        dtype=np.int64,
+    )[:, None]
+    return a, b
+
+
+def band_hashes_for_shingles(shingles, a, b, band_size: int) -> list[int]:
+    """Banded minhash of a shingle set -> one hash per band.
+
+    Pure function shared by the LSH operators (value canonicalization,
+    document dedup) and their driver-local fast paths, so every caller
+    blocks identically. numpy beats Catalyst higher-order functions here:
+    HOF lambda bodies are interpreted per element (no codegen) and a
+    nested-lambda expression per permutation costs seconds of analysis
+    time per query.
+    """
+    import numpy as np
+    from zlib import crc32
+
+    if not shingles:
+        shingles = [""]
+    h = np.fromiter(
+        (crc32(s.encode()) for s in shingles), dtype=np.int64, count=len(shingles)
+    )
+    mh = ((a * h + b) % MERSENNE).min(axis=1)
+    n_bands = len(mh) // band_size
+    return [
+        int(crc32(mh[k * band_size : (k + 1) * band_size].tobytes()))
+        for k in range(n_bands)
+    ]
+
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure a DataFrame has at least defaultParallelism partitions before
