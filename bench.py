@@ -34,6 +34,9 @@ HEADLINE = [
     "kg_triples",
     "string_tagger_candidates",
     "dict_mentions",
+    "rule_engine_tags",
+    "pattern_mining",
+    "classify_docs",
     "doc_minhash_pairs",
     "doc_exact_dedup",
     "canonicalize_mentions",
