@@ -60,10 +60,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     # input: a source_files-shaped parquet dir, or a testdata dir holding
-    # documents.parquet (adapted to the source shape)
+    # documents.parquet (adapted to the source shape, with the same
+    # marker-word capitalization the driver entry uses so the lowercase
+    # synthetic corpus carries entity candidates)
     docs_path = os.path.join(args.input, "documents.parquet")
     if os.path.exists(docs_path):
-        source = documents_as_source(spark.read.parquet(docs_path))
+        import __spark_entry__ as entrymod
+
+        docs = entrymod._capitalized_corpus(spark.read.parquet(docs_path))
+        source = documents_as_source(docs.withColumnRenamed("content", "text"))
     else:
         source = spark.read.parquet(args.input)
 
@@ -82,10 +87,14 @@ def main() -> None:
         store=store,
     )
     write_triples(triples, args.output)
-    n_triples = spark.read.parquet(args.output).count()
+    written = spark.read.schema(
+        "subj string, pred string, obj string, content_sha256 string, "
+        "support bigint, repo_hash int, salt int"
+    ).parquet(args.output)
+    n_triples = written.count()
     secs = time.perf_counter() - t0
 
-    violations = verify_lineage(source, spark.read.parquet(args.output))
+    violations = verify_lineage(source, written)
     summary = {
         "triples": n_triples,
         "secs": round(secs, 2),
