@@ -579,11 +579,16 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select query_id, vec_id, rnk from r where rnk <= 5
         """,
+        # NOTE: DuckDB sum() over integer args returns HUGEINT (int128),
+        # which pandas renders as float64/object and breaks the driver's
+        # value hash vs Spark's int64 — every integer sum below carries an
+        # OUTER ::bigint cast.
         "tpch_pricing": """
             select l_returnflag, l_linestatus,
                    sum(l_quantity)::bigint as sum_qty,
-                   sum(round(l_extendedprice * 100)::bigint) as sum_base_price_cents,
-                   sum(round(l_extendedprice * (1.0 - l_discount) * 100)::bigint)
+                   sum(round(l_extendedprice * 100)::bigint)::bigint
+                       as sum_base_price_cents,
+                   sum(round(l_extendedprice * (1.0 - l_discount) * 100)::bigint)::bigint
                        as sum_disc_price_cents,
                    count(*) as count_order
             from lineitem
@@ -592,7 +597,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_customer_orders": """
             select c_mktsegment, count(*) as n_orders,
-                   sum(round(o_totalprice * 100)::bigint) as sum_total_cents
+                   sum(round(o_totalprice * 100)::bigint)::bigint as sum_total_cents
             from orders join customer on o_custkey = c_custkey
             group by c_mktsegment
         """,
@@ -623,7 +628,7 @@ def oracle_sql() -> dict[str, str]:
                                         order by us, event_id) as gap
               from e)
             select user_id,
-                   sum(case when gap is null or gap > 1800000000 then 1 else 0 end)
+                   sum(case when gap is null or gap > 1800000000 then 1 else 0 end)::bigint
                        as n_sessions,
                    count(*) as n_events
             from lagged group by user_id
@@ -652,8 +657,10 @@ def oracle_sql() -> dict[str, str]:
               select unnest(regexp_extract_all(
                   text, '(\\w+ \\w+ \\w+) ({_GAZ_ALT})\\b')) as m
               from documents),
-            s as (select regexp_replace(m, ' \\S+$', '') as prefix,
-                         regexp_extract(m, '(\\S+)$', 1) as term
+            s as (select regexp_extract(m, '(\\w+ \\w+ \\w+) ({_GAZ_ALT})\\b', 1)
+                             as prefix,
+                         regexp_extract(m, '(\\w+ \\w+ \\w+) ({_GAZ_ALT})\\b', 2)
+                             as term
                   from m),
             c as (select prefix, term, count(*)::bigint as cnt
                   from s group by 1, 2),
@@ -680,13 +687,16 @@ def oracle_sql() -> dict[str, str]:
             from derived
         """,
         "classify_docs": """
+            -- unique-term semantics: the reference DefaultScorer scores each
+            -- distinct document term once, and training adds each (doc, term)
+            -- once (PalladianTextClassifier.java:201-205, :222-227)
             with words as (
-              select doc_id,
+              select distinct doc_id,
                      unnest(regexp_extract_all(lower(text), '[a-z]+')) as term
               from documents),
             model as (
-              select term, lang as category, count(*)::double as cnt
-              from (select lang,
+              select term, category, count(*)::double as cnt
+              from (select distinct doc_id, lang as category,
                            unnest(regexp_extract_all(lower(text), '[a-z]+')) as term
                     from documents)
               group by 1, 2),

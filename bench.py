@@ -6,8 +6,9 @@ line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 The flagship north-rule metric (end-to-end triples/sec for the KG
 pipeline) is reported alongside under "triples_per_sec". Each query is
-forced with the noop sink so the full plan executes (no column pruning
-shortcuts from count()).
+forced by aggregating xxhash64 over EVERY output column (count() alone
+would let Catalyst prune unreferenced columns and undercount the work);
+the xor-style hash total doubles as a cross-run determinism check.
 
 Scaling-efficiency evidence (local[8] vs local[32], same input) lives in
 tools/scaling_bench.py -> BENCH.md.
@@ -73,9 +74,16 @@ def build_spark(cpus: int):
 
 
 def force(df) -> int:
-    """Execute the full plan; return row count."""
-    n = df.count()
-    return n
+    """Execute the full plan with every output column materialized; return
+    row count. xxhash64(*cols) references all columns, so Catalyst cannot
+    prune any of them out of the scan/UDF stages the way count() allows."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def warmup(spark) -> None:

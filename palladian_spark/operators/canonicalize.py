@@ -83,6 +83,7 @@ def candidate_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH-blocked candidate pairs (left < right), deduplicated.
 
@@ -93,6 +94,11 @@ def candidate_pairs(
     block additionally guarantees that edit-distance-close names sharing a
     prefix are always compared (Jaro-Winkler's prefix boost means
     high-similarity pairs almost always share it).
+
+    Buckets larger than max_bucket are dropped BEFORE the self-join — the
+    same cap _local_canonicalize applies, so the two paths block
+    identically, and a skewed bucket (e.g. a hub 2-char prefix) can never
+    turn the join quadratic at scale.
     """
     bands = _minhash_bands(values, value_col, num_hashes, band_size, shingle_n)
     prefix_band = values.select(
@@ -104,6 +110,16 @@ def candidate_pairs(
     # upstream plan num_bands x 2 (left/right) times — without a cut, the
     # whole mention-detection scan would re-execute for every branch
     bands = bands.unionByName(prefix_band).localCheckpoint()
+    # bucket-size guard: shuffles on the same (band_id, band_hash) key as
+    # the self-join below, so the extra aggregate reuses the partitioning
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_bn"))
+    bands = (
+        bands.join(
+            sizes.where((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket)),
+            ["band_id", "band_hash"],
+        )
+        .drop("_bn")
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -254,8 +270,8 @@ def _local_canonicalize(
     Same blocking (shared _band_hashes_one + lowercase-2-prefix) and same
     scorer (golden-tested Jaro-Winkler kernel) as the distributed path, so
     results are identical; used when the distinct value set fits on the
-    driver. max_bucket caps degenerate blocks (same guard the LSH theory
-    gives the distributed path)."""
+    driver. max_bucket caps degenerate blocks with the SAME cap
+    candidate_pairs applies distributed, so both paths block identically."""
     from collections import defaultdict
 
     a, b = _banding_params(num_hashes)
@@ -301,6 +317,7 @@ def canonicalize_values(
     num_hashes: int = 16,
     band_size: int = 4,
     small_values: int = 100_000,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(value) -> (value, canonical): full block -> score -> CC -> pick.
 
@@ -333,7 +350,9 @@ def canonicalize_values(
         freq.unpersist()
         spark = values.sparkSession
         freq_rows = [(r[0], r[1]) for r in probe]
-        mapping = _local_canonicalize(freq_rows, threshold, num_hashes, band_size)
+        mapping = _local_canonicalize(
+            freq_rows, threshold, num_hashes, band_size, max_bucket=max_bucket
+        )
         if not mapping:
             return spark.createDataFrame([], f"{value_col} string, canonical string")
         return spark.createDataFrame(mapping, f"{value_col} string, canonical string")
@@ -342,7 +361,9 @@ def canonicalize_values(
     freq = freq.localCheckpoint()
     cached.unpersist()
     distinct = freq.select(value_col)
-    pairs = candidate_pairs(distinct, value_col, num_hashes, band_size)
+    pairs = candidate_pairs(
+        distinct, value_col, num_hashes, band_size, max_bucket=max_bucket
+    )
     edges = score_pairs(pairs, threshold).select("left_value", "right_value")
     components = connected_components(edges)
     member = components.join(freq, components.value == freq[value_col], "left").select(

@@ -130,18 +130,26 @@ def mine_context_patterns(
     Pure JVM path (regexp_extract_all + explode + hash aggregate) — pattern
     mining is a counting problem, so it stays in whole-stage codegen with
     map-side partial aggregation; no Python.
+
+    Terms are re.escape()d and the pattern is bound via F.lit (never
+    interpolated into SQL text), so quotes / regex metacharacters in
+    caller-supplied gazetteers cannot break parsing or matching; prefix and
+    term come from separate capture groups, so multi-word terms survive
+    intact (no re-splitting of the match on spaces).
     """
-    alt = "|".join(sorted(terms))
-    words = " ".join([r"\\w+"] * prefix_words)
-    pattern = f"({words}) ({alt})\\\\b"
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in sorted(terms))
+    words = " ".join([r"\w+"] * prefix_words)
+    pattern = f"({words}) ({alt})\\b"
     matches = spread(df).select(
         F.explode(
-            F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
         ).alias("m")
     )
     split = matches.select(
-        F.substring_index("m", " ", prefix_words).alias("prefix"),
-        F.substring_index("m", " ", -1).alias("term"),
+        F.regexp_extract(F.col("m"), pattern, 1).alias("prefix"),
+        F.regexp_extract(F.col("m"), pattern, 2).alias("term"),
     )
     counts = split.groupBy("prefix", "term").agg(F.count("*").alias("cnt"))
     from pyspark.sql import Window
@@ -169,15 +177,17 @@ def frequent_itemsets(
     <= max_size — string-typed output keeps the result oracle-hashable.
     """
     from pyspark.ml.fpm import FPGrowth
+    import re as _re
 
-    alt = "|".join(sorted(dictionary))
+    alt = "|".join(_re.escape(t) for t in sorted(dictionary))
+    pattern = f"\\b({alt})\\b"
     baskets = (
         spread(df)
         .select(
             F.col(id_col),
             F.array_sort(
                 F.array_distinct(
-                    F.expr(f"regexp_extract_all({text_col}, '\\\\b({alt})\\\\b', 1)")
+                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(1))
                 )
             ).alias("items"),
         )

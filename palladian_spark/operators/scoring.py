@@ -22,19 +22,24 @@ def train_term_dictionary(
     docs: DataFrame,
     text_col: str = "text",
     label_col: str = "lang",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(term, category, count): word-unigram dictionary model built with one
     hash aggregate (map-side partial combine is Catalyst-native, so the
     shuffle moves (term, category, partial-count) rows, never text).
 
     Distributed twin of DictionaryTrieModel.Builder.addDocument
-    (DictionaryTrieModel.java:78-100)."""
+    (DictionaryTrieModel.java:78-100). Matches the reference's
+    per-document term SET semantics (PalladianTextClassifier.train
+    :201-205 builds a set before addDocument), so each (doc, term) pair
+    contributes exactly once regardless of in-document frequency."""
     words = docs.select(
+        F.col(id_col),
         F.col(label_col).alias("category"),
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
         ).alias("term"),
-    )
+    ).dropDuplicates([id_col, "category", "term"])
     return words.groupBy("term", "category").agg(F.count("*").alias("cnt"))
 
 
@@ -57,9 +62,14 @@ def classify_documents_relational(
     Scores are rounded to 9 decimals before ranking so the argmax is stable
     across summation orders (floating addition is not associative; two
     engines summing in different orders must not flip the winner).
+
+    Reference-faithful term semantics (PalladianTextClassifier.classify
+    :222-227 iterates the document's UNIQUE terms; DefaultScorer ignores
+    the per-document count): the explode is deduplicated on (doc, term)
+    before the dictionary join, so repeated terms score once.
     """
     if model is None:
-        model = train_term_dictionary(docs, text_col, label_col)
+        model = train_term_dictionary(docs, text_col, label_col, id_col)
     dict_counts = model.groupBy("term").agg(F.sum("cnt").alias("dict_count"))
     scored_model = model.join(dict_counts, "term").select(
         "term",
@@ -72,7 +82,7 @@ def classify_documents_relational(
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
         ).alias("term"),
-    )
+    ).dropDuplicates([id_col, "term"])
     scores = (
         words.join(F.broadcast(scored_model), "term")
         .groupBy(id_col, "category")

@@ -26,9 +26,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # DuckDB HUGEINT comes back as object-of-int — keep it object so
+            # the dtype comparison below flags the drift (like the driver's
+            # value hash would).
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
+        elif str(df[c].dtype) in ("int8", "int16", "int32", "uint32"):
+            # width-only differences (Spark int vs DuckDB bigint) are fine;
+            # the driver compares values, not integer widths
+            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -77,6 +84,13 @@ def main() -> int:
         if len(a) != len(b):
             failures.append(name)
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
+            continue
+        if [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: dtypes {[str(t) for t in a.dtypes]} "
+                f"vs {[str(t) for t in b.dtypes]} (int128/float drift)"
+            )
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
