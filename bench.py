@@ -81,7 +81,9 @@ def force(df) -> int:
 
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        # mod a prime before summing: ANSI mode (Spark 4 default) raises on
+        # long overflow, and raw 64-bit hashes overflow after ~2 rows
+        F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000_007))).alias("h"),
     ).collect()[0]
     return row["n"]
 

@@ -187,21 +187,63 @@ def date_tag(text: str) -> list[Annotation]:
     return regex_tag(text, _DATE_PATTERN, DATETIME_TAG)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def dictionary_matcher(
+    items: tuple[tuple[str, str], ...], case_sensitive: bool = False
+):
+    """Compile a gazetteer into ONE combined alternation + tag lookup.
+
+    Entries are sorted longest-first inside the alternation, so a single
+    left-to-right finditer pass picks, at every position, the longest
+    dictionary entry that matches — exactly what the reference's
+    collect-all-matches + removeNested (earliest start, longest span)
+    produces, without O(|gazetteer|) regex passes per document
+    (DictionaryTagger.java:24-83 runs one Pattern per entry; at 10^5
+    entries that is a scale-killer — one automaton scan is the §2.2
+    mapping SURVEY prescribes).
+
+    Cached per (gazetteer, case_sensitivity): compiles once per executor
+    process, like the reference's static Pattern constants.
+    """
+    flags = 0 if case_sensitive else regex.IGNORECASE
+    entries = [e for e, _ in items if len(e) > 1]
+    if not entries:
+        return None, {}
+    alternation = "|".join(
+        regex.escape(e) for e in sorted(entries, key=len, reverse=True)
+    )
+    pattern = regex.compile(r"(?<!\w)(?:" + alternation + r")(?!\w)", flags)
+    lookup = {
+        (e if case_sensitive else e.lower()): t for e, t in items if len(e) > 1
+    }
+    return pattern, lookup
+
+
 def dictionary_tag(
     text: str, dictionary: dict[str, str], case_sensitive: bool = False
 ) -> list[Annotation]:
-    """Exact gazetteer matching with word boundaries, then removeNested.
+    """Exact gazetteer matching with word boundaries (leftmost-longest).
 
     Reference: extraction/DictionaryTagger.java:24-83 — per entry pattern
-    ``(?<!\\w)QUOTED(?!\\w)``, entries shorter than 2 chars skipped, matches
-    collected across entries in dictionary order, nested spans removed.
+    ``(?<!\\w)QUOTED(?!\\w)``, entries shorter than 2 chars skipped, nested
+    spans removed. The single-automaton scan (see dictionary_matcher) is
+    output-equivalent: removeNested keeps the earliest-start, longest-span
+    match, which is exactly what a leftmost-longest non-overlapping scan
+    emits.
     """
-    flags = 0 if case_sensitive else regex.IGNORECASE
-    annotations: list[Annotation] = []
-    for entry, tag in dictionary.items():
-        if len(entry) <= 1:
-            continue
-        pattern = regex.compile(r"(?<!\w)" + regex.escape(entry) + r"(?!\w)", flags)
-        for m in pattern.finditer(text):
-            annotations.append(Annotation(m.start(), m.group(), tag))
-    return remove_nested(annotations)
+    pattern, lookup = dictionary_matcher(
+        tuple(dictionary.items()), case_sensitive
+    )
+    if pattern is None:
+        return []
+    return [
+        Annotation(
+            m.start(),
+            m.group(),
+            lookup[m.group() if case_sensitive else m.group().lower()],
+        )
+        for m in pattern.finditer(text)
+    ]

@@ -154,6 +154,15 @@ def minhash_lsh_pairs(
     band buckets -> bucket join -> exact Jaccard re-check on candidates only.
     This is the 100 TB-scale path: the full-corpus work is linear scans +
     one bucket-key shuffle; exact verification touches only candidates.
+
+    The verify step is fully relational over int64 shingle HASHES: shared
+    counts come from a (doc, shingle_hash) equi-join restricted to candidate
+    docs, sizes from the distinct-shingle count per doc. Nothing wider than
+    (long, long) ever shuffles — the earlier formulation joined raw
+    string-shingle arrays onto every candidate pair and array_intersect'ed
+    them, which shuffled the whole corpus text through the verify stage.
+    (Jaccard over 64-bit hashes equals string Jaccard up to xxhash64
+    collisions — vanishing at any realistic shingle-set size.)
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -194,18 +203,40 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .dropDuplicates()
+        # candidates are referenced 3x below (doc set + both join sides);
+        # materialize once instead of re-running the bucket self-join
+        .localCheckpoint()
     )
-    sh_a = sigs.select(F.col("doc").alias("doc_a"), F.col("_shingles").alias("sh_a"))
-    sh_b = sigs.select(F.col("doc").alias("doc_b"), F.col("_shingles").alias("sh_b"))
+    sizes = sigs.select("doc", F.size("_shingles").alias("n_sh"))
+    tok = sigs.select("doc", F.explode("_shingles").alias("_s")).select(
+        "doc", F.xxhash64("_s").alias("sh")
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # only candidate docs' shingle hashes enter the verify join
+    tok_c = tok.join(cand_docs, "doc", "left_semi")
+    shared = (
+        cand.join(tok_c.select(F.col("doc").alias("doc_a"), "sh"), "doc_a")
+        .join(tok_c.select(F.col("doc").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
     verified = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        shared.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
             ),
         )
         .where(F.col("jaccard") >= threshold)

@@ -85,20 +85,37 @@ def dictionary_mentions(
     keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gazetteer matching (DictionaryTagger.java:24-83) as a broadcast-
-    variable pandas UDF — the dictionary ships once per executor."""
+    variable pandas UDF — the dictionary ships once per executor, and the
+    combined leftmost-longest alternation (tagging.dictionary_matcher)
+    compiles once per executor process, so each document costs one regex
+    scan regardless of gazetteer size."""
     keep_cols = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
     spark = df.sparkSession
-    dict_bc = spark.sparkContext.broadcast(dictionary)
+    dict_bc = spark.sparkContext.broadcast(tuple(dictionary.items()))
 
     @F.pandas_udf(ArrayType(ANNOTATION_STRUCT))
     def tag_series(texts: pd.Series) -> pd.Series:
-        d = dict_bc.value
-        return texts.map(
-            lambda t: [
-                (a.start, a.end, a.value, a.tag)
-                for a in tagging.dictionary_tag(t or "", d, case_sensitive)
-            ]
-        )
+        # matcher build is lru_cached on the broadcast items tuple — the
+        # O(|gazetteer|) alternation compile happens once per process, not
+        # per batch or per row
+        pattern, lookup = tagging.dictionary_matcher(dict_bc.value, case_sensitive)
+        if pattern is None:
+            return pd.Series([[] for _ in range(len(texts))])
+        out = []
+        for t in texts:
+            t = t or ""
+            out.append(
+                [
+                    (
+                        m.start(),
+                        m.end(),
+                        m.group(),
+                        lookup[m.group() if case_sensitive else m.group().lower()],
+                    )
+                    for m in pattern.finditer(t)
+                ]
+            )
+        return pd.Series(out)
 
     return (
         spread(df).select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))

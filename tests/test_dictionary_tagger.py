@@ -1,0 +1,113 @@
+"""Parity: the combined leftmost-longest gazetteer automaton
+(kernels.tagging.dictionary_matcher) must emit exactly what the reference's
+per-entry scan + removeNested emits (DictionaryTagger.java:24-83).
+
+The reference formulation is reimplemented here verbatim (one compiled
+pattern per entry, collect all matches, removeNested) and used as the
+oracle on adversarial overlap cases and real fixture sentences.
+"""
+
+import regex
+
+from palladian_spark.kernels.tagging import (
+    Annotation,
+    dictionary_matcher,
+    dictionary_tag,
+    remove_nested,
+)
+
+
+def reference_dictionary_tag(text, dictionary, case_sensitive=False):
+    """Straight port of DictionaryTagger.java:24-83: per-entry pattern
+    ``(?<!\\w)QUOTED(?!\\w)``, skip len<2 entries, collect across entries,
+    removeNested. This is the O(|dict|)-passes formulation the production
+    kernel replaced; kept here as the semantic oracle."""
+    flags = 0 if case_sensitive else regex.IGNORECASE
+    annotations = []
+    for entry, tag in dictionary.items():
+        if len(entry) <= 1:
+            continue
+        pattern = regex.compile(r"(?<!\w)" + regex.escape(entry) + r"(?!\w)", flags)
+        for m in pattern.finditer(text):
+            annotations.append(Annotation(m.start(), m.group(), tag))
+    return remove_nested(annotations)
+
+
+GAZETTEER = {
+    "spark": "ENGINE",
+    "vector": "ENGINE",
+    "table": "OBJECT",
+    "join": "OP",
+    "scan": "OP",
+}
+
+FIXTURE_SENTENCES = [
+    "the United States of America (USA) are often called the USA",
+    "Mr. Yakomoto, John J. Smith, and Bill Drody cooperate with T. Shéff",
+    "the spark engine will scan the table and join rows",
+    "Spark SPARK sPaRk spark-based sparkle spark.",
+    "a scan; a scan, a scan! join join",
+    "",
+    "no hits here at all",
+]
+
+
+def test_parity_on_fixture_sentences():
+    for text in FIXTURE_SENTENCES:
+        assert dictionary_tag(text, GAZETTEER) == reference_dictionary_tag(
+            text, GAZETTEER
+        ), text
+
+
+def test_parity_overlapping_entries():
+    # nested + staggered overlaps: removeNested keeps earliest-start,
+    # longest-at-same-start — the leftmost-longest scan must agree
+    d = {
+        "New York City": "LOC",
+        "New York": "LOC2",
+        "York": "LOC3",
+        "City Hall": "ORG",
+        "new": "ADJ",
+    }
+    cases = [
+        "New York City Hall is in New York",
+        "York City Hall",  # staggered: York vs City Hall
+        "a new New York story",
+        "NEW YORK CITY",
+        "newer New Yorker",  # boundary guards: no match inside words
+    ]
+    for text in cases:
+        assert dictionary_tag(text, d) == reference_dictionary_tag(text, d), text
+
+
+def test_parity_shorter_entry_first_in_dict():
+    # dict order puts the SHORT entry first; the combined alternation must
+    # still prefer the longest match (reference removeNested does)
+    d = {"New": "A", "New York": "B"}
+    assert dictionary_tag("New York", d) == [Annotation(0, "New York", "B")]
+    assert dictionary_tag("New York", d) == reference_dictionary_tag("New York", d)
+
+
+def test_case_sensitive_and_insensitive():
+    d = {"Spark": "ENGINE"}
+    assert dictionary_tag("spark Spark SPARK", d, case_sensitive=True) == [
+        Annotation(6, "Spark", "ENGINE")
+    ]
+    got = dictionary_tag("spark Spark SPARK", d, case_sensitive=False)
+    assert [a.start for a in got] == [0, 6, 12]
+    # matched surface form is preserved (reference returns the text match)
+    assert [a.value for a in got] == ["spark", "Spark", "SPARK"]
+
+
+def test_metacharacter_entries_and_short_skip():
+    d = {"C++": "LANG", "a.b": "PKG", "x": "SKIP"}  # "x" len 1 -> skipped
+    text = "C++ and a.b but axb and x alone"
+    assert dictionary_tag(text, d) == reference_dictionary_tag(text, d)
+    values = [a.value for a in dictionary_tag(text, d)]
+    assert "C++" in values and "a.b" in values and "x" not in values
+
+
+def test_empty_dictionary():
+    assert dictionary_tag("anything", {}) == []
+    pattern, lookup = dictionary_matcher((), False)
+    assert pattern is None and lookup == {}

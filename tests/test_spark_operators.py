@@ -36,11 +36,21 @@ def test_ngram_jaccard_pairs(docs):
 
 
 def test_minhash_lsh_pairs(docs):
-    from palladian_spark.operators.dedup import minhash_lsh_pairs
+    from palladian_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
-    pairs = {(r["doc_a"], r["doc_b"]) for r in
-             minhash_lsh_pairs(docs, threshold=0.4).collect()}
-    assert (1, 2) in pairs  # identical docs always collide
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in got  # identical docs always collide
+    # hashed-shingle verify must report the same exact jaccard as the
+    # string-shingle formulation for every emitted pair (LSH may miss
+    # pairs — it must never mis-score one)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    for pair, j in got.items():
+        assert exact[pair] == j, pair
 
 
 def test_simhash(docs):
