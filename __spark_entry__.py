@@ -212,6 +212,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = brute_force_topk(emb, qset, k=5)
         return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
 
+    def ann_lsh_topk(spark, sf_dir):
+        # SRP-LSH bucketed top-k — the corpus-vs-corpus scale path; recall
+        # vs the exact baseline is gated in pytest
+        # (tests/test_spark_operators.py::test_lsh_topk_recall_vs_brute_force).
+        # No oracle: bucket membership depends on the splitmix64 hyperplane
+        # family, which is not SQL-expressible.
+        from palladian_spark.operators.similarity_search import lsh_topk
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qset = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # The synthetic neighbors sit at cosine ~0.3 (near-random angle),
+        # so buckets are kept loose (b=3) and recall is bought with 16
+        # OR-amplified tables; real near-dup corpora run b=8+.
+        res = lsh_topk(emb, qset, k=5, n_planes=3, n_tables=16)
+        return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
+
     def embedding_near_dups(spark, sf_dir):
         from palladian_spark.operators.similarity_search import embedding_near_duplicates
 
@@ -391,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_triples=kg_triples,
         canonicalize_mentions=canonicalize_mentions,
         ann_topk=ann_topk,
+        ann_lsh_topk=ann_lsh_topk,
         embedding_near_dups=embedding_near_dups,
         tpch_pricing=tpch_pricing,
         join_customer_orders=join_customer_orders,

@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_exact_dedup",
     "canonicalize_mentions",
     "ann_topk",
+    "ann_lsh_topk",
     "doc_token_counts",
     "tpch_pricing",
     "join_customer_orders",

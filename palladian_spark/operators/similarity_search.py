@@ -2,24 +2,47 @@
 (array<float>).
 
 - brute-force cosine top-k: the exactness baseline; crossJoin against a
-  broadcast query set, dot products via zip_with/aggregate (JVM-side).
+  broadcast query set, cosine via an Arrow-batched numpy UDF.
 - LSH-bucketed variant: signed-random-projection buckets bound the
   candidate space — the 100 TB path (bucket shuffle instead of full cross).
+
+All vector math runs in numpy inside pandas UDFs: Catalyst higher-order
+functions (zip_with/aggregate lambdas) are interpreted per element with no
+whole-stage codegen, and a per-hyperplane nested-lambda expression
+additionally costs seconds of analysis time per query (PLANS.md bans the
+pattern; this module previously violated it). Hyperplanes are a
+deterministic function of (dim, n_planes, seed) and are derived lazily
+INSIDE the UDF from the batch's own vector width — no driver-side
+``.first()`` probe in operator construction.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 from pyspark.sql.window import Window
 
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+@F.pandas_udf(DoubleType())
+def _cosine_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Pairwise cosine, rounded to 6 decimals (matches the DuckDB oracle's
+    ``round(list_dot_product(a,b)/(sqrt(..)*sqrt(..)), 6)`` formulation —
+    same op order, so float drift stays below the rounding grain)."""
+    a = np.array(left.tolist(), dtype=np.float64)
+    b = np.array(right.tolist(), dtype=np.float64)
+    if a.size == 0:
+        return pd.Series([], dtype="float64")
+    dots = np.einsum("ij,ij->i", a, b)
+    na = np.sqrt(np.einsum("ij,ij->i", a, a))
+    nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+    denom = na * nb
+    denom[denom == 0.0] = 1.0
+    return pd.Series(np.round(dots / denom, 6))
 
 
 def brute_force_topk(
@@ -30,14 +53,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query. Queries must be small (broadcast)."""
+    """Exact cosine top-k per query. Queries must be small (broadcast):
+    the corpus side streams once through the crossJoin; never use this for
+    corpus-vs-corpus (that is lsh_topk / embedding_near_duplicates)."""
     q = F.broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ))
     scored = embeddings.crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(_cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+        _cosine_udf(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -63,16 +88,39 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[fl
     return planes
 
 
-def _srp_bucket(vec_col, planes: list[list[float]]):
-    """Signed-random-projection bucket id (one int per row)."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+@lru_cache(maxsize=16)
+def _planes_matrix(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.array(_random_hyperplanes(dim, n_planes, seed), dtype=np.float64)
+
+
+def _make_buckets_udf(n_planes: int, n_tables: int, seed: int = 42):
+    """SRP bucket ids per row, one per hash table (OR-amplification): the
+    plane family is one (n_tables * n_planes, dim) matrix, sliced per table;
+    bit i of table t's bucket = sign(vec . plane_{t*n_planes+i}). One matrix
+    multiply per Arrow batch; the plane matrix is derived from the batch's
+    own vector width and cached per process."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype="object")
+        planes = _planes_matrix(mat.shape[1], n_planes * n_tables, seed)
+        bits = (mat @ planes.T) >= 0  # (rows, n_tables*n_planes)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        buckets = (bits @ weights).astype(np.int64)  # (rows, n_tables)
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
+def _explode_tables(df: DataFrame, bucket_udf, vec_col: str) -> DataFrame:
+    """(row, [b_0..b_L]) -> one row per (table_id, bucket)."""
+    return df.withColumn("_bs", bucket_udf(F.col(vec_col))).select(
+        *[c for c in df.columns],
+        F.posexplode("_bs").alias("_t", "_bucket"),
+    )
 
 
 def lsh_topk(
@@ -80,31 +128,41 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
-    dim: int | None = None,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """SRP-LSH candidate buckets -> exact cosine within bucket -> top-k.
 
-    Recall trades against bucket size via n_planes; at 2^8 buckets the
-    candidate set is ~1/256 of the corpus per query. Approximate: rows whose
-    bucket differs from the query's find no match (documented recall loss).
+    OR-amplified across ``n_tables`` independent plane sets: a corpus row is
+    a candidate if it shares a bucket with the query in ANY table, so recall
+    for a neighbor at angle theta is 1-(1-p^b)^L with p = 1 - theta/pi.
+    Raise ``n_planes`` for tighter buckets (high-similarity regimes, big
+    corpora); raise ``n_tables`` to buy recall. Approximate by design:
+    documented recall loss for rows that collide in no table.
+
+    The corpus-vs-corpus scale path: the join is an equi-join on
+    (table_id, bucket), so only same-bucket candidates ever pay the Arrow
+    cosine hop; cross-table duplicate candidates are deduped on the
+    (query, id) pair BEFORE scoring.
     """
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
-    planes = _random_hyperplanes(dim, n_planes)
-    emb_b = embeddings.withColumn("_bucket", _srp_bucket(F.col(vec_col), planes))
+    bucket_udf = _make_buckets_udf(n_planes, n_tables)
+    emb_b = _explode_tables(embeddings, bucket_udf, vec_col)
     q_b = F.broadcast(
-        queries.select(
-            query_id_col,
-            F.col(vec_col).alias("_qvec"),
-        ).withColumn("_bucket", _srp_bucket(F.col("_qvec"), planes))
+        _explode_tables(
+            queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+            bucket_udf,
+            "_qvec",
+        )
     )
-    scored = emb_b.join(q_b, "_bucket").select(
+    cand = emb_b.join(q_b, ["_t", "_bucket"]).dropDuplicates(
+        [query_id_col, id_col]
+    )
+    scored = cand.select(
         query_id_col,
         id_col,
-        F.round(_cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+        _cosine_udf(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -114,29 +172,39 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 10,
-    dim: int | None = None,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP bucket self-join."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    planes = _random_hyperplanes(dim, n_planes)
-    b = embeddings.select(
-        F.col(id_col), F.col(vec_col)
-    ).withColumn("_bucket", _srp_bucket(F.col(vec_col), planes))
+    """Embedding-cosine near-dup pairs via SRP bucket self-join,
+    OR-amplified across ``n_tables`` tables (pairs deduped before the
+    cosine filter). At threshold 0.95 a true pair collides per table with
+    p^10 ~ 0.35, so 4 tables put recall near 0.82; raise n_tables for more.
+    """
+    bucket_udf = _make_buckets_udf(n_planes, n_tables)
+    b = _explode_tables(
+        embeddings.select(F.col(id_col), F.col(vec_col)), bucket_udf, vec_col
+    )
     left = b.alias("l")
     right = b.alias("r")
     return (
         left.join(
             right,
-            (F.col("l._bucket") == F.col("r._bucket"))
+            (F.col("l._t") == F.col("r._t"))
+            & (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(_cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_udf(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
