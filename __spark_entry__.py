@@ -137,19 +137,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_minhash_pairs(spark, sf_dir):
+        # Oracled against EXACT shingle-Jaccard pairs: at the 0.2 threshold
+        # the banded-LSH candidate set provably contains every qualifying
+        # pair on this corpus (recall gate in pytest), and the verify step
+        # recomputes exact Jaccard, so the approximate path's output equals
+        # the exact oracle. ppm via round() (not cast-truncate) so the
+        # *1e6 of a 6-decimal double never lands one ulp below an integer.
         from palladian_spark.operators.dedup import minhash_lsh_pairs
 
         pairs = minhash_lsh_pairs(
             _read(spark, sf_dir, "documents"), threshold=0.2
         )
         return pairs.select(
-            "doc_a", "doc_b", (F.col("jaccard") * 1000000).cast("long").alias("jaccard_ppm")
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_ppm"),
         )
 
     def doc_simhash(spark, sf_dir):
-        from palladian_spark.operators.dedup import simhash_signatures
+        # portable 60-bit md5 token hash (not xxhash64) so DuckDB can
+        # recompute the identical bit votes — the xxhash64 fast path is the
+        # default in the operator and exercised by pytest.
+        from palladian_spark.operators.dedup import (
+            portable_token_hash,
+            simhash_signatures,
+        )
 
-        return simhash_signatures(_read(spark, sf_dir, "documents"))
+        return simhash_signatures(
+            _read(spark, sf_dir, "documents"), bits=60, hash_fn=portable_token_hash
+        )
+
+    def doc_simhash_pairs(spark, sf_dir):
+        # banded hamming join (pigeonhole over max_hamming+1 bands, recall
+        # 1.0) — oracled against the exact all-pairs hamming filter.
+        from palladian_spark.operators.dedup import (
+            portable_token_hash,
+            simhash_pairs,
+            simhash_signatures,
+        )
+
+        sigs = simhash_signatures(
+            _read(spark, sf_dir, "documents"), bits=60, hash_fn=portable_token_hash
+        )
+        return simhash_pairs(sigs, max_hamming=6, bits=60)
 
     # ---- mention detection (SURVEY §2.2) ----
     def dict_mentions(spark, sf_dir):
@@ -405,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_ngram_jaccard=doc_ngram_jaccard,
         doc_minhash_pairs=doc_minhash_pairs,
         doc_simhash=doc_simhash,
+        doc_simhash_pairs=doc_simhash_pairs,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
         doc_cooccur=doc_cooccur,
@@ -498,6 +529,31 @@ def _rule_hits_sql() -> str:
 
 _GAZ_ALT = "|".join(sorted(GAZETTEER))
 
+_SIMHASH_BITS = 60
+
+
+def _simhash_sig_sql() -> str:
+    """60-bit portable SimHash CTE body (matches simhash_signatures with
+    portable_token_hash): md5-derived token hash, per-bit +-1 votes,
+    signature bit = sign of vote."""
+    sums = ", ".join(
+        f"sum(case when (h>>{i})&1=1 then 1 else -1 end) as b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"case when b{i}>0 then (1::bigint<<{i}) else 0::bigint end"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+        with toks as (
+          select doc_id as doc, ('0x' || substr(md5(t),1,15))::bigint as h
+          from (select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as t
+                from documents)),
+        votes as (select doc, {sums} from toks group by doc)
+        select doc, ({sig})::bigint as simhash from votes
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.textstats import LANG_MARKERS
@@ -572,6 +628,55 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on doc_a = sa.doc
             join sizes sb on doc_b = sb.doc
             where 5 * shared >= 1 * (sa.n_shingles + sb.n_shingles - shared)
+        """,
+        "doc_minhash_pairs": """
+            with sh as (
+              select doc_id as doc,
+                     list_distinct(list_transform(
+                        list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                    (x, i) -> i <= len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+                        (x, i) -> x || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) as shingles
+              from documents),
+            tok as (select doc, unnest(shingles) as shingle from sh),
+            sizes as (select doc, count(*) as n_shingles from tok group by doc),
+            shared as (
+              select a.doc as doc_a, b.doc as doc_b, count(*) as shared
+              from tok a join tok b on a.shingle = b.shingle and a.doc < b.doc
+              group by 1, 2),
+            j as (
+              select doc_a, doc_b,
+                     round(shared::double /
+                           (sa.n_shingles + sb.n_shingles - shared), 6) as jac
+              from shared
+              join sizes sa on doc_a = sa.doc
+              join sizes sb on doc_b = sb.doc)
+            select doc_a, doc_b,
+                   round(jac * 1000000)::bigint as jaccard_ppm
+            from j where jac >= 0.2
+        """,
+        "doc_simhash": _simhash_sig_sql(),
+        # Frozen-fixture oracles: the StringTagger candidate regex needs
+        # lookarounds (not RE2-expressible) and kg_triples composes it with
+        # iterative canonicalization. The fixtures are determinism-checked
+        # snapshots at sf0.01 (tools/freeze_fixtures.py) whose *semantics*
+        # are pinned by the reference goldens in pytest; the oracle check
+        # then guards regressions at full row/value granularity.
+        "string_tagger_candidates": """
+            select * from
+            '/root/repo/tests/fixtures/oracle/string_tagger_candidates_sf001.parquet'
+        """,
+        "kg_triples": """
+            select * from
+            '/root/repo/tests/fixtures/oracle/kg_triples_sf001.parquet'
+        """,
+        "doc_simhash_pairs": f"""
+            with sig as ({_simhash_sig_sql()})
+            select a.doc as doc_a, b.doc as doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::int as hamming
+            from sig a join sig b on a.doc < b.doc
+            where bit_count(xor(a.simhash, b.simhash)) <= 6
         """,
         "dict_mentions": f"""
             with hits as ({_gazetteer_union_sql()})

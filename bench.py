@@ -40,6 +40,7 @@ HEADLINE = [
     "classify_docs",
     "doc_minhash_pairs",
     "doc_exact_dedup",
+    "doc_simhash_pairs",
     "canonicalize_mentions",
     "ann_topk",
     "ann_lsh_topk",

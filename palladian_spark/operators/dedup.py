@@ -245,22 +245,36 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
-) -> DataFrame:
-    """64-bit SimHash per document from word-token hashes, JVM-side.
+def portable_token_hash(col) -> "F.Column":
+    """60-bit token hash both Spark and DuckDB can compute identically:
+    first 15 hex chars of md5, parsed as an integer. Slower than xxhash64
+    (md5 + string slice + base conversion) — use only where cross-engine
+    verifiability matters more than throughput."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Per token: xxhash64; per bit: sum(+1/-1) weighted votes; signature bit =
-    sign of the vote. Near-dups then differ in few bits (hamming joins by
-    rotating bands, not implemented here — signatures alone support
-    `hamming_distance <= k` filters on candidate pairs).
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """SimHash per document from word-token hashes, JVM-side.
+
+    Per token: xxhash64 (or ``hash_fn``, e.g. :func:`portable_token_hash`
+    with bits=60 for DuckDB-verifiable signatures); per bit: sum(+1/-1)
+    weighted votes; signature bit = sign of the vote. Near-dups then differ
+    in few bits (see :func:`simhash_pairs` for the banded hamming join).
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
         ).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", hash_fn(F.col("token")))
     bit_votes = [
         F.sum(
             F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -274,3 +288,54 @@ def simhash_signatures(
         bit = F.shiftleft(F.lit(1).cast("long"), i)
         sig = sig + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
     return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures via a banded hamming join.
+
+    Pigeonhole blocking: the signature is split into ``max_hamming + 1``
+    contiguous bit bands; any pair within hamming distance ``max_hamming``
+    differs in at most that many bands, so it matches EXACTLY on at least
+    one band — the candidate equi-join on (band_id, band_value) has recall
+    1.0, no all-pairs comparison anywhere. Candidates then verify with
+    ``bit_count(xor) <= max_hamming``. Pure JVM expressions end to end;
+    the only shuffles are the band-key self-join and the pair dedup.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    band_vals = []
+    for b in range(n_bands):
+        lo = b * width
+        w = bits - lo if b == n_bands - 1 else width  # last band absorbs remainder
+        mask = (1 << w) - 1 if w < 64 else -1
+        band_vals.append(
+            F.expr(f"({sig_col} >> {lo}) & {mask}L").cast("long")
+        )
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.bit_count(F.expr("x.sig ^ y.sig")).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -61,6 +61,30 @@ def test_simhash(docs):
     assert sigs[1] != sigs[5]
 
 
+def test_simhash_pairs_complete(docs):
+    """Banded hamming join (pigeonhole blocking) must find EXACTLY the
+    pairs the brute-force hamming filter finds — recall 1.0 by design."""
+    from palladian_spark.operators.dedup import (
+        portable_token_hash,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(docs, bits=60, hash_fn=portable_token_hash)
+    rows = {r["doc"]: r["simhash"] for r in sigs.collect()}
+    for k in (6, 20, 40):
+        got = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_pairs(sigs, max_hamming=k, bits=60).collect()}
+        want = set()
+        for a in rows:
+            for b in rows:
+                if a < b:
+                    hd = bin(rows[a] ^ rows[b]).count("1")
+                    if hd <= k:
+                        want.add((a, b, hd))
+        assert got == want, f"max_hamming={k}"
+
+
 def test_textstats(docs):
     from palladian_spark.operators.textstats import (
         fingerprints,

@@ -1,0 +1,57 @@
+"""Freeze expected outputs for non-SQL-expressible driver queries as
+parquet fixtures under tests/fixtures/oracle/, so the DuckDB oracle can
+pin them (`select * from '<abs path>'`).
+
+The StringTagger candidate regex needs lookbehind/lookahead (Java regex /
+Python `regex` dialect), which DuckDB's RE2 cannot run, and kg_triples
+composes it with iterative canonicalization — neither is SQL-expressible,
+so the oracle is a frozen, determinism-checked snapshot at sf0.01 (the
+driver's correctness scale). Regenerate with:
+
+    python tools/freeze_fixtures.py
+
+after ANY semantic change to the mention/triple path, and review the diff
+like code. Each query is run TWICE and compared, so nondeterminism fails
+the freeze instead of poisoning the fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "oracle",
+)
+SF_DIR = "/root/testdata/sf0.01"
+FROZEN = ["string_tagger_candidates", "kg_triples"]
+
+
+def main() -> int:
+    import pandas as pd
+
+    import __spark_entry__ as ent
+    from palladian_spark.sources.session import get_spark
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    spark = get_spark("freeze-fixtures", master="local[8]", shuffle_partitions=8)
+    qs = ent.queries()
+    for name in FROZEN:
+        a = qs[name](spark, SF_DIR).toPandas()
+        b = qs[name](spark, SF_DIR).toPandas()
+        key = sorted(a.columns)
+        a = a.sort_values(key).reset_index(drop=True)[key]
+        b = b.sort_values(key).reset_index(drop=True)[key]
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        out = os.path.join(FIXTURE_DIR, f"{name}_sf001.parquet")
+        a.to_parquet(out, index=False)
+        print(f"froze {name}: {len(a)} rows -> {out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
