@@ -1,0 +1,45 @@
+import ws.palladian.extraction.entity.FileFormatParser;
+import ws.palladian.extraction.entity.TaggingFormat;
+import ws.palladian.extraction.entity.Annotations;
+import ws.palladian.extraction.entity.evaluation.EvaluationResult;
+import ws.palladian.extraction.entity.tagger.PalladianNer;
+import ws.palladian.extraction.entity.tagger.PalladianNerTrainingSettings;
+import ws.palladian.core.Annotation;
+import ws.palladian.extraction.location.ClassifiedAnnotation;
+
+import java.io.PrintWriter;
+import java.util.List;
+
+/** Freeze reference-tagger outputs: train English PalladianNer on the
+ * fixture corpus, tag given corpora, dump (start,end,value,tag) TSV and
+ * print the reference's own EXACT/MUC evaluation. */
+public class GoldenDriver {
+    public static void main(String[] args) throws Exception {
+        String trainPath = args[0], modelPath = args[1];
+        PalladianNer ner = new PalladianNer(PalladianNerTrainingSettings.Builder.english().create());
+        ner.train(trainPath, modelPath);
+        ner.loadModel(modelPath);
+        for (int i = 2; i + 1 < args.length; i += 2) {
+            String tagPath = args[i], outPath = args[i + 1];
+            String text = FileFormatParser.getText(tagPath, TaggingFormat.COLUMN);
+            List<ClassifiedAnnotation> anns = ner.getAnnotations(text);
+            Annotations<Annotation> result = new Annotations<>(anns);
+            result.removeNested();
+            result.sort();
+            try (PrintWriter w = new PrintWriter(outPath, "UTF-8")) {
+                for (Annotation a : result) {
+                    w.println(a.getStartPosition() + "\t" + a.getEndPosition() + "\t"
+                            + a.getValue().replace("\t", " ").replace("\n", " ") + "\t" + a.getTag());
+                }
+            }
+            EvaluationResult er = ner.evaluate(tagPath, TaggingFormat.COLUMN);
+            System.out.println(tagPath + " -> " + outPath + ": " + result.size() + " annotations");
+            System.out.println("  EXACT P=" + er.getPrecision(EvaluationResult.EvaluationMode.EXACT_MATCH)
+                    + " R=" + er.getRecall(EvaluationResult.EvaluationMode.EXACT_MATCH)
+                    + " F1=" + er.getF1(EvaluationResult.EvaluationMode.EXACT_MATCH));
+            System.out.println("  MUC   P=" + er.getPrecision(EvaluationResult.EvaluationMode.MUC)
+                    + " R=" + er.getRecall(EvaluationResult.EvaluationMode.MUC)
+                    + " F1=" + er.getF1(EvaluationResult.EvaluationMode.MUC));
+        }
+    }
+}

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Build and run the reference PalladianNer offline to (re)freeze its tagger
+# outputs as goldens (tests/fixtures/reference/*.tsv). The reference tree is
+# read-only and is never copied into this repo: two files that cannot
+# compile in this sandbox (PalladianNer's javadoc-only DatasetCreator import
+# pulls the absent palladian-retrieval module; Predicates' diamond
+# inference fails on modern javac) are patched by sed into a /tmp overlay,
+# and the missing third-party jars (commons-lang/lang3 subset, fastutil
+# subset, codec Base64, UrlValidator, snowball Stemmer) are replaced by the
+# faithful minimal shims in stubs/ (identity Stemmer is safe: the English
+# NER feature settings never stem).
+#
+# Usage: bash tools/reference_harness/build_and_run.sh
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF=/root/reference
+BUILD=/tmp/refharness
+SLF4J=$(find /root/.cache/coursier -name "slf4j-api-*.jar" | head -1)
+OUT="$HERE/../../tests/fixtures/reference"
+
+rm -rf "$BUILD"
+mkdir -p "$BUILD/classes" "$BUILD/out" \
+    "$BUILD/overlay/ws/palladian/extraction/entity/tagger" \
+    "$BUILD/overlay/ws/palladian/helper/functional" \
+    "$BUILD/overlay/ws/palladian/extraction/feature"
+
+sed -e '/import ws.palladian.extraction.entity.dataset.DatasetCreator;/d' \
+    -e 's/{@link DatasetCreator}/DatasetCreator/' \
+    "$REF/palladian-core/src/main/java/ws/palladian/extraction/entity/tagger/PalladianNer.java" \
+    > "$BUILD/overlay/ws/palladian/extraction/entity/tagger/PalladianNer.java"
+sed -e 's/return new AndFilter<>(new LinkedHashSet<>(Arrays.asList(filters)));/return new AndFilter<T>(new LinkedHashSet<Predicate<? super T>>(Arrays.asList(filters)));/' \
+    -e 's/return new OrFilter<>(new LinkedHashSet<>(Arrays.asList(filters)));/return new OrFilter<T>(new LinkedHashSet<Predicate<? super T>>(Arrays.asList(filters)));/' \
+    "$REF/palladian-commons/src/main/java/ws/palladian/helper/functional/Predicates.java" \
+    > "$BUILD/overlay/ws/palladian/helper/functional/Predicates.java"
+cp "$HERE/overlay_Stemmer.java" "$BUILD/overlay/ws/palladian/extraction/feature/Stemmer.java"
+
+javac -nowarn -encoding UTF-8 --release 8 -d "$BUILD/classes" -cp "$SLF4J" \
+    -sourcepath "$BUILD/overlay:$REF/palladian-core/src/main/java:$REF/palladian-commons/src/main/java:$HERE/stubs" \
+    "$HERE/GoldenDriver.java"
+
+java -cp "$BUILD/classes:$SLF4J" GoldenDriver \
+    "$REF/palladian-core/src/test/resources/ner/training.txt" "$BUILD/out/model.ser.gz" \
+    "$REF/palladian-core/src/test/resources/ner/test.txt" "$OUT/ref_test_annotations.tsv" \
+    "$REF/palladian-core/src/test/resources/ner/training.txt" "$OUT/ref_train_annotations.tsv"

@@ -1,0 +1,32 @@
+package ws.palladian.extraction.feature;
+
+import java.util.function.Function;
+
+import ws.palladian.helper.constants.Language;
+
+/** Offline-build stand-in: snowball-stemmer jar is unavailable in this
+ * sandbox. PalladianNer's feature settings (char-5 grams, no stemming)
+ * never invoke stemming, so identity behavior is safe here; any caller
+ * that truly needs a stem gets the input back unchanged. */
+public final class Stemmer implements Function<String, String> {
+
+    private final Language language;
+
+    public Stemmer(final Language language) {
+        this.language = language;
+    }
+
+    @Override
+    public String apply(String input) {
+        return stem(input);
+    }
+
+    public String stem(String word) {
+        return word;
+    }
+
+    @Override
+    public String toString() {
+        return "Stemmer [language=" + language + "]";
+    }
+}

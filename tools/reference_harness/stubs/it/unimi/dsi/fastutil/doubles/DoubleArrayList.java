@@ -1,0 +1,7 @@
+package it.unimi.dsi.fastutil.doubles;
+public class DoubleArrayList extends java.util.ArrayList<Double> {
+    public DoubleArrayList() {}
+    public DoubleArrayList(int cap) { super(cap); }
+    public boolean add(double v) { return super.add(Double.valueOf(v)); }
+    public double getDouble(int i) { return super.get(i); }
+}

@@ -1,0 +1,31 @@
+package it.unimi.dsi.fastutil.ints;
+import java.util.LinkedHashSet;
+import java.util.Set;
+/** Minimal java.util-backed stand-in for compiling/running the reference
+ * offline; only the surface CollectionHelper/StringHelper touch. */
+public abstract class AbstractIntSet implements Iterable<Integer> {
+    protected final Set<Integer> backing = new LinkedHashSet<>();
+    public boolean add(int v) { return backing.add(v); }
+    public boolean contains(int v) { return backing.contains(v); }
+    public int size() { return backing.size(); }
+    public boolean isEmpty() { return backing.isEmpty(); }
+    public boolean remove(int v) { return backing.remove(v); }
+    public int[] toIntArray() {
+        int[] out = new int[backing.size()];
+        int i = 0;
+        for (int v : backing) out[i++] = v;
+        return out;
+    }
+    @Override public IntBidirectionalIterator iterator() {
+        final java.util.Iterator<Integer> it = backing.iterator();
+        return new IntBidirectionalIterator() {
+            @Override public boolean hasNext() { return it.hasNext(); }
+            @Override public int nextInt() { return it.next(); }
+            @Override public int previousInt() { throw new UnsupportedOperationException(); }
+            @Override public boolean hasPrevious() { throw new UnsupportedOperationException(); }
+        };
+    }
+    @Override public boolean equals(Object o) { return o instanceof AbstractIntSet && ((AbstractIntSet) o).backing.equals(backing); }
+    @Override public int hashCode() { return backing.hashCode(); }
+    @Override public String toString() { return backing.toString(); }
+}

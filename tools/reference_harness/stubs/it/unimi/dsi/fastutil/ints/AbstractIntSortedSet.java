@@ -1,0 +1,2 @@
+package it.unimi.dsi.fastutil.ints;
+public abstract class AbstractIntSortedSet extends AbstractIntSet implements IntSortedSet {}

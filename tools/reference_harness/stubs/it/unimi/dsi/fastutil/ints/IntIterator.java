@@ -1,0 +1,5 @@
+package it.unimi.dsi.fastutil.ints;
+public interface IntIterator extends java.util.Iterator<Integer> {
+    int nextInt();
+    @Override default Integer next() { return nextInt(); }
+}

@@ -1,0 +1,5 @@
+package it.unimi.dsi.fastutil.ints;
+public class IntLinkedOpenHashSet extends AbstractIntSortedSet {
+    public IntLinkedOpenHashSet() {}
+    public IntLinkedOpenHashSet(int expected) {}
+}

@@ -1,0 +1,5 @@
+package it.unimi.dsi.fastutil.ints;
+public class IntOpenHashSet extends AbstractIntSet {
+    public IntOpenHashSet() {}
+    public IntOpenHashSet(int expected) {}
+}

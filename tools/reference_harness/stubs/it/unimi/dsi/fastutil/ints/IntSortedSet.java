@@ -1,0 +1,7 @@
+package it.unimi.dsi.fastutil.ints;
+public interface IntSortedSet extends Iterable<Integer> {
+    IntBidirectionalIterator iterator();
+    int size();
+    boolean add(int v);
+    boolean contains(int v);
+}

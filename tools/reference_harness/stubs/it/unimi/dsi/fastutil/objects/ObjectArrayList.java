@@ -1,0 +1,5 @@
+package it.unimi.dsi.fastutil.objects;
+public class ObjectArrayList<T> extends java.util.ArrayList<T> {
+    public ObjectArrayList() {}
+    public ObjectArrayList(int cap) { super(cap); }
+}

@@ -1,0 +1,5 @@
+package org.apache.commons.codec.binary;
+public class Base64 {
+    public static byte[] encodeBase64(byte[] data) { return java.util.Base64.getEncoder().encode(data); }
+    public static byte[] decodeBase64(byte[] data) { return java.util.Base64.getDecoder().decode(data); }
+}

@@ -1,0 +1,24 @@
+package org.apache.commons.lang;
+import java.util.regex.Matcher;
+import java.util.regex.Pattern;
+public class StringEscapeUtils {
+    private static final Pattern NUMERIC = Pattern.compile("&#(x?)([0-9a-fA-F]+);");
+    public static String unescapeHtml(String s) {
+        if (s == null) return null;
+        if (s.indexOf('&') < 0) return s;
+        String out = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+                .replace("&quot;", "\"").replace("&apos;", "'").replace("&nbsp;", " ");
+        Matcher m = NUMERIC.matcher(out);
+        StringBuffer b = new StringBuffer();
+        while (m.find()) {
+            int cp = Integer.parseInt(m.group(2), m.group(1).isEmpty() ? 10 : 16);
+            m.appendReplacement(b, Matcher.quoteReplacement(new String(Character.toChars(cp))));
+        }
+        m.appendTail(b);
+        return b.toString();
+    }
+    public static String escapeHtml(String s) {
+        if (s == null) return null;
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;");
+    }
+}

@@ -1,0 +1,2 @@
+package org.apache.commons.lang;
+public class StringUtils extends org.apache.commons.lang3.StringUtils {}

@@ -1,0 +1,2 @@
+package org.apache.commons.lang;
+public class Validate extends org.apache.commons.lang3.Validate {}

@@ -1,0 +1,22 @@
+package org.apache.commons.lang3;
+public class ArrayUtils {
+    public static final int INDEX_NOT_FOUND = -1;
+    public static boolean contains(Object[] array, Object v) { return indexOf(array, v) != INDEX_NOT_FOUND; }
+    public static int indexOf(Object[] array, Object v) {
+        if (array == null) return INDEX_NOT_FOUND;
+        for (int i = 0; i < array.length; i++)
+            if (v == null ? array[i] == null : v.equals(array[i])) return i;
+        return INDEX_NOT_FOUND;
+    }
+    public static boolean isEmpty(Object[] array) { return array == null || array.length == 0; }
+    public static boolean isNotEmpty(Object[] array) { return !isEmpty(array); }
+
+    @SafeVarargs
+    public static <T> T[] addAll(T[] a, T... b) {
+        if (a == null) return b == null ? null : b.clone();
+        if (b == null) return a.clone();
+        T[] out = java.util.Arrays.copyOf(a, a.length + b.length);
+        System.arraycopy(b, 0, out, a.length, b.length);
+        return out;
+    }
+}

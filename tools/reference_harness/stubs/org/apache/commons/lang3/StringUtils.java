@@ -1,0 +1,127 @@
+package org.apache.commons.lang3;
+import java.util.Iterator;
+public class StringUtils {
+    public static final String EMPTY = "";
+    public static boolean isBlank(CharSequence cs) {
+        if (cs == null || cs.length() == 0) return true;
+        for (int i = 0; i < cs.length(); i++) if (!Character.isWhitespace(cs.charAt(i))) return false;
+        return true;
+    }
+    public static boolean isNotBlank(CharSequence cs) { return !isBlank(cs); }
+    public static boolean isEmpty(CharSequence cs) { return cs == null || cs.length() == 0; }
+    public static boolean isNotEmpty(CharSequence cs) { return !isEmpty(cs); }
+    public static String repeat(String s, int n) {
+        if (s == null) return null;
+        StringBuilder b = new StringBuilder();
+        for (int i = 0; i < n; i++) b.append(s);
+        return b.toString();
+    }
+    public static String repeat(char c, int n) {
+        if (n <= 0) return EMPTY;
+        char[] buf = new char[n];
+        java.util.Arrays.fill(buf, c);
+        return new String(buf);
+    }
+    public static String join(Iterable<?> it, String sep) {
+        if (it == null) return null;
+        return join(it.iterator(), sep);
+    }
+    public static String join(Iterator<?> it, String sep) {
+        if (it == null) return null;
+        StringBuilder b = new StringBuilder();
+        while (it.hasNext()) {
+            Object o = it.next();
+            if (o != null) b.append(o);
+            if (it.hasNext() && sep != null) b.append(sep);
+        }
+        return b.toString();
+    }
+    public static String join(Object[] arr, String sep) {
+        if (arr == null) return null;
+        return join(java.util.Arrays.asList(arr), sep);
+    }
+    public static String join(Iterable<?> it, char sep) { return join(it, String.valueOf(sep)); }
+    public static String join(Object[] arr, char sep) { return join(arr, String.valueOf(sep)); }
+    public static int countMatches(CharSequence str, CharSequence sub) {
+        if (isEmpty(str) || isEmpty(sub)) return 0;
+        int count = 0, idx = 0;
+        String s = str.toString(), t = sub.toString();
+        while ((idx = s.indexOf(t, idx)) != -1) { count++; idx += t.length(); }
+        return count;
+    }
+    public static int countMatches(CharSequence str, char c) {
+        if (isEmpty(str)) return 0;
+        int count = 0;
+        for (int i = 0; i < str.length(); i++) if (str.charAt(i) == c) count++;
+        return count;
+    }
+    public static String capitalize(String s) {
+        if (isEmpty(s)) return s;
+        return Character.toTitleCase(s.charAt(0)) + s.substring(1);
+    }
+    public static String uncapitalize(String s) {
+        if (isEmpty(s)) return s;
+        return Character.toLowerCase(s.charAt(0)) + s.substring(1);
+    }
+    public static String abbreviate(String s, int maxWidth) {
+        if (s == null) return null;
+        if (s.length() <= maxWidth) return s;
+        return s.substring(0, maxWidth - 3) + "...";
+    }
+    public static String substringBefore(String s, String sep) {
+        if (isEmpty(s) || sep == null) return s;
+        if (sep.isEmpty()) return EMPTY;
+        int pos = s.indexOf(sep);
+        return pos == -1 ? s : s.substring(0, pos);
+    }
+    public static String substringAfter(String s, String sep) {
+        if (isEmpty(s)) return s;
+        if (sep == null) return EMPTY;
+        int pos = s.indexOf(sep);
+        return pos == -1 ? EMPTY : s.substring(pos + sep.length());
+    }
+    public static String remove(String s, String r) {
+        if (isEmpty(s) || isEmpty(r)) return s;
+        return s.replace(r, EMPTY);
+    }
+    public static String remove(String s, char c) {
+        if (isEmpty(s)) return s;
+        return s.replace(String.valueOf(c), EMPTY);
+    }
+    public static String trim(String s) { return s == null ? null : s.trim(); }
+    public static String defaultString(String s) { return s == null ? EMPTY : s; }
+    public static String defaultString(String s, String d) { return s == null ? d : s; }
+    public static String reverse(String s) {
+        if (s == null) return null;
+        return new StringBuilder(s).reverse().toString();
+    }
+    public static String leftPad(String s, int size, char pad) {
+        if (s == null) return null;
+        int pads = size - s.length();
+        if (pads <= 0) return s;
+        return repeat(pad, pads) + s;
+    }
+    public static String rightPad(String s, int size, char pad) {
+        if (s == null) return null;
+        int pads = size - s.length();
+        if (pads <= 0) return s;
+        return s + repeat(pad, pads);
+    }
+    public static boolean containsAny(CharSequence cs, CharSequence chars) {
+        if (isEmpty(cs) || isEmpty(chars)) return false;
+        for (int i = 0; i < cs.length(); i++)
+            for (int j = 0; j < chars.length(); j++)
+                if (cs.charAt(i) == chars.charAt(j)) return true;
+        return false;
+    }
+
+    public static String join(Object[] arr, String sep, int start, int end) {
+        if (arr == null) return null;
+        StringBuilder b = new StringBuilder();
+        for (int i = start; i < end; i++) {
+            if (i > start && sep != null) b.append(sep);
+            if (arr[i] != null) b.append(arr[i]);
+        }
+        return b.toString();
+    }
+}

@@ -1,0 +1,57 @@
+package org.apache.commons.lang3;
+import java.util.Collection;
+import java.util.Map;
+public class Validate {
+    public static <T> T notNull(T obj) { return notNull(obj, "The validated object is null"); }
+    public static <T> T notNull(T obj, String msg, Object... vals) {
+        if (obj == null) throw new NullPointerException(String.format(msg, vals));
+        return obj;
+    }
+    public static void isTrue(boolean expr) { isTrue(expr, "The validated expression is false"); }
+    public static void isTrue(boolean expr, String msg, Object... vals) {
+        if (!expr) throw new IllegalArgumentException(String.format(msg, vals));
+    }
+    public static void isTrue(boolean expr, String msg, long val) {
+        if (!expr) throw new IllegalArgumentException(String.format(msg, val));
+    }
+    public static void isTrue(boolean expr, String msg, double val) {
+        if (!expr) throw new IllegalArgumentException(String.format(msg, val));
+    }
+    public static <T extends CharSequence> T notEmpty(T cs) { return notEmpty(cs, "The validated character sequence is empty"); }
+    public static <T extends CharSequence> T notEmpty(T cs, String msg, Object... vals) {
+        if (cs == null) throw new NullPointerException(String.format(msg, vals));
+        if (cs.length() == 0) throw new IllegalArgumentException(String.format(msg, vals));
+        return cs;
+    }
+    public static <T extends Collection<?>> T notEmpty(T coll, String msg, Object... vals) {
+        if (coll == null) throw new NullPointerException(String.format(msg, vals));
+        if (coll.isEmpty()) throw new IllegalArgumentException(String.format(msg, vals));
+        return coll;
+    }
+    public static <T extends Map<?, ?>> T notEmpty(T map, String msg, Object... vals) {
+        if (map == null) throw new NullPointerException(String.format(msg, vals));
+        if (map.isEmpty()) throw new IllegalArgumentException(String.format(msg, vals));
+        return map;
+    }
+    public static <T> T[] notEmpty(T[] arr, String msg, Object... vals) {
+        if (arr == null) throw new NullPointerException(String.format(msg, vals));
+        if (arr.length == 0) throw new IllegalArgumentException(String.format(msg, vals));
+        return arr;
+    }
+    public static <T extends CharSequence> T notBlank(T cs) { return notBlank(cs, "The validated character sequence is blank"); }
+    public static <T extends CharSequence> T notBlank(T cs, String msg, Object... vals) {
+        if (cs == null) throw new NullPointerException(String.format(msg, vals));
+        if (StringUtils.isBlank(cs)) throw new IllegalArgumentException(String.format(msg, vals));
+        return cs;
+    }
+
+    public static void inclusiveBetween(double start, double end, double value, String msg) {
+        if (value < start || value > end) throw new IllegalArgumentException(msg);
+    }
+    public static void inclusiveBetween(long start, long end, long value, String msg) {
+        if (value < start || value > end) throw new IllegalArgumentException(msg);
+    }
+    public static <T extends Comparable<T>> void inclusiveBetween(T start, T end, T value, String msg) {
+        if (value.compareTo(start) < 0 || value.compareTo(end) > 0) throw new IllegalArgumentException(msg);
+    }
+}

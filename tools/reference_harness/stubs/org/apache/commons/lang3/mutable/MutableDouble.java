@@ -1,0 +1,17 @@
+package org.apache.commons.lang3.mutable;
+public class MutableDouble extends Number implements Comparable<MutableDouble> {
+    private double value;
+    public MutableDouble() {}
+    public MutableDouble(double v) { value = v; }
+    public void add(double v) { value += v; }
+    public void setValue(double v) { value = v; }
+    public double getValue() { return value; }
+    @Override public int intValue() { return (int) value; }
+    @Override public long longValue() { return (long) value; }
+    @Override public float floatValue() { return (float) value; }
+    @Override public double doubleValue() { return value; }
+    @Override public int compareTo(MutableDouble o) { return Double.compare(value, o.value); }
+    @Override public boolean equals(Object o) { return o instanceof MutableDouble && Double.compare(((MutableDouble) o).value, value) == 0; }
+    @Override public int hashCode() { long b = Double.doubleToLongBits(value); return (int) (b ^ (b >>> 32)); }
+    @Override public String toString() { return String.valueOf(value); }
+}

@@ -1,0 +1,19 @@
+package org.apache.commons.lang3.mutable;
+public class MutableInt extends Number implements Comparable<MutableInt> {
+    private int value;
+    public MutableInt() {}
+    public MutableInt(int v) { value = v; }
+    public void increment() { value++; }
+    public void decrement() { value--; }
+    public void add(int v) { value += v; }
+    public void setValue(int v) { value = v; }
+    public int getValue() { return value; }
+    @Override public int intValue() { return value; }
+    @Override public long longValue() { return value; }
+    @Override public float floatValue() { return value; }
+    @Override public double doubleValue() { return value; }
+    @Override public int compareTo(MutableInt o) { return Integer.compare(value, o.value); }
+    @Override public boolean equals(Object o) { return o instanceof MutableInt && ((MutableInt) o).value == value; }
+    @Override public int hashCode() { return value; }
+    @Override public String toString() { return String.valueOf(value); }
+}

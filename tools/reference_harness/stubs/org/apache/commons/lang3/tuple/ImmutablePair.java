@@ -1,0 +1,9 @@
+package org.apache.commons.lang3.tuple;
+public class ImmutablePair<L, R> extends Pair<L, R> {
+    private final L left; private final R right;
+    public ImmutablePair(L left, R right) { this.left = left; this.right = right; }
+    public static <L, R> ImmutablePair<L, R> of(L left, R right) { return new ImmutablePair<>(left, right); }
+    @Override public L getLeft() { return left; }
+    @Override public R getRight() { return right; }
+    @Override public R setValue(R value) { throw new UnsupportedOperationException(); }
+}

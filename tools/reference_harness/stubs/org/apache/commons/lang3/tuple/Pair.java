@@ -1,0 +1,19 @@
+package org.apache.commons.lang3.tuple;
+import java.util.Map;
+public abstract class Pair<L, R> implements Map.Entry<L, R> {
+    public static <L, R> Pair<L, R> of(L left, R right) { return new ImmutablePair<>(left, right); }
+    public abstract L getLeft();
+    public abstract R getRight();
+    @Override public L getKey() { return getLeft(); }
+    @Override public R getValue() { return getRight(); }
+    @Override public boolean equals(Object o) {
+        if (o == this) return true;
+        if (!(o instanceof Map.Entry)) return false;
+        Map.Entry<?, ?> e = (Map.Entry<?, ?>) o;
+        return java.util.Objects.equals(getKey(), e.getKey()) && java.util.Objects.equals(getValue(), e.getValue());
+    }
+    @Override public int hashCode() {
+        return (getKey() == null ? 0 : getKey().hashCode()) ^ (getValue() == null ? 0 : getValue().hashCode());
+    }
+    @Override public String toString() { return "(" + getLeft() + "," + getRight() + ")"; }
+}

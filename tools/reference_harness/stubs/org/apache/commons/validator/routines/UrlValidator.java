@@ -1,0 +1,19 @@
+package org.apache.commons.validator.routines;
+public class UrlValidator {
+    public static final long ALLOW_2_SLASHES = 1L << 1;
+    public static final long ALLOW_ALL_SCHEMES = 1L << 0;
+    public static final long ALLOW_LOCAL_URLS = 1L << 3;
+    public UrlValidator() {}
+    public UrlValidator(String[] schemes) {}
+    public UrlValidator(String[] schemes, long options) {}
+    public UrlValidator(long options) {}
+    public boolean isValid(String url) {
+        if (url == null) return false;
+        try {
+            java.net.URL u = java.net.URI.create(url).toURL();
+            return u.getHost() != null && !u.getHost().isEmpty();
+        } catch (Exception e) {
+            return false;
+        }
+    }
+}
