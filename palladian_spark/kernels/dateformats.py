@@ -1,0 +1,362 @@
+"""Full date/time format surface: the reference's complete DateFormat
+family and the DateParser.findDates / DateAndTimeTagger semantics.
+
+The regex constants ARE the semantics and are ported verbatim from
+palladian-commons/.../helper/constants/RegExp.java:20-360 (shortcuts,
+34 named formats, the ordered ALL_DATE_FORMATS array) — like the
+StringTagger regex, they are pinned by goldens generated from the actual
+Java tagger (tools/reference_harness/, tests/fixtures/reference/).
+
+Matching semantics (DateParser.java:185-240, DateAndTimeTagger.java:42-59):
+formats run IN ORDER over a working copy of the text; each match is
+neighbor-checked (no adjacent digit, no leading period), then the matched
+string is masked out of the working copy with 'x'es (Java replaceFirst —
+the date string is treated as a regex) so later, less-specific formats
+cannot re-claim it. Annotations are finally placed at EVERY literal
+occurrence index of each date string in the ORIGINAL text.
+"""
+
+from __future__ import annotations
+
+import regex
+
+# ---------------------------------------------------------------------------
+# Shortcut fragments (RegExp.java:21-76)
+# ---------------------------------------------------------------------------
+LONG_YEAR = r"\d{4}"
+SHOR_YEAR = r"\d{2}"
+MONTH_NUMBER_DOUBLE = r"0[1-9]|1[0-2]"
+MONTH_NUMBER_NORMAL = r"1[0-2]|0?[1-9]"
+MONTH_NAME_SHORT_ENG = (
+    "[Jj]an|[Ff]eb|[Mm]ar|[Aa]pr|[Mm]ay|[Jj]un|[Jj]ul|[Aa]ug|[Ss]ep|[Ss]ept|[Oo]ct|[Nn]ov|[Dd]ec|"
+    "JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|SEPT|OCT|NOV|DEC"
+)
+MONTH_NAME_SHORT = (
+    "(?:[Aa]pr|[Aa]ug|[Dd]e[cz]|[Ff]eb|[Jj]an|[Jj]u[ln]|[Mm]a[iry]|[Mm]är|[Nn]ov|[Oo][ck]t|[Ss]ept?|"
+    "APR|AUG|DE[CZ]|FEB|JAN|JU[LN]|MA[IRY]|MÄR|NOV|O[CK]T|SEPT?)\\.?"
+)
+MONTH_NAME_LONG_ENG = (
+    "[Jj]anuary|[Ff]ebruary|[Mm]arch|[Aa]pril|[Mm]ay|[Jj]une|[Jj]uly|[Aa]ugust|[Ss]eptember|[Oo]ctober|[Nn]ovember|[Dd]ecember|"
+    "JANUARY|FEBRUARY|MARCH|APRIL|MAY|JUNE|JULY|AUGUST|SEPTEMBER|OCTOBER|NOVEMBER|DECEMBER"
+)
+MONTH_NAME_LONG = (
+    "[Aa]pr(?:\\.|il)?|[Aa]ug(?:\\.|ust)?|[Dd]e[cz](?:\\.|ember)?|[Ff]eb(?:\\.|ruary?)?|[Jj]an(?:\\.|uary?)?|"
+    "[Jj]ul[.iy]?|[Jj]un[.ei]?|[Mm]a(?:[iy]\\.?)?|[Mm]är[.z]?|[Mm]ar(?:\\.|ch)?|[Nn]ov(?:\\.|ember)?|"
+    "[Oo][ck]t(?:\\.|ober)?|[Ss]ep(?:\\.|t(?:ember)?)?|"
+    "APR(?:\\.|IL)?|AUG(?:\\.|UST)?|DE[CZ](?:\\.|EMBER)?|FEB(?:\\.|RUARY?)?|JAN(?:\\.|UARY?)?|"
+    "JUL[.IY]?|JUN[.EI]?|MA(?:[IY]\\.?)?|MÄR[.Z]?|MAR(?:\\.|CH)?|NOV(?:\\.|EMBER)?|O[CK]T(?:\\.|OBER)?|"
+    "SEP(?:\\.|T(?:EMBER)?)?"
+)
+MONTH_NAME_LONG2 = (
+    "[Aa]pr(?:il)?|[Aa]ug(?:ust)?|[Dd]e[cz](?:ember)?|[Ff]eb(?:ruary?)?|[Jj]an(?:uary?)?|[Jj]ul[.iy]?|"
+    "[Jj]un[.ei]?|[Mm]a[iy]?|[Mm]är[.z]?|[Mm]ar(?:ch)?|[Nn]ov(?:ember)?|[Oo][ck]t(?:ober)?|[Ss]ep(?:t(?:ember)?)?|"
+    "APR(?:IL)?|AUG(?:UST)?|DE[CZ](?:EMBER)?|FEB(?:RUARY?)?|JAN(?:UARY?)?|JUL[.IY]?|JUN[.EI]?|MA[IY]?|"
+    "MÄR[.Z]?|MAR(?:CH)?|NOV(?:EMBER)?|O[CK]T(?:OBER)?|SEP(?:T(?:EMBER)?)?"
+)
+DAY_OF_YEAR = "[012][0-9][0-9]|3[0-5][0-9]|36[0-6]"
+DAY_OF_MONTH = "0[1-9]|[12][0-9]|3[01]"
+DAY_OF_MONTH_1 = "[1-9]|[12][0-9]|3[01]"
+DAY_OF_MONTH_1_2 = DAY_OF_MONTH + "|" + DAY_OF_MONTH_1
+DAY_OF_WEEK = "[1-7]"
+WEEK_OF_YEAR = "W(?:0[1-9]|[1-4][0-9]|5[0-3])"
+WEEKDAY_NAME_SHORT = "Mon|Tue|Wed|Thu|Fri|Sat|Sun"
+WEEKDAY_NAME_LONG = "(?:Mon|Tues|Wednes|Thurs|Fri|Satur|Sun)day"
+
+HOUR = "1[0-9]|2[0-4]|0[0-9]"
+HOUR12 = "1[0-2]|0[0-9]"
+HOUR_1 = "1[0-9]|2[0-4]|[0-9]"
+HOUR12_1 = "1[0-2]|[0-9]"
+MIN = "0[0-9]|[1-5][0-9]"
+SEC = MIN
+TIMEZONE = r"\s(?:UTC|MEZ|GMT|Z|AEST|BST|EST|CES?T)"
+TIME_SEC = f"(?:{HOUR}):(?:{MIN}):(?:{SEC})"
+FLOAT_SEC_OPT = r"(?:\.\d*)?"
+AM_PM = r"\s[AP]M"
+TIME24 = f"(?:{HOUR})(?::(?:{MIN})(?::(?:{SEC}){FLOAT_SEC_OPT})?)?"
+TIME24_1 = f"(?:{HOUR_1})(?::(?:{MIN})(?::(?:{SEC}){FLOAT_SEC_OPT})?)?"
+TIME12 = f"(?:{HOUR12})(?::(?:{MIN})(?::(?:{SEC}){FLOAT_SEC_OPT})?)?{AM_PM}?"
+TIME12_1 = f"(?:{HOUR12_1})(?::(?:{MIN})(?::(?:{SEC}){FLOAT_SEC_OPT})?)?{AM_PM}?"
+TIME = f"{TIME12}|{TIME24}|{TIME12_1}|{TIME24_1}"
+TIME_SEPARATOR = r"\s(?:/\s)?"
+GMT_OPT = r"\s?(?:GMT|UTC|Z)?"
+DIFF_UTC = f"{GMT_OPT}\\s?[+-](?:{HOUR})(?::?(?:{MIN}))?"
+ISO_TIME = f"[T\\s]{TIME24}(?:{DIFF_UTC}|Z)?"
+
+ST_ND_RD_TH_OPT = "(?:st|nd|rd|th)?"
+YEAR_SHORT_LONG = f"{LONG_YEAR}|(?:'?{SHOR_YEAR})"
+SEP_SYM = "[/._-]"
+
+
+class DateFormat:
+    """(regex, format-name) pair; pattern compiled once per process
+    (reference: helper/constants/DateFormat.java)."""
+
+    __slots__ = ("regex", "format", "pattern")
+
+    def __init__(self, rx: str, fmt: str):
+        self.regex = rx
+        self.format = fmt
+        self.pattern = regex.compile(rx)
+
+    def __repr__(self):  # pragma: no cover
+        return f"DateFormat({self.format})"
+
+
+# ---------------------------------------------------------------------------
+# Named formats (RegExp.java:79-300); names/order preserved
+# ---------------------------------------------------------------------------
+DATE_CONTEXT_YYYY = DateFormat(
+    r"(?<=(in )|(of )|(from )|(year )|(until )|(through )|(during )|(^))[0-9]{4}", "YYYY"
+)
+
+DATE_ISO8601_YMD_T = DateFormat(
+    f"(?:{YEAR_SHORT_LONG})-(?:{MONTH_NUMBER_DOUBLE})-(?:{DAY_OF_MONTH}){ISO_TIME}",
+    "YYYY-MM-DDTHH:MM:SS+HH:MM",
+)
+_DATE_ISO8601_YMD_SEPARATOR_T_1 = f"(?:{YEAR_SHORT_LONG})/(?:{MONTH_NUMBER_DOUBLE})/(?:{DAY_OF_MONTH}){ISO_TIME}"
+_DATE_ISO8601_YMD_SEPARATOR_T_2 = f"(?:{YEAR_SHORT_LONG})\\.(?:{MONTH_NUMBER_DOUBLE})\\.(?:{DAY_OF_MONTH}){ISO_TIME}"
+_DATE_ISO8601_YMD_SEPARATOR_T_3 = f"(?:{YEAR_SHORT_LONG})_(?:{MONTH_NUMBER_DOUBLE})_(?:{DAY_OF_MONTH}){ISO_TIME}"
+DATE_ISO8601_YMD_SEPARATOR_T = DateFormat(
+    f"({_DATE_ISO8601_YMD_SEPARATOR_T_1}|{_DATE_ISO8601_YMD_SEPARATOR_T_2}|{_DATE_ISO8601_YMD_SEPARATOR_T_3})",
+    "YYYY-MM-DDTHH:MM:SS+HH:MM",
+)
+DATE_ISO8601_YMD = DateFormat(
+    f"(?:{YEAR_SHORT_LONG})-(?:{MONTH_NUMBER_DOUBLE})-(?:{DAY_OF_MONTH})", "YYYY-MM-DD"
+)
+_DATE_ISO8601_YMD_SEPARATOR_1 = f"(?:{YEAR_SHORT_LONG})/(?:{MONTH_NUMBER_DOUBLE})/(?:{DAY_OF_MONTH})"
+_DATE_ISO8601_YMD_SEPARATOR_2 = f"(?:{YEAR_SHORT_LONG})\\.(?:{MONTH_NUMBER_DOUBLE})\\.(?:{DAY_OF_MONTH})"
+_DATE_ISO8601_YMD_SEPARATOR_3 = f"(?:{YEAR_SHORT_LONG})_(?:{MONTH_NUMBER_DOUBLE})_(?:{DAY_OF_MONTH})"
+DATE_ISO8601_YMD_SEPARATOR = DateFormat(
+    f"{_DATE_ISO8601_YMD_SEPARATOR_1}|{_DATE_ISO8601_YMD_SEPARATOR_2}|{_DATE_ISO8601_YMD_SEPARATOR_3}",
+    "YYYY-MM-DD",
+)
+DATE_ISO8601_YM = DateFormat(f"(?:{YEAR_SHORT_LONG})-(?:{MONTH_NUMBER_DOUBLE})", "YYYY-MM")
+DATE_ISO8601_YWD_T = DateFormat(
+    f"{LONG_YEAR}-(?:{WEEK_OF_YEAR})-{DAY_OF_WEEK}{ISO_TIME}", "YYYY-WW-DTHH:MM:SS+HH:MM"
+)
+DATE_ISO8601_YWD = DateFormat(f"{LONG_YEAR}-(?:{WEEK_OF_YEAR})-{DAY_OF_WEEK}", "YYYY-WW-D")
+DATE_ISO8601_YW = DateFormat(f"{LONG_YEAR}-(?:{WEEK_OF_YEAR})", "YYYY-WW")
+DATE_ISO8601_YD_T = DateFormat(
+    f"{LONG_YEAR}-(?:{DAY_OF_YEAR}){ISO_TIME}", "YYYY-DDDTHH:MM:SS+HH:MM"
+)
+DATE_ISO8601_YD = DateFormat(f"{LONG_YEAR}-(?:{DAY_OF_YEAR})", "YYYY-DDD")
+DATE_ISO8601_YMD_NO = DateFormat(
+    f"{LONG_YEAR}(?:{MONTH_NUMBER_DOUBLE})(?:{DAY_OF_MONTH})", "YYYYMMDD"
+)
+DATE_ISO8601_YWD_NO = DateFormat(f"{LONG_YEAR}(?:{WEEK_OF_YEAR}){DAY_OF_WEEK}", "YYYYWWD")
+DATE_ISO8601_YW_NO = DateFormat(f"{LONG_YEAR}(?:{WEEK_OF_YEAR})", "YYYYWW")
+DATE_ISO8601_YD_NO = DateFormat(f"{LONG_YEAR}(?:{DAY_OF_YEAR})", "YYYYDDD")
+
+_DATE_URL_D_1 = f"(?:{YEAR_SHORT_LONG})/(?:{MONTH_NUMBER_DOUBLE})/(?:{DAY_OF_MONTH})/"
+_DATE_URL_D_2 = f"(?:{YEAR_SHORT_LONG})_(?:{MONTH_NUMBER_DOUBLE})_(?:{DAY_OF_MONTH})"
+_DATE_URL_D_3 = f"(?:{YEAR_SHORT_LONG})\\.(?:{MONTH_NUMBER_DOUBLE})\\.(?:{DAY_OF_MONTH})"
+_DATE_URL_D_4 = f"(?:{YEAR_SHORT_LONG})-(?:{MONTH_NUMBER_DOUBLE})-(?:{DAY_OF_MONTH})"
+DATE_URL_D = DateFormat(
+    f"{_DATE_URL_D_1}|{_DATE_URL_D_2}|{_DATE_URL_D_3}|{_DATE_URL_D_4}", "YYYY_MM_DD"
+)
+DATE_URL_MMMM_D = DateFormat(
+    f"(?:{YEAR_SHORT_LONG})/(?:{MONTH_NAME_LONG})/(?:{DAY_OF_MONTH})/", "YYYY_MMMM_DD_URL"
+)
+DATE_URL = DateFormat(f"(?:{YEAR_SHORT_LONG}){SEP_SYM}(?:{MONTH_NUMBER_DOUBLE})", "YYYY_MM")
+DATE_URL_SPLIT = DateFormat(
+    f"{LONG_YEAR}/.+/(?:{MONTH_NUMBER_DOUBLE}){SEP_SYM}(?:{DAY_OF_MONTH})", "YYYY.x.MM.DD"
+)
+
+_DATE_EU_D_MM_Y_1 = f"(?:{DAY_OF_MONTH_1_2})\\.(?:{MONTH_NUMBER_NORMAL})\\.(?:{YEAR_SHORT_LONG})"
+_DATE_EU_D_MM_Y_2 = f"(?:{DAY_OF_MONTH_1_2})/(?:{MONTH_NUMBER_NORMAL})/(?:{YEAR_SHORT_LONG})"
+_DATE_EU_D_MM_Y_3 = f"(?:{DAY_OF_MONTH_1_2})_(?:{MONTH_NUMBER_NORMAL})_(?:{YEAR_SHORT_LONG})"
+_DATE_EU_D_MM_Y_4 = f"(?:{DAY_OF_MONTH_1_2})-(?:{MONTH_NUMBER_NORMAL})-(?:{YEAR_SHORT_LONG})"
+DATE_EU_D_MM_Y = DateFormat(
+    f"{_DATE_EU_D_MM_Y_1}|{_DATE_EU_D_MM_Y_2}|{_DATE_EU_D_MM_Y_3}|{_DATE_EU_D_MM_Y_4}",
+    "DD.MM.YYYY",
+)
+DATE_EU_D_MM_Y_T = DateFormat(
+    f"(?:{DATE_EU_D_MM_Y.regex}){TIME_SEPARATOR}(?:{TIME})({DIFF_UTC}|{TIMEZONE})?",
+    "DD.MM.YYYY HH:MM:SS +UTC",
+)
+DATE_EU_MM_Y = DateFormat(
+    f"(?:{MONTH_NUMBER_NORMAL}){SEP_SYM}(?:{YEAR_SHORT_LONG})", "MM.YYYY"
+)
+DATE_EU_D_MM = DateFormat(f"(?:{DAY_OF_MONTH_1_2})\\.(?:{MONTH_NUMBER_NORMAL})\\.", "DD.MM.")
+DATE_EU_D_MMMM_Y = DateFormat(
+    f"(?:{DAY_OF_MONTH_1_2})(?:{ST_ND_RD_TH_OPT}\\s?|[.,]\\s?|-)(?:{MONTH_NAME_LONG})(?:,?\\s|-)(?:{YEAR_SHORT_LONG})",
+    "DD. MMMM YYYY",
+)
+DATE_EU_D_MMMM = DateFormat(f"(?:{DAY_OF_MONTH_1_2})\\.? (?:{MONTH_NAME_LONG})", "DD.MMMM")
+DATE_EU_D_MMMM_Y_T = DateFormat(
+    f"(?:{DAY_OF_MONTH_1_2})(?:\\.?\\s|-)(?:{MONTH_NAME_LONG})(?:,?\\s|-)(?:{YEAR_SHORT_LONG})"
+    f"{TIME_SEPARATOR}(?:{TIME})({DIFF_UTC}|{TIMEZONE})?",
+    "DD. MMMM YYYY HH:MM:SS +UTC",
+)
+DATE_MMM_DD_HH_MM_SS_TZ_YYYY = DateFormat(
+    f"(?:{MONTH_NAME_SHORT})\\s(?:{DAY_OF_MONTH_1_2})\\s(?:{TIME}){TIMEZONE}\\s{LONG_YEAR}",
+    "MMM DD HH:MM:SS TZ YYYY",
+)
+
+DATE_USA_MM_D_Y = DateFormat(
+    f"(?:{MONTH_NUMBER_NORMAL})/(?:{DAY_OF_MONTH_1_2})/(?:{YEAR_SHORT_LONG})", "MM/DD/YYYY"
+)
+DATE_USA_MM_D_Y_T = DateFormat(
+    f"(?:{MONTH_NUMBER_NORMAL})/(?:{DAY_OF_MONTH_1_2})/(?:{YEAR_SHORT_LONG})"
+    f"{TIME_SEPARATOR}(?:{TIME})({DIFF_UTC}|{TIMEZONE})?",
+    "MM/DD/YYYY HH:MM:SS +UTC",
+)
+DATE_USA_MM_D_Y_SEPARATOR_1 = f"(?:{MONTH_NUMBER_NORMAL})\\.(?:{DAY_OF_MONTH_1_2})\\.(?:{YEAR_SHORT_LONG})"
+DATE_USA_MM_D_Y_SEPARATOR_2 = f"(?:{MONTH_NUMBER_NORMAL})-(?:{DAY_OF_MONTH_1_2})-(?:{YEAR_SHORT_LONG})"
+DATE_USA_MM_D_Y_SEPARATOR_3 = f"(?:{MONTH_NUMBER_NORMAL})_(?:{DAY_OF_MONTH_1_2})_(?:{YEAR_SHORT_LONG})"
+DATE_USA_MM_D_Y_SEPARATOR = DateFormat(
+    f"{DATE_USA_MM_D_Y_SEPARATOR_1}|{DATE_USA_MM_D_Y_SEPARATOR_2}|{DATE_USA_MM_D_Y_SEPARATOR_3}",
+    "MM/DD/YYYY",
+)
+DATE_USA_MM_D_Y_T_SEPARATOR = DateFormat(
+    f"(?:{DATE_USA_MM_D_Y_SEPARATOR_1}|{DATE_USA_MM_D_Y_SEPARATOR_2}|{DATE_USA_MM_D_Y_SEPARATOR_3})"
+    f"{TIME_SEPARATOR}(?:{TIME})(?:{DIFF_UTC}|{TIMEZONE})?",
+    "MM/DD/YYYY HH:MM:SS +UTC",
+)
+DATE_USA_MM_Y = DateFormat(f"(?:{MONTH_NUMBER_NORMAL})/(?:{YEAR_SHORT_LONG})", "MM/YYYY")
+DATE_USA_MM_D = DateFormat(f"(?:{MONTH_NUMBER_NORMAL})/(?:{DAY_OF_MONTH_1_2})", "MM/DD")
+DATE_USA_MMMM_D_Y = DateFormat(
+    f"(?:{MONTH_NAME_LONG2})(?:\\s|\\.|\\.\\s)(?:{DAY_OF_MONTH_1_2})"
+    f"(?:{ST_ND_RD_TH_OPT},?\\s|\\,|\\.\\s?|\\s)(?:{YEAR_SHORT_LONG})",
+    "MMMM DD, YYYY",
+)
+DATE_USA_MMMM_D_Y_SEP = DateFormat(
+    f"(?:{MONTH_NAME_LONG})-(?:{DAY_OF_MONTH_1_2})-(?:{YEAR_SHORT_LONG})", "MMMM-DD-YYYY"
+)
+DATE_USA_MMMM_D_Y_T = DateFormat(
+    f"(?:{MONTH_NAME_LONG}) (?:{DAY_OF_MONTH_1_2}){ST_ND_RD_TH_OPT}, (?:{YEAR_SHORT_LONG}),?"
+    f"{TIME_SEPARATOR}(?:{TIME})(?:{DIFF_UTC}|{TIMEZONE})?",
+    "MMMM DD, YYYY YYYY HH:MM:SS +UTC",
+)
+DATE_USA_MMMM_D = DateFormat(
+    f"(?:{MONTH_NAME_LONG}) (?:{DAY_OF_MONTH_1_2}){ST_ND_RD_TH_OPT}", "MMMM DD"
+)
+
+DATE_EUSA_MMMM_Y = DateFormat(f"(?:{MONTH_NAME_LONG}) (?:{YEAR_SHORT_LONG})", "MMMM YYYY")
+DATE_EUSA_YYYY_MMM_D = DateFormat(
+    f"{LONG_YEAR}-(?:{MONTH_NAME_LONG})-(?:{DAY_OF_MONTH_1_2})", "YYYY-MMM-D"
+)
+
+DATE_RFC_1123 = DateFormat(
+    f"(?:{WEEKDAY_NAME_SHORT}), (?:{DAY_OF_MONTH}) (?:{MONTH_NAME_SHORT_ENG}) {LONG_YEAR} {TIME_SEC}{TIMEZONE}",
+    "WD, DD MMM YYYY HH:MM:SS TZ",
+)
+DATE_RFC_1036 = DateFormat(
+    f"(?:{WEEKDAY_NAME_LONG}), (?:{DAY_OF_MONTH})-(?:{MONTH_NAME_SHORT_ENG})-{SHOR_YEAR} {TIME_SEC}{TIMEZONE}",
+    "WWD, DD-MMM-YY HH:MM:SS TZ",
+)
+DATE_RFC_1123_UTC = DateFormat(
+    f"(?:{WEEKDAY_NAME_SHORT}), (?:{DAY_OF_MONTH}) (?:{MONTH_NAME_SHORT_ENG}) {LONG_YEAR} {TIME_SEC} {DIFF_UTC}",
+    "WD, DD MMM YYYY HH:MM:SS +UTC",
+)
+DATE_RFC_1036_UTC = DateFormat(
+    f"(?:{WEEKDAY_NAME_LONG}), (?:{DAY_OF_MONTH})-(?:{MONTH_NAME_SHORT_ENG})-{SHOR_YEAR} {TIME_SEC} {DIFF_UTC}",
+    "WWD, DD-MMM-YY HH:MM:SS +UTC",
+)
+DATE_ANSI_C = DateFormat(
+    f"(?:{WEEKDAY_NAME_SHORT}) (?:{MONTH_NAME_SHORT_ENG}) (?:{DAY_OF_MONTH_1}) {TIME_SEC} {LONG_YEAR}",
+    "WD MMM DD_1 HH:MM:SS YYYY",
+)
+DATE_ANSI_C_TZ = DateFormat(
+    f"(?:{WEEKDAY_NAME_SHORT}) (?:{MONTH_NAME_SHORT_ENG}) (?:{DAY_OF_MONTH_1}) {TIME_SEC} {LONG_YEAR} {DIFF_UTC}",
+    "WD MMM DD_1 HH:MM:SS YYYY +UTC",
+)
+
+# ---------------------------------------------------------------------------
+# Ordered families (RegExp.java:303-360); ordering is load-bearing: the
+# masking loop gives earlier (more specific) formats precedence.
+# ---------------------------------------------------------------------------
+RFC_FORMATS = [
+    DATE_ANSI_C_TZ, DATE_ANSI_C, DATE_RFC_1036_UTC, DATE_RFC_1036, DATE_RFC_1123_UTC, DATE_RFC_1123,
+]
+TIME_FORMATS = [
+    DATE_ISO8601_YD_T, DATE_ISO8601_YMD_T, DATE_ISO8601_YWD_T, DATE_USA_MM_D_Y_T, DATE_EU_D_MM_Y_T,
+    DATE_USA_MMMM_D_Y_T, DATE_EU_D_MMMM_Y_T, DATE_USA_MM_D_Y_T_SEPARATOR, DATE_MMM_DD_HH_MM_SS_TZ_YYYY,
+]
+THREE_PART_FORMATS = [
+    DATE_ISO8601_YMD, DATE_USA_MM_D_Y, DATE_EU_D_MM_Y, DATE_USA_MMMM_D_Y, DATE_USA_MMMM_D_Y_SEP,
+    DATE_EU_D_MMMM_Y, DATE_ISO8601_YWD, DATE_URL_D, DATE_USA_MM_D_Y_SEPARATOR, DATE_EUSA_YYYY_MMM_D,
+    DATE_ISO8601_YMD_SEPARATOR,
+]
+TWO_PART_FORMATS = [
+    DATE_ISO8601_YD, DATE_ISO8601_YM, DATE_ISO8601_YW, DATE_EUSA_MMMM_Y, DATE_USA_MM_D, DATE_USA_MM_Y,
+    DATE_USA_MMMM_D, DATE_EU_D_MM, DATE_EU_D_MMMM, DATE_EU_MM_Y, DATE_URL,
+]
+ONE_PART_FORMATS = [
+    DATE_ISO8601_YD_NO, DATE_ISO8601_YMD_NO, DATE_ISO8601_YW_NO, DATE_ISO8601_YWD_NO,
+]
+
+ALL_DATE_FORMATS = (
+    RFC_FORMATS + TIME_FORMATS + THREE_PART_FORMATS + TWO_PART_FORMATS + ONE_PART_FORMATS
+)
+
+# DateAndTimeTagger.DEFAULT adds years-in-context (DateAndTimeTagger.java:31)
+DEFAULT_TAGGER_FORMATS = ALL_DATE_FORMATS + [DATE_CONTEXT_YYYY]
+
+# All date formats containing dots — the sentence detector's masking set
+# (PalladianSentenceDetector.java:41-54)
+DATES_WITH_DOTS = [
+    DATE_EU_D_MM, DATE_EU_D_MM_Y, DATE_EU_D_MM_Y_T, DATE_EU_D_MMMM, DATE_EU_D_MMMM_Y,
+    DATE_EU_D_MMMM_Y_T, DATE_EU_MM_Y, DATE_USA_MMMM_D_Y, DATE_USA_MMMM_D_Y_SEP,
+    DATE_USA_MMMM_D_Y_T, DATE_USA_MMMM_D, DATE_EUSA_MMMM_Y, DATE_EUSA_YYYY_MMM_D,
+]
+
+_MULTI_SPACE = regex.compile("[ ]{2,}")
+
+
+def _find_dates_one(text: str, fmt: DateFormat) -> list[str]:
+    """DateParser.findDates(text, format) (DateParser.java:211-240): match
+    on whitespace-normalized text with digit/period neighbor rejection."""
+    text = _MULTI_SPACE.sub(" ", text)
+    out = []
+    for m in fmt.pattern.finditer(text):
+        start = m.start()
+        if start > 0 and text[start - 1] == ".":
+            continue
+        digit_neighbor = False
+        if start > 0:
+            digit_neighbor = text[start - 1].isdigit()
+        end = m.end()
+        # NOTE: faithful to the reference's check (DateParser.java:229-231),
+        # including its quirk of testing text[end-1] for '/' and text[end]
+        # for a digit only when end is in range
+        if end < len(text) and text[end - 1] != "/":
+            digit_neighbor = text[end].isdigit()
+        if not digit_neighbor:
+            out.append(m.group())
+    return out
+
+
+def find_dates(text: str, formats=None) -> list[str]:
+    """DateParser.findDates(text, formats...) (DateParser.java:185-198):
+    ordered format loop; every found date string is masked out of the
+    working text (replaceFirst with the date string AS A REGEX — faithful,
+    quirks included) before the next format runs."""
+    if formats is None:
+        formats = ALL_DATE_FORMATS
+    result = []
+    for fmt in formats:
+        for date_string in _find_dates_one(text, fmt):
+            try:
+                text = regex.sub(date_string, "x" * len(date_string), text, count=1)
+            except regex.error:
+                pass  # date string not a valid regex — Java would throw too
+            result.append(date_string)
+    return result
+
+
+def date_time_tag_full(text: str, formats=None):
+    """DateAndTimeTagger.getAnnotations (DateAndTimeTagger.java:42-59):
+    every literal occurrence index of every found date string becomes a
+    DATETIME annotation against the ORIGINAL text."""
+    from .tagging import Annotation, DATETIME_TAG
+
+    if formats is None:
+        formats = DEFAULT_TAGGER_FORMATS
+    annotations = []
+    for date_string in find_dates(text, formats):
+        last = 0
+        while (pos := text.find(date_string, last)) > -1:
+            annotations.append(Annotation(pos, date_string, DATETIME_TAG))
+            last = pos + 1
+    return annotations

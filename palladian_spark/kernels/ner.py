@@ -181,6 +181,9 @@ class TaggingSettings:
     fix_start_errors: bool = True
     unwrap_entities: bool = True
     unwrap_with_context: bool = True
+    # T14 augmentation (PalladianNerTaggingSettings.java:22-38, default off)
+    tag_urls: bool = False
+    tag_dates: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +468,8 @@ def tag_text(
     settings: TaggingSettings | None = None,
 ) -> list[Annotation]:
     """Full inference chain for one document (reference: getAnnotations
-    :459-473 with tagUrls=tagDates=false defaults).
+    :459-473; T14 URL/DATETIME augmentation behind settings.tag_urls /
+    settings.tag_dates, defaults false like the reference).
 
     Returns annotations tagged with the most likely category, nested spans
     removed.
@@ -480,6 +484,16 @@ def tag_text(
         for a, p in classified
         if _pick_most_likely(p) != NO_ENTITY  # T12 filter (:560)
     ]
+    # T14: union URI/DATETIME annotations before removeNested, so entity
+    # candidates nested inside a URL or date are suppressed (:461-471)
+    if settings.tag_urls:
+        from .tagging import url_tag
+
+        tagged.extend(url_tag(text))
+    if settings.tag_dates:
+        from .dateformats import date_time_tag_full
+
+        tagged.extend(date_time_tag_full(text))
     return remove_nested(tagged)  # T12 removeNested (:471)
 
 

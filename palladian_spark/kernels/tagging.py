@@ -136,14 +136,17 @@ def string_tag(text: str) -> list[Annotation]:
 _TWITTER_PATTERN = regex.compile(r"[@#]\w+")
 # Reference: extraction/entity/SmileyTagger.java:15-49
 _SMILEY_PATTERN = regex.compile(r":\)|:-\)|:\(|:-\(|;\)|;-\)|:-O|:O")
-# URL tagger: Daring-Fireball-derived pattern over common TLDs
-# (reference: UrlHelper.java:107-110; TLD list trimmed to frequent ones —
-# full IANA list is resource data, not semantics).
-_COMMON_TLDS = (
-    "com|org|net|edu|gov|mil|int|io|co|de|uk|fr|au|ca|cn|jp|ru|ch|it|nl|se|no|es|info|biz|dev|app|ai"
-)
+# URL tagger: Daring-Fireball-derived pattern (reference:
+# UrlHelper.java:105-110) over the FULL IANA TLD registry in the
+# reference's load order (kernels/tlds.py) — alternation order is part of
+# the matching preference, so it is preserved. Golden-gated against the
+# actual Java UrlTagger in tests/test_date_url_taggers.py.
+from .tlds import TOP_LEVEL_DOMAINS
+
 _URL_PATTERN = regex.compile(
-    r"\b(?:https?://)?([0-9a-zäöü-]{1,63}?\.)+(?:" + _COMMON_TLDS + r")"
+    r"\b(?:https?://)?([0-9a-zäöü-]{1,63}?\.)+(?:"
+    + "|".join(TOP_LEVEL_DOMAINS)
+    + r")"
     r"(?:[?/](?:\([^\s()<>\[\]\"']{0,255}\)|[^\s()<>\[\]\"']{0,255})+"
     r"(?:\([^\s()<>\[\]\"']{0,255}\)|[^\s.,;!?:()<>\[\]\"'])|/|\b)",
     regex.IGNORECASE,

@@ -265,10 +265,14 @@ def detect_sentences(text: str) -> list[tuple[int, str]]:
     the masked text and sentences are cut from the ORIGINAL text at those
     offsets. Returns (start_offset, sentence) pairs.
     """
-    from .tagging import date_tag, smiley_tag, url_tag
+    from .dateformats import DATES_WITH_DOTS, date_time_tag_full
+    from .tagging import smiley_tag, url_tag
 
     masked = list(text)
-    for a in url_tag(text) + date_tag(text) + smiley_tag(text):
+    # the reference masks with the dots-bearing date formats only
+    # (PalladianSentenceDetector.java:41-57)
+    date_annotations = date_time_tag_full(text, DATES_WITH_DOTS)
+    for a in url_tag(text) + date_annotations + smiley_tag(text):
         for i in range(a.start, a.end):
             masked[i] = "M"
     masked_text = "".join(masked)

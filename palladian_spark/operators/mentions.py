@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernels import tagging
+from ..kernels.dateformats import date_time_tag_full
 from .util import spread
 
 ANNOTATION_STRUCT = StructType(
@@ -35,7 +36,10 @@ ANNOTATION_STRUCT = StructType(
 _TAGGERS = {
     "candidates": tagging.string_tag,     # StringTagger.java:13-77
     "urls": tagging.url_tag,              # UrlTagger.java:13-24
-    "dates": tagging.date_tag,            # DateAndTimeTagger.java:25-61
+    # full DateAndTimeTagger.DEFAULT surface (DateAndTimeTagger.java:25-61,
+    # RegExp.ALL_DATE_FORMATS + years-in-context), golden-gated vs the
+    # actual Java tagger in tests/test_date_url_taggers.py
+    "dates": date_time_tag_full,
     "twitter": tagging.twitter_tag,       # TwitterTagger.java:16-23
     "smileys": tagging.smiley_tag,        # SmileyTagger.java:15-49
 }

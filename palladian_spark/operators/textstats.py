@@ -159,7 +159,8 @@ def structure_stats(
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    from ..kernels.tagging import date_tag, url_tag
+    from ..kernels.dateformats import date_time_tag_full as date_tag
+    from ..kernels.tagging import url_tag
     from ..kernels.text import detect_sentences
     from .util import spread
 

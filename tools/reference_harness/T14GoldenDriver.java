@@ -1,0 +1,31 @@
+import ws.palladian.core.Annotation;
+import ws.palladian.extraction.entity.tagger.PalladianNer;
+import ws.palladian.extraction.entity.tagger.PalladianNerTrainingSettings;
+
+import java.io.PrintWriter;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.Files;
+import java.nio.file.Paths;
+import java.util.List;
+
+/** Freeze reference T14 behavior: tag line-per-text fixtures with
+ * tagUrls=tagDates=true using a previously trained model. */
+public class T14GoldenDriver {
+    public static void main(String[] args) throws Exception {
+        String modelPath = args[0], textsPath = args[1], outPath = args[2];
+        PalladianNer ner = new PalladianNer(PalladianNerTrainingSettings.Builder.english().create());
+        ner.loadModel(modelPath);
+        ner.getTaggingSettings().setTagUrls(true);
+        ner.getTaggingSettings().setTagDates(true);
+        List<String> texts = Files.readAllLines(Paths.get(textsPath), StandardCharsets.UTF_8);
+        try (PrintWriter w = new PrintWriter(outPath, "UTF-8")) {
+            for (int i = 0; i < texts.size(); i++) {
+                if (texts.get(i).isEmpty()) continue;
+                for (Annotation a : ner.getAnnotations(texts.get(i))) {
+                    w.println(i + "\t" + a.getStartPosition() + "\t" + a.getValue() + "\t" + a.getTag());
+                }
+            }
+        }
+        System.out.println("done");
+    }
+}

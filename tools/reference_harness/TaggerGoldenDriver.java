@@ -1,0 +1,32 @@
+import ws.palladian.core.Annotation;
+import ws.palladian.extraction.entity.DateAndTimeTagger;
+import ws.palladian.extraction.entity.UrlTagger;
+
+import java.io.PrintWriter;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.Files;
+import java.nio.file.Paths;
+import java.util.List;
+
+/** Freeze reference DateAndTimeTagger.DEFAULT + UrlTagger outputs on a
+ * line-per-text fixture file: (line_no, start, value, tag) TSV. */
+public class TaggerGoldenDriver {
+    public static void main(String[] args) throws Exception {
+        List<String> texts = Files.readAllLines(Paths.get(args[0]), StandardCharsets.UTF_8);
+        DateAndTimeTagger dateTagger = DateAndTimeTagger.DEFAULT;
+        UrlTagger urlTagger = UrlTagger.INSTANCE;
+        try (PrintWriter w = new PrintWriter(args[1], "UTF-8")) {
+            for (int i = 0; i < texts.size(); i++) {
+                String text = texts.get(i);
+                if (text.isEmpty()) continue;
+                for (Annotation a : dateTagger.getAnnotations(text)) {
+                    w.println(i + "\t" + a.getStartPosition() + "\t" + a.getValue() + "\t" + a.getTag());
+                }
+                for (Annotation a : urlTagger.getAnnotations(text)) {
+                    w.println(i + "\t" + a.getStartPosition() + "\t" + a.getValue() + "\t" + a.getTag());
+                }
+            }
+        }
+        System.out.println("done: " + texts.size() + " texts");
+    }
+}
