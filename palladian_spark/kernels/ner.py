@@ -227,6 +227,52 @@ def build_entity_dictionary(annotations: list[Annotation], min_count: int = 1) -
     return model
 
 
+def set_entity_dictionary(model: NerModel, dictionary_text: str, min_count: int = 1) -> None:
+    """Seed the model from a gazetteer file (PalladianNer.setEntityDictionary
+    :279-296): first line = concept importance order separated by '>'
+    (e.g. ``per>org>city``), every further line ``CONCEPT###ENTITY``.
+    Ambiguous candidates then resolve to the earliest listed concept with
+    nonzero probability (:522-530, kernels consumption in _post_process).
+    """
+    lines = dictionary_text.splitlines()
+    if not lines:
+        return
+    model.concept_likelihood_order = lines[0].split(">")
+    dictionary = DictionaryModel()
+    for line in lines[1:]:
+        parts = line.split("###")
+        if len(parts) == 2:
+            dictionary.add_document([parts[1]], parts[0])
+    dictionary.prune_min_count(min_count)
+    model.entity_dictionary = dictionary
+    model._entity_values_ci = None  # invalidate the case-insensitive cache
+
+
+def train_from_annotations(annotations: list[Annotation], min_count: int = 1) -> NerModel:
+    """Annotation-only training mode — no corpus file, entity + annotation
+    dictionaries only (PalladianNer.train(List<Annotation>) :320-325)."""
+    model = NerModel()
+    model.entity_dictionary = build_entity_dictionary(annotations, min_count)
+    model.annotation_dictionary = build_annotation_dictionary(annotations, min_count)
+    return model
+
+
+def equalize_type_counts(annotations: list[Annotation]) -> list[Annotation]:
+    """Per-tag downsample to the rarest tag's count (trainEnglish
+    :390-404). The reference samples RANDOMLY (MathHelper.sample, unseeded
+    Random — nondeterministic run to run); this port takes the first N per
+    tag in (start, value) order so training is reproducible. The
+    distributed twin uses the same ordering (Window row_number)."""
+    by_tag: dict[str, list[Annotation]] = {}
+    for a in annotations:
+        by_tag.setdefault(a.tag, []).append(a)
+    min_count = min(len(v) for v in by_tag.values())
+    out: list[Annotation] = []
+    for tag in by_tag:
+        out.extend(sorted(by_tag[tag], key=sort_key)[:min_count])
+    return sorted(out, key=sort_key)
+
+
 def build_annotation_dictionary(
     annotations: list[Annotation], min_count: int = 1
 ) -> DictionaryModel:
@@ -535,18 +581,23 @@ def train_english(
     column_text: str,
     min_count: int = 1,
     complete_retraining: bool = True,
+    equalize: bool = False,
 ) -> NerModel:
     """Train on a CoNLL column corpus (reference: trainEnglish :381-438).
 
     Complete mode runs the tagger on the training text, mines ERROR1
     annotations into NO_ENTITY negatives + a removal blacklist, and rebuilds
-    the annotation dictionary (:418-436).
+    the annotation dictionary (:418-436). ``equalize`` applies the
+    per-tag downsample before any dictionary is built (:390-404,
+    Builder.equalizeTypeCounts; default off like the reference).
     """
     from .evaluation import ERROR1, evaluate
     from .fileformats import get_annotations_from_column, get_text_from_column
 
     text = get_text_from_column(column_text)
     file_annotations = get_annotations_from_column(column_text)
+    if equalize:
+        file_annotations = equalize_type_counts(file_annotations)
 
     model = NerModel()
     model.lower_case_dictionary = build_case_dictionary(text)

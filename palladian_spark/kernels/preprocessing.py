@@ -1,0 +1,191 @@
+"""EntityPreprocessingTagger: recall-oriented candidate fixups on top of
+the StringTagger — lowercase-ratio filtering / sliding-cut offset
+correction at sentence starts, plus splitting of long candidates.
+
+Reference: extraction/location/EntityPreprocessingTagger.java:36-287;
+goldens ported from EntityPreprocessingTaggerTest.java (41-annotation
+testText fixture, issue-294 short-phrase guard, capitalization
+corrections, 9-part long-annotation split).
+"""
+
+from __future__ import annotations
+
+import regex
+
+from .tagging import Annotation, CANDIDATE_TAG, string_tag
+
+# Java String.matches(): FULL match, '.' does not cross newlines
+_WITHIN_SENTENCE = regex.compile(r".*[A-Za-z0-9,]+\s")
+_QUOTE_MAP = [("[„“”»«]", '"'), ("[’‘]", "'"), ("[–—]", "-")]
+# StringHelper.trim's unwanted leading characters (StringHelper.java:974-975)
+_TRIM_UNWANTED = set(",.:;!|?¬  #-'\"*/\\@<>=·^_+»ￂ•”“´`¯~®™○")
+
+
+def load_case_dictionary(lines, lowercase_threshold: float) -> dict[str, float]:
+    """token -> lowercase/uppercase ratio, keeping ratios >= threshold
+    (EntityPreprocessingTagger.loadCaseDictionary :75-90; CSV columns
+    token\\tlowercase_count\\tuppercase_count)."""
+    result: dict[str, float] = {}
+    for line in lines:
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) < 3:
+            continue
+        try:
+            ratio = float(parts[1]) / float(parts[2])
+        except (ValueError, ZeroDivisionError):
+            # Java Double division by zero gives Infinity, not an error
+            try:
+                ratio = float("inf") if float(parts[1]) > 0 else float("nan")
+            except ValueError:
+                continue
+        if ratio >= lowercase_threshold:
+            result[parts[0]] = ratio
+    return result
+
+
+def normalize_quotes(text: str) -> str:
+    """StringHelper.normalizeQuotes (:2033-2038)."""
+    for pattern, repl in _QUOTE_MAP:
+        text = regex.sub(pattern, repl, text)
+    return text
+
+
+def _starts_uppercase(value: str) -> bool:
+    """StringHelper.startsUppercase via the custom trim (:842-845): strip
+    the unwanted punctuation/whitespace set from both ends first."""
+    s = value.strip()
+    while s and (s[0] in _TRIM_UNWANTED or s[0].isspace()):
+        s = s[1:]
+    return bool(s) and s[0].isupper()
+
+
+class EntityPreprocessingTagger:
+    """Port of the reference tagger; case dictionary injected as parsed
+    lines (the reference reads its caseDictionary.csv resource)."""
+
+    def __init__(
+        self,
+        case_dictionary_lines,
+        lowercase_threshold: float = 2.0,
+        long_annotation_split: int = 0,
+    ):
+        self.case_dictionary = load_case_dictionary(
+            case_dictionary_lines, lowercase_threshold
+        )
+        self.lowercase_threshold = lowercase_threshold
+        self.long_annotation_split = long_annotation_split
+
+    def _lowercase_ratio(self, value: str) -> float:
+        return self.case_dictionary.get(value.lower(), 0.0)
+
+    @staticmethod
+    def _is_within_sentence(text: str, annotation: Annotation) -> bool:
+        start = annotation.start
+        return bool(_WITHIN_SENTENCE.fullmatch(text[max(0, start - 10) : start]))
+
+    def get_annotations(self, text: str) -> list[Annotation]:
+        """Filter/correct StringTagger candidates (:91-170)."""
+        annotations = string_tag(text)
+        fixed: list[Annotation] = []
+
+        in_sentence = {
+            a.value
+            for a in annotations
+            if self._is_within_sentence(text, a)
+        }
+        in_sentence = {
+            v for v in in_sentence if self._lowercase_ratio(v) <= self.lowercase_threshold
+        }
+        if not in_sentence:  # no sentences at all -> nothing to fix (#294)
+            return list(annotations)
+
+        for annotation in annotations:
+            value = annotation.value
+            if self._is_within_sentence(text, annotation):
+                fixed.append(annotation)
+                continue
+            if value in in_sentence:
+                fixed.append(annotation)
+                continue
+            parts = regex.split(r"\s", value)
+            if len(parts) == 1:
+                if self._lowercase_ratio(value) > self.lowercase_threshold:
+                    continue  # drop lowercase-dominant single token
+            else:
+                # sliding cut: strip leading lowercase-dominant tokens
+                offset_cut = 0
+                new_value = value
+                for token in parts:
+                    if self._lowercase_ratio(token) <= self.lowercase_threshold:
+                        break
+                    offset_cut += len(token) + 1
+                    if offset_cut >= len(value):
+                        break
+                    new_value = value[offset_cut:]
+                    if new_value in in_sentence:
+                        break
+                if offset_cut >= len(value):
+                    continue  # drop completely
+                if offset_cut > 0:
+                    fixed.append(
+                        Annotation(annotation.start + offset_cut, new_value, annotation.tag)
+                    )
+                    continue
+            fixed.append(annotation)
+
+        if self.long_annotation_split > 0:
+            fixed.extend(
+                self.get_long_annotation_split(fixed, self.long_annotation_split)
+            )
+        return fixed
+
+    def get_long_annotation_split(
+        self, annotations: list[Annotation], length: int
+    ) -> list[Annotation]:
+        """Additional sub-annotations for long candidates (:180-224): split
+        on lowercase-dominant tokens, plus '-'/'&' part splits."""
+        split_annotations: list[Annotation] = []
+        for annotation in annotations:
+            parts = regex.split(r"\s", annotation.value)
+            if len(parts) >= length:
+                cumulated: list[str] = []
+                for token in parts:
+                    if self._lowercase_ratio(token) < self.lowercase_threshold:
+                        cumulated.append(token)
+                    elif cumulated:
+                        value = " ".join(cumulated)
+                        if len(value) > 1:
+                            start = annotation.start + annotation.value.index(value)
+                            split_annotations.append(
+                                Annotation(start, value, CANDIDATE_TAG)
+                            )
+                        cumulated = []
+                if cumulated:
+                    value = " ".join(cumulated)
+                    if value != annotation.value and len(value) > 1:
+                        start = annotation.start + annotation.value.index(value)
+                        split_annotations.append(Annotation(start, value, CANDIDATE_TAG))
+            temp = normalize_quotes(annotation.value)
+            if "-" in temp or "&" in temp:
+                for part in regex.split("[-&]", temp):
+                    trimmed = part.strip()
+                    if _starts_uppercase(trimmed):
+                        start = annotation.start + annotation.value.index(trimmed)
+                        split_annotations.append(
+                            Annotation(start, trimmed, CANDIDATE_TAG)
+                        )
+        return split_annotations
+
+    def correct_capitalization(self, value: str) -> str:
+        """Lowercase words whose corpus usage is lowercase-dominant
+        (:258-283); keeps a final period intact."""
+        parts = regex.split(r"\s", value)
+        out: list[str] = []
+        for i, part in enumerate(parts):
+            temp = part
+            if i == len(parts) - 1 and part.endswith("."):
+                temp = part[:-1]
+            if self._lowercase_ratio(temp) > self.lowercase_threshold:
+                part = part.lower()
+            out.append(part)
+        return " ".join(out)

@@ -203,10 +203,62 @@ def _collect_gram_dictionary(exploded: DataFrame, feature_setting) -> Dictionary
     return entries, term_counts
 
 
+def set_entity_dictionary_from_df(
+    model: NerModel,
+    seed_df: DataFrame,
+    concept_likelihood_order: list[str] | None = None,
+    min_count: int = 1,
+) -> NerModel:
+    """Distributed twin of PalladianNer.setEntityDictionary (:279-296):
+    seed the entity dictionary from a (concept, entity) DataFrame — e.g. a
+    parquet gazetteer with millions of rows. One hash aggregate; only the
+    final (entity, concept, count) table is collected into the
+    broadcastable model. Concept order resolves ambiguous candidates
+    (earliest listed concept wins, :522-530)."""
+    from ..kernels.classifier import DictionaryModel
+
+    rows = (
+        seed_df.groupBy(F.col("entity").alias("term"), F.col("concept").alias("tag"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    dictionary = DictionaryModel()
+    for r in sorted(rows, key=lambda r: (r["term"], r["tag"])):
+        dictionary.add_document([r["term"]], r["tag"], weight=r["cnt"])
+    dictionary.prune_min_count(min_count)
+    model.entity_dictionary = dictionary
+    model.concept_likelihood_order = concept_likelihood_order
+    model._entity_values_ci = None
+    return model
+
+
+def equalize_annotations(ann: DataFrame) -> DataFrame:
+    """Distributed twin of the trainEnglish equalizeTypeCounts sampling
+    (:390-404): downsample every tag to the rarest tag's count. The
+    reference samples with an unseeded Random; this twin (like the local
+    kernel) takes the first N per tag in (start, value) order via a window
+    rank, so training is deterministic and both paths agree."""
+    from pyspark.sql.window import Window
+
+    min_count = (
+        ann.groupBy("tag")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+        .collect()[0]["m"]
+    )
+    w = Window.partitionBy("tag").orderBy("start", "value", "doc_id")
+    return (
+        ann.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= min_count)
+        .drop("_rn")
+    )
+
+
 def train_ner(
     gold_df: DataFrame,
     min_count: int = 1,
     complete_retraining: bool = True,
+    equalize: bool = False,
 ) -> NerModel:
     """Train over (doc_id, text, annotations) rows — distributed twin of
     PalladianNer.trainEnglish (:381-438).
@@ -225,7 +277,10 @@ def train_ner(
         F.col("a.start").alias("start"),
         F.col("a.value").alias("value"),
         F.col("a.tag").alias("tag"),
-    ).persist()
+    )
+    if equalize:
+        ann = equalize_annotations(ann)
+    ann = ann.persist()
 
     # --- entity dictionary: groupBy(value, tag).count (:326-333)
     ent_rows = (

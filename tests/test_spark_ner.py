@@ -122,3 +122,58 @@ def test_distributed_evaluation_matches_kernel(spark):
     assert spark_result.assignments == kernel_result.assignments
     assert spark_result.precision("EXACT_MATCH") == kernel_result.precision("EXACT_MATCH")
     assert spark_result.recall("MUC") == kernel_result.recall("MUC")
+
+
+def test_equalize_parity_local_vs_distributed(spark, gold_doc):
+    """equalize_type_counts (kernel) and equalize_annotations (Window
+    twin) must keep the identical annotation subset (trainEnglish
+    :390-404; both use deterministic (start, value) order, not the
+    reference's unseeded Random)."""
+    from palladian_spark.operators.ner_pipeline import equalize_annotations
+
+    text, annotations = gold_doc
+    local = kner.equalize_type_counts(annotations)
+    counts = {}
+    for a in local:
+        counts[a.tag] = counts.get(a.tag, 0) + 1
+    assert len(set(counts.values())) == 1  # all tags equal
+
+    rows = [("d0", a.start, a.value, a.tag) for a in annotations]
+    ann_df = spark.createDataFrame(rows, ["doc_id", "start", "value", "tag"])
+    dist = {(r["start"], r["value"], r["tag"])
+            for r in equalize_annotations(ann_df).collect()}
+    assert dist == {(a.start, a.value, a.tag) for a in local}
+
+
+def test_seeded_entity_dictionary_tagging(spark, gold_doc, kernel_model):
+    """setEntityDictionary (:279-296): a CONCEPT###ENTITY gazetteer with a
+    concept order seeds the model; ambiguous values resolve to the
+    earliest listed concept, and seeded tagging picks up dictionary
+    entities. Local loader and DataFrame twin must agree."""
+    import copy
+
+    from palladian_spark.operators.ner_pipeline import (
+        set_entity_dictionary_from_df,
+    )
+
+    gazetteer = "PER>LOC>ORG\nLOC###Berlin\nPER###Berlin\nLOC###Paris\nORG###World Bank"
+    m1 = copy.deepcopy(kernel_model)
+    kner.set_entity_dictionary(m1, gazetteer)
+    assert m1.concept_likelihood_order == ["PER", "LOC", "ORG"]
+    assert m1.entity_categories("Berlin") == {"LOC": 1, "PER": 1}
+
+    rows = [("LOC", "Berlin"), ("PER", "Berlin"), ("LOC", "Paris"), ("ORG", "World Bank")]
+    seed_df = spark.createDataFrame(rows, ["concept", "entity"])
+    m2 = copy.deepcopy(kernel_model)
+    set_entity_dictionary_from_df(m2, seed_df, ["PER", "LOC", "ORG"])
+    assert m2.entity_dictionary.entries == m1.entity_dictionary.entries
+    assert m2.concept_likelihood_order == m1.concept_likelihood_order
+
+    # the concept order is consumed at tag time: Berlin is ambiguous
+    # (PER|LOC) in the seeded dictionary, and PER precedes LOC in the
+    # order, so the dictionary switch must prefer PER
+    text, _ = gold_doc
+    tags1 = {(a.value, a.tag) for a in kner.tag_text(text, m1)}
+    tags2 = {(a.value, a.tag) for a in kner.tag_text(text, m2)}
+    assert tags1 == tags2
+    assert ("Berlin", "PER") in tags1
