@@ -416,8 +416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return classify_documents_relational(_read(spark, sf_dir, "documents"))
 
-    # ---- multimodal plumbing (stub decode; rows-only) ----
+    # ---- multimodal: REAL PNG decode (stdlib codec), oracled ----
     def media_features(spark, sf_dir):
+        # synthesize_media_table encodes a real PNG whose dimensions are a
+        # pure function of doc_id; image_features must DECODE those bytes
+        # (stdlib PNG codec, interop-tested vs Java ImageIO), so the SQL
+        # oracle predicting the dimensions verifies the decode end-to-end.
         from palladian_spark.operators.multimodal import (
             image_features,
             synthesize_media_table,
@@ -663,6 +667,12 @@ def oracle_sql() -> dict[str, str]:
         # snapshots at sf0.01 (tools/freeze_fixtures.py) whose *semantics*
         # are pinned by the reference goldens in pytest; the oracle check
         # then guards regressions at full row/value granularity.
+        "media_features": """
+            select 'm' || doc_id as media_id,
+                   (16 + doc_id % 32)::int as width,
+                   (12 + (doc_id * 7) % 24)::int as height
+            from documents
+        """,
         "string_tagger_candidates": """
             select * from
             '/root/repo/tests/fixtures/oracle/string_tagger_candidates_sf001.parquet'

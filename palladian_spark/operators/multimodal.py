@@ -1,11 +1,10 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
+"""Multimodal column operators: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode kernels are STUBS (this container has no image/audio libraries):
-`_decode_image`/`_decode_audio` produce deterministic fake tensors derived
-from the bytes, so the Spark-side plumbing — schema, batch iteration,
-partitioning, UDF signatures — is real and tested, and swapping in a real
-decoder (PIL/librosa) is a one-function change.
+Image decode is REAL: PIL when available, else the pure-stdlib PNG codec
+(kernels/png.py, interop-proven against Java ImageIO output). Video frame
+sampling remains a disclosed stub for the chunking step only (no container
+demuxer in this environment) — its mapInPandas fan-out shape is real.
 """
 
 from __future__ import annotations
@@ -19,12 +18,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from ..kernels.png import decode_png, encode_png, is_png
+
+try:  # pragma: no cover - exercised only where pillow exists
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 IMAGE_FEATURE_SCHEMA = StructType(
     [
@@ -37,18 +45,20 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 
 def _decode_image(data: bytes) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-image from the byte content.
-
-    Replace with `PIL.Image.open(io.BytesIO(data))` when pillow is
-    available; raises for empty payloads like a real decoder would.
-    """
+    """Real image decode: PNG via the stdlib codec; other formats via PIL
+    when installed; unsupported payloads raise like any decoder would."""
     if not data:
         raise ValueError("empty image payload")
-    digest = hashlib.sha256(data).digest()
-    side = 16 + digest[0] % 48  # fake 16..63 square
-    rng = np.frombuffer((digest * ((side * side * 3) // len(digest) + 1))[: side * side * 3],
-                        dtype=np.uint8)
-    return rng.reshape(side, side, 3)
+    if is_png(data):
+        img = decode_png(data)
+        if img.shape[2] == 1:  # grayscale -> RGB for a uniform feature shape
+            img = np.repeat(img, 3, axis=2)
+        return img[:, :, :3]
+    if _PILImage is not None:
+        import io
+
+        return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
+    raise ValueError("unsupported image format (no PIL in this environment)")
 
 
 def _resize(img: np.ndarray, size: int = 8) -> np.ndarray:
@@ -65,7 +75,7 @@ def image_features(
     id_col: str = "media_id",
     feat_size: int = 8,
 ) -> DataFrame:
-    """binary media column -> (media_id, width, height, feature[64*3]).
+    """binary media column -> (media_id, width, height, feature[size²*3]).
 
     mapInPandas so each Arrow batch is decoded in one Python hop; bad
     payloads are skipped (filter semantics), not failed — at 10^12 rows a
@@ -77,7 +87,7 @@ def image_features(
             for media_id, data in zip(pdf[id_col], pdf[media_col]):
                 try:
                     img = _decode_image(bytes(data) if data is not None else b"")
-                except (ValueError, TypeError):
+                except ValueError:
                     continue
                 small = _resize(img, feat_size).astype(np.float32) / 255.0
                 rows.append(
@@ -125,12 +135,44 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(process, FRAME_SCHEMA)
 
 
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("media", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
 def synthesize_media_table(spark, documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic fake media table derived from document texts (test
-    input for the plumbing; binary column + typed metadata)."""
-    return documents.select(
+    """Deterministic REAL-PNG media table derived from doc ids: image
+    dimensions are pure functions of doc_id (width = 16 + doc_id % 32,
+    height = 12 + doc_id * 7 % 24), so a SQL oracle can predict exactly
+    what a correct decode must report; pixel content is a deterministic
+    gradient. Encoded per Arrow batch via the stdlib codec."""
+
+    @F.pandas_udf(BinaryType())
+    def _png(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            d = int(doc_id)
+            w, h = 16 + d % 32, 12 + (d * 7) % 24
+            ys, xs = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xs * 3 + d) % 256,
+                    (ys * 5 + d * 11) % 256,
+                    (xs + ys + d * 7) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    media = documents.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
-        F.encode(F.col(text_col), "utf-8").alias("media"),
-        F.lit("image/fake").alias("mime"),
-        F.length(F.col(text_col)).alias("n_bytes"),
+        _png(F.col("doc_id")).alias("media"),
+        F.lit("image/png").alias("mime"),
     )
+    return media.withColumn("n_bytes", F.length("media").cast("long"))

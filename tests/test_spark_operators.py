@@ -228,9 +228,14 @@ def test_multimodal_plumbing(spark, docs):
     feats = image_features(media).collect()
     assert len(feats) == 5
     assert all(len(r["feature"]) == 8 * 8 * 3 for r in feats)
-    # deterministic: identical payloads -> identical features
-    by_id = {r["media_id"]: r["feature"] for r in feats}
-    assert by_id["m1"] == by_id["m2"]
+    # REAL decode: reported dimensions must match the synthesis formula
+    # (width = 16 + doc_id % 32, height = 12 + doc_id*7 % 24)
+    for r in feats:
+        d = int(r["media_id"][1:])
+        assert (r["width"], r["height"]) == (16 + d % 32, 12 + d * 7 % 24)
+    # deterministic: a second run yields identical features
+    again = {r["media_id"]: r["feature"] for r in image_features(media).collect()}
+    assert again == {r["media_id"]: r["feature"] for r in feats}
 
     big = spark.createDataFrame(
         [("v1", bytearray(b"x" * 50000))], ["media_id", "media"]

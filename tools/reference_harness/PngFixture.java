@@ -1,0 +1,20 @@
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+
+/** Deterministic RGB test PNG via the JDK's own encoder (independent
+ * implementation for interop-testing the pure-Python decoder). */
+public class PngFixture {
+    public static void main(String[] args) throws Exception {
+        int w = 37, h = 23;
+        BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int r = (x * 7 + y * 13) % 256, g = (x * x + y) % 256, b = (255 - x * 3 + y * y) % 256;
+                if (b < 0) b += 256;
+                img.setRGB(x, y, (r << 16) | (g << 8) | b);
+            }
+        ImageIO.write(img, "png", new File(args[0]));
+        System.out.println("wrote " + args[0]);
+    }
+}
