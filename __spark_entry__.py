@@ -54,6 +54,9 @@ GAZETTEER = {
 
 _CAP_WORDS = ["spark", "vector", "stream", "table", "customer", "window"]
 
+# term set for the scoped co-occurrence queries (substring semantics)
+_COOC_TERMS = ["filter", "join", "row", "spark", "table", "vector"]
+
 # AnnotationRuleEngine fixture rules (reference grammar,
 # AnnotationRuleEngine.java:140-193): `X |` = suffix rule, matches the
 # 1-token LEFT context of a mention; CLASSIFY_THIS labels that mention.
@@ -211,6 +214,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(F.col("a.value").alias("subj"), F.col("b.value").alias("obj"))
             .agg(F.count("*").alias("support"))
         )
+
+    def doc_cooccur_sentence(spark, sf_dir):
+        # SENTENCE scope (CoOccurrenceRetriever.java:122-133) over the
+        # sentence-bearing derived corpus (same derivation as
+        # doc_structure); substring containment per reference semantics.
+        from palladian_spark.operators.cooccurrence import (
+            SENTENCE,
+            scoped_cooccurrences,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        derived = docs.select(
+            "doc_id",
+            F.concat(
+                F.regexp_replace("text", " the ", ". The "),
+                F.lit(". Done"),
+            ).alias("text"),
+        )
+        return scoped_cooccurrences(derived, _COOC_TERMS, scope=SENTENCE)
+
+    def doc_cooccur_window(spark, sf_dir):
+        # CONTEXT_200_CHARS scope (CoOccurrenceRetriever.java:135-152):
+        # count of `a.{0,200}b` + `b.{0,200}a` regex matches.
+        from palladian_spark.operators.cooccurrence import (
+            CONTEXT_WINDOW,
+            scoped_cooccurrences,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        return scoped_cooccurrences(docs, _COOC_TERMS, scope=CONTEXT_WINDOW, window=200)
 
     # ---- full KG triples (north-rule pipeline; rows-only) ----
     def kg_triples(spark, sf_dir):
@@ -443,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
         doc_cooccur=doc_cooccur,
+        doc_cooccur_sentence=doc_cooccur_sentence,
+        doc_cooccur_window=doc_cooccur_window,
         kg_triples=kg_triples,
         canonicalize_mentions=canonicalize_mentions,
         ann_topk=ann_topk,
@@ -700,6 +735,40 @@ def oracle_sql() -> dict[str, str]:
             from pres a join pres b
               on a.doc_id = b.doc_id and a.value < b.value
             group by 1, 2
+        """,
+        "doc_cooccur_sentence": f"""
+            with derived as (
+              select doc_id,
+                     regexp_replace(text, ' the ', '. The ', 'g') || '. Done' as text
+              from documents),
+            sent as (
+              select doc_id,
+                     generate_subscripts(regexp_split_to_array(text, '\\. '), 1) as sent_idx,
+                     unnest(regexp_split_to_array(text, '\\. ')) as s
+              from derived),
+            pres as (
+              select doc_id, sent_idx, t.term
+              from sent, (values {", ".join(f"('{t}')" for t in _COOC_TERMS)}) t(term)
+              where contains(s, t.term))
+            select a.term as term_a, b.term as term_b, count(*)::bigint as n
+            from pres a join pres b
+              on a.doc_id = b.doc_id and a.sent_idx = b.sent_idx and a.term < b.term
+            group by 1, 2
+        """,
+        "doc_cooccur_window": f"""
+            with pairs as (
+              select a.term as term_a, b.term as term_b
+              from (values {", ".join(f"('{t}')" for t in _COOC_TERMS)}) a(term),
+                   (values {", ".join(f"('{t}')" for t in _COOC_TERMS)}) b(term)
+              where a.term < b.term),
+            counts as (
+              select p.term_a, p.term_b,
+                     len(regexp_extract_all(d.text, p.term_a || '.{{0,200}}' || p.term_b))
+                     + len(regexp_extract_all(d.text, p.term_b || '.{{0,200}}' || p.term_a))
+                         as c
+              from pairs p cross join documents d)
+            select term_a, term_b, sum(c)::bigint as n
+            from counts group by 1, 2 having sum(c) > 0
         """,
         "ann_topk": """
             with q as (select vec_id as qid, embedding::DOUBLE[] as qv

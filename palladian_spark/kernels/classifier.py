@@ -27,6 +27,10 @@ class FeatureSetting:
     max_term_length: int = 20
     case_sensitive: bool = False
     character_padding: bool = False
+    # word-mode options (FeatureSetting.java:125-135, all default off)
+    create_skip_grams: bool = False
+    remove_stopwords: bool = False
+    stem: bool = False
 
 
 # NER settings (reference: PalladianNerTrainingSettings.java:83-88)
@@ -42,7 +46,20 @@ def preprocess(text: str, fs: FeatureSetting) -> list[str]:
         return char_ngrams(content, fs.min_ngram, fs.max_ngram, fs.character_padding)
     tokens = [v for _, v in iterate_tokens(content)]
     grams = word_ngrams(tokens, fs.min_ngram, fs.max_ngram)
-    return [g for g in grams if fs.min_term_length <= len(g) <= fs.max_term_length]
+    if fs.create_skip_grams:
+        from .text import skip_grams
+
+        grams = skip_grams(grams)
+    grams = [g for g in grams if fs.min_term_length <= len(g) <= fs.max_term_length]
+    if fs.remove_stopwords:
+        from .morphology import StopWordRemover
+
+        grams = list(filter(StopWordRemover(), grams))
+    if fs.stem:
+        from .morphology import Stemmer
+
+        grams = [Stemmer()(g) for g in grams]
+    return grams
 
 
 @dataclass

@@ -1,0 +1,313 @@
+"""Term-normalization kernels: WordTransformer (English plural <-> singular),
+StopWordRemover, and a Porter stemmer.
+
+References: semantics/WordTransformer.java:196-478 (rule order and the
+quirky ves-handling preserved exactly; unit goldens from
+WordTransformerTest.java), extraction/feature/StopWordRemover.java:26-160
+with StringHelper.removeWord/replaceWord boundary semantics
+(StringHelper.java:555-622). The stemmer deviates by design: the reference
+wraps the snowball-stemmer jar (English Snowball/Porter2), unavailable
+here, so this is the classic Porter (1980) algorithm — both are public
+specifications; stemming is default-OFF in every reference pipeline
+(FeatureSetting), so no golden-tested path depends on the variant.
+"""
+
+from __future__ import annotations
+
+import regex
+
+from .irregular_nouns import IRREGULAR_NOUN_PAIRS
+from .stopwords_en import STOPWORDS_EN
+from .stopwords_en_small import STOPWORDS_EN_SMALL
+
+# singular -> plural and plural -> singular (last-wins on duplicates, like
+# the reference's line-ordered HashMap puts)
+SINGULAR_TO_PLURAL = {s: p for p, s in IRREGULAR_NOUN_PAIRS}
+PLURAL_TO_SINGULAR = {p: s for p, s in IRREGULAR_NOUN_PAIRS}
+_ALL_PLURALS = set(PLURAL_TO_SINGULAR)
+
+_VOWELS = set("aeiouAEIOU")
+
+
+def _is_vowel(ch: str) -> bool:
+    return ch in _VOWELS
+
+
+def _upper_first(s: str) -> str:
+    return s[:1].upper() + s[1:] if s else s
+
+
+def word_to_singular_english(plural_form: str) -> str:
+    """WordTransformer.wordToSingularEnglish (:215-277), rule order exact."""
+    if plural_form is None:
+        return ""
+    plural = plural_form
+    singular = plural
+
+    if plural in _ALL_PLURALS:  # containsValue on the irregular map
+        singular = PLURAL_TO_SINGULAR[singular]
+        if plural[:1].isupper():
+            singular = _upper_first(singular)
+        return singular
+
+    if len(singular) < 4:
+        return singular
+
+    if plural.lower().endswith("ices"):
+        return plural[:-4] + "ix"
+    if plural.lower().endswith("ies"):
+        return plural[:-3] + "y"
+    if plural.lower().endswith("ves"):
+        letter_before_ves = plural[-3]
+        plural = plural[:-3] + "f"
+        if not _is_vowel(letter_before_ves) and _is_vowel(plural[-2]):
+            plural += "e"
+        return plural
+    if plural.lower().endswith("es") and len(plural) >= 5:
+        letters_before_es = plural[-4:-2]
+        letter_before_es = letters_before_es[1]
+        if (
+            letters_before_es.lower() in ("ss", "ch", "sh")
+            or letter_before_es.lower() == "x"
+            or _is_vowel(letter_before_es)
+        ):
+            return plural[:-2]
+    if plural.lower().endswith("s"):
+        return plural[:-1]
+    return plural
+
+
+def word_to_plural_english(singular: str) -> str:
+    """WordTransformer.wordToPluralEnglish(CaseSensitive) (:398-478)."""
+    if singular is None:
+        return ""
+    lowercase_singular = singular.lower()
+
+    prefix = ""
+    parts = lowercase_singular.split(" ")
+    if len(parts) > 1:
+        lowercase_singular = parts[-1]
+        prefix = " ".join(parts[:-1]) + " "
+
+    if lowercase_singular in SINGULAR_TO_PLURAL:
+        plural_word = SINGULAR_TO_PLURAL[lowercase_singular]
+        return prefix + plural_word
+
+    if len(lowercase_singular) < 3:
+        return prefix + lowercase_singular
+
+    last = lowercase_singular[-1]
+    last_two = lowercase_singular[-2:]
+
+    if last_two in ("ay", "ey", "iy", "oy", "uy"):
+        return prefix + lowercase_singular + "s"
+    if last == "y":
+        return prefix + lowercase_singular[:-1] + "ies"
+    if last_two == "is":
+        return prefix + lowercase_singular[:-2] + "es"
+    if last in ("s", "z", "x") or last_two in ("ch", "sh"):
+        return prefix + lowercase_singular + "es"
+    return prefix + lowercase_singular + "s"
+
+
+# ---------------------------------------------------------------------------
+# Stop words
+# ---------------------------------------------------------------------------
+_MULTI_SPACE = regex.compile("[ ]{2,10}")
+
+
+def _is_word_char(ch: str) -> bool:
+    """Letter, digit, or dash punctuation (StringHelper.java:598-606)."""
+    return ch.isalpha() or ch.isdigit() or regex.match(r"\p{Pd}", ch) is not None
+
+
+def replace_word(word: str, replacement: str, text: str) -> str:
+    """Case-insensitive whole-word replace (StringHelper.replaceWord
+    :577-622): boundaries are non-letter/digit/dash characters."""
+    if not word:
+        return text
+    word = word.lower()
+    text_lc = text.lower()
+    old_index = 0
+    while True:
+        index = text_lc.find(word, old_index)
+        if index == -1:
+            return text
+        old_index = index + len(word)
+        left = index == 0 or not _is_word_char(text_lc[index - 1])
+        end = index + len(word)
+        right = end == len(text_lc) or not _is_word_char(text_lc[end])
+        if left and right:
+            text = text[:index] + replacement + text[old_index:]
+            text_lc = text.lower()
+            old_index = index + len(replacement)
+
+
+def remove_word(word: str, text: str) -> str:
+    """StringHelper.removeWord (:555-557): whole-word cut + whitespace
+    collapse (2-10 spaces -> 1)."""
+    return _MULTI_SPACE.sub(" ", replace_word(word, "", text))
+
+
+class StopWordRemover:
+    """StopWordRemover.java:26-160; English word lists shipped as data
+    modules (kernels/stopwords_en*.py), custom lists injectable."""
+
+    def __init__(self, stopwords=None, small: bool = False):
+        if stopwords is not None:
+            self.stopwords = {w.lower() for w in stopwords}
+        else:
+            self.stopwords = set(STOPWORDS_EN_SMALL if small else STOPWORDS_EN)
+
+    def is_stop_word(self, word: str) -> bool:
+        return word.lower() in self.stopwords
+
+    def __call__(self, word: str) -> bool:
+        """Predicate semantics: True = KEEP (not a stop word)."""
+        return not self.is_stop_word(word)
+
+    def remove_stop_words(self, text: str) -> str:
+        for stop_word in self.stopwords:
+            text = remove_word(stop_word, text)
+        return text
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (1980 algorithm, public specification)
+# ---------------------------------------------------------------------------
+def _porter_is_consonant(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in "aeiou":
+        return False
+    if ch == "y":
+        return i == 0 or not _porter_is_consonant(word, i - 1)
+    return True
+
+
+def _porter_measure(stem: str) -> int:
+    """Number of VC sequences."""
+    forms = "".join(
+        "c" if _porter_is_consonant(stem, i) else "v" for i in range(len(stem))
+    )
+    return forms.count("vc")
+
+
+def _contains_vowel(stem: str) -> bool:
+    return any(not _porter_is_consonant(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_consonant(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _porter_is_consonant(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _porter_is_consonant(word, len(word) - 3)
+        and not _porter_is_consonant(word, len(word) - 2)
+        and _porter_is_consonant(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement", "ment",
+    "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Classic Porter stemmer; lowercase input expected."""
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _porter_measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _contains_vowel(w[:-2]):
+        w = w[:-2]
+        flag_1b = True
+    elif w.endswith("ing") and _contains_vowel(w[:-3]):
+        w = w[:-3]
+        flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_consonant(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _porter_measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _contains_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suffix, repl in _STEP2:
+        if w.endswith(suffix):
+            stem = w[: -len(suffix)]
+            if _porter_measure(stem) > 0:
+                w = stem + repl
+            break
+    # step 3
+    for suffix, repl in _STEP3:
+        if w.endswith(suffix):
+            stem = w[: -len(suffix)]
+            if _porter_measure(stem) > 0:
+                w = stem + repl
+            break
+    # step 4
+    for suffix in _STEP4:
+        if w.endswith(suffix):
+            stem = w[: -len(suffix)]
+            if suffix == "ion" and not (stem and stem[-1] in "st"):
+                continue
+            if _porter_measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _porter_measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _porter_measure(w) > 1 and _ends_double_consonant(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+class Stemmer:
+    """API twin of extraction/feature/Stemmer.java:29-110 (callable;
+    Porter variant — see module docstring for the Snowball deviation)."""
+
+    def __call__(self, word: str) -> str:
+        return self.stem(word)
+
+    def stem(self, word: str) -> str:
+        return porter_stem(word.lower())

@@ -1,0 +1,8 @@
+"""English stop-word list (public word-list data, the reference's
+stopwords_en_small.txt resource)."""
+
+STOPWORDS_EN_SMALL = frozenset((
+    "the", "and", "of", "by", "as", "but", "not", "is",
+    "it", "to", "in", "or", "for", "on", "at", "up",
+    "what", "how", "why", "when", "where",
+))

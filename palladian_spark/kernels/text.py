@@ -44,6 +44,19 @@ SENTENCE_SPLIT_REGEX_EN = (
 )
 _SENTENCE_PATTERN_EN = regex.compile(SENTENCE_SPLIT_REGEX_EN)
 
+# German sentence splitter (reference: Tokenizer.java:31) — same structure
+# as the English one with the German abbreviation lookbehind set.
+SENTENCE_SPLIT_REGEX_DE = (
+    r"(?<!(\.|\()|([A-Z]\.[A-Z]){1,10}|St|[mM]r|[dD]r|Ca|Mio|Mind|u\.A|Inkl|Vers|Prof|[mM]s"
+    r"|zusätzl|äquiv|komp|quiet|elektr\.|[jJ]r|vs|ca|engl|evtl|max|mind.|etc|Nr|Rev| sog"
+    r"| ident|bzw|i\.d\.R|v\.a|u\.v\.m|o\.k|zzgl|Min|Keyb|Elec|bspw|bsp|m\.E|bezügl|bzgl"
+    r"|inkl|exkl|ggf|z\.\s?[bB]| max| min|\s[a-z]|u\.s\.w|u\.\s?a|d\.h)"
+    r"((\.|\?|\!)(”|\")\s[A-Z]|\.|\?+|\!+)"
+    r"(?!(\.|[0-9]|\"|”|'|\)| B\.|[!?]|(com|de|fr|uk|au|ca|cn|org|net)/?\s|\()"
+    r"|[A-Za-z]{1,15}\.|[A-Za-z]{1,15}\(\))"
+)
+_SENTENCE_PATTERN_DE = regex.compile(SENTENCE_SPLIT_REGEX_DE)
+
 
 def replace_protected_space(text: str) -> str:
     """U+00A0 -> plain space (reference: StringHelper.java:642-644)."""
@@ -67,9 +80,18 @@ def split_sentences_en(text: str) -> list[str]:
     Reference: Tokenizer.getSentences (Tokenizer.java:299-356) — the boundary
     match itself stays attached to the left sentence.
     """
+    return _split_sentences(text, _SENTENCE_PATTERN_EN)
+
+
+def split_sentences_de(text: str) -> list[str]:
+    """German sentence split (Tokenizer.java:31 SENTENCE_SPLIT_REGEX_DE)."""
+    return _split_sentences(text, _SENTENCE_PATTERN_DE)
+
+
+def _split_sentences(text: str, pattern) -> list[str]:
     sentences = []
     last = 0
-    for m in _SENTENCE_PATTERN_EN.finditer(text):
+    for m in pattern.finditer(text):
         end = m.end()
         chunk = text[last:end].strip()
         if chunk:
@@ -128,6 +150,23 @@ def word_ngrams(tokens: list[str], min_n: int, max_n: int) -> list[str]:
             break
         for length in range(min_n, min(max_n, n - i) + 1):
             out.append(" ".join(tokens[i : i + length]))
+    return out
+
+
+def skip_grams(ngrams: list[str], separator: str = " ") -> list[str]:
+    """Interleave each n-gram with its skip-gram (first + separator + last
+    word) when the n-gram spans more than two words.
+
+    Reference: SkipGramWrapperIterator.java:13-56 — the wrapper emits the
+    original token, then (for 3+-word tokens) a skip-gram built from the
+    first and last whitespace-split parts.
+    """
+    out = []
+    for gram in ngrams:
+        out.append(gram)
+        split = regex.split(r"\s", gram)
+        if len(split) > 2:
+            out.append(split[0] + separator + split[-1])
     return out
 
 

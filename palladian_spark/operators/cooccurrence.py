@@ -1,0 +1,132 @@
+"""Scoped term co-occurrence over a documents DataFrame.
+
+Spark mapping of CoOccurrenceRetriever's three context scopes
+(palladian-core/.../retrieval/cooccurrence/CoOccurrenceRetriever.java:
+27-155): DOCUMENT (both terms anywhere in the text), SENTENCE (both terms
+inside one sentence, reference Tokenizer.getSentences = the masked
+Palladian sentence detector), CONTEXT_200_CHARS (regex
+``term1.{0,N}term2`` match count, both directions for distinct terms).
+Term matching is SUBSTRING containment, faithful to the reference's
+String.contains / regex — not word-boundary gazetteer matching (that is
+operators/mentions.dictionary_mentions).
+
+Scale notes: document and sentence scopes are presence-table self-joins
+(one scan + one pair-key shuffle, term list broadcast as literal
+predicates). The window scope compiles |terms|^2 pair regexes into one
+projection — right for the reference's use case (a handful of candidate
+relation pairs), wrong for 10^5-term gazetteers; use sentence scope there.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+import pandas as pd  # module-level: pandas-UDF string hints resolve here
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOCUMENT = "document"
+SENTENCE = "sentence"
+CONTEXT_WINDOW = "window"
+
+
+def _presence(
+    unit_df: DataFrame, terms: list[str], unit_cols: list[str], text_col: str
+) -> DataFrame:
+    """(unit_cols..., term) rows for units whose text CONTAINS the term."""
+    parts = []
+    for term in sorted(set(terms)):
+        parts.append(
+            unit_df.where(F.col(text_col).contains(term)).select(
+                *unit_cols, F.lit(term).alias("term")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pair_counts(presence: DataFrame, unit_cols: list[str]) -> DataFrame:
+    a = presence.alias("a")
+    b = presence.alias("b")
+    cond = F.col("a.term") < F.col("b.term")
+    for c in unit_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").alias("n").cast("long").alias("n"))
+    )
+
+
+def scoped_cooccurrences(
+    docs: DataFrame,
+    terms: list[str],
+    scope: str = DOCUMENT,
+    window: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """(term_a, term_b, n) co-occurrence counts under the given scope.
+
+    DOCUMENT: n = number of documents containing both terms
+    (CoOccurrenceRetriever.java:115-120). SENTENCE: n = number of
+    sentences containing both (:122-133). CONTEXT_WINDOW: n = count of
+    ``a.{0,window}b`` plus (for distinct terms) ``b.{0,window}a`` regex
+    matches (:135-152).
+    """
+    text = F.lower(F.col(text_col)) if case_insensitive else F.col(text_col)
+    terms = sorted({t.lower() for t in terms} if case_insensitive else set(terms))
+    base = docs.select(F.col(id_col).alias("doc"), text.alias("t"))
+
+    if scope == DOCUMENT:
+        return _pair_counts(_presence(base, terms, ["doc"], "t"), ["doc"])
+
+    if scope == SENTENCE:
+        from pyspark.sql.types import ArrayType, StringType
+
+        from ..kernels.text import detect_sentences
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _sentences(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: [s for _, s in detect_sentences(t or "")]
+            )
+
+        sent = base.select(
+            "doc", F.posexplode(_sentences(F.col("t"))).alias("sent_idx", "s")
+        )
+        return _pair_counts(
+            _presence(sent, terms, ["doc", "sent_idx"], "s"), ["doc", "sent_idx"]
+        )
+
+    if scope == CONTEXT_WINDOW:
+        pairs = [(a, b) for a in terms for b in terms if a < b]
+        counts = []
+        for a, b in pairs:
+            fwd = f"{_re.escape(a)}.{{0,{window}}}{_re.escape(b)}"
+            bwd = f"{_re.escape(b)}.{{0,{window}}}{_re.escape(a)}"
+            n = F.size(F.regexp_extract_all(F.col("t"), F.lit(fwd), F.lit(0))) + F.size(
+                F.regexp_extract_all(F.col("t"), F.lit(bwd), F.lit(0))
+            )
+            counts.append(
+                base.select(
+                    F.lit(a).alias("term_a"),
+                    F.lit(b).alias("term_b"),
+                    n.alias("_n"),
+                )
+            )
+        out = counts[0]
+        for c in counts[1:]:
+            out = out.unionByName(c)
+        return (
+            out.groupBy("term_a", "term_b")
+            .agg(F.sum("_n").cast("long").alias("n"))
+            .where(F.col("n") > 0)
+        )
+
+    raise ValueError(f"unknown scope {scope!r}")

@@ -47,10 +47,13 @@ def co_occurrence_triples(
 ) -> DataFrame:
     """(a, 'co-occurs-with', b) for entity pairs in the same document.
 
-    Spark mapping of CoOccurrenceRetriever (DOCUMENT scope): distinct
+    Spark mapping of CoOccurrenceRetriever (DOCUMENT scope; SENTENCE and
+    200-char-window scopes live in operators/cooccurrence.py): distinct
     (doc, value) pairs, self-join on doc with a < b ordering. max_per_doc
-    caps pathological documents (quadratic blowup guard — a scale concern,
-    not a semantic one; capped docs are rare and logged by metrics).
+    caps pathological documents — a quadratic-blowup guard, NOT a silent
+    semantic choice: docs whose distinct-mention count exceeds the cap
+    lose their excess pairs, so raise the cap (or pre-filter boilerplate
+    mentions) when a corpus legitimately has denser documents.
     """
     per_doc = (
         mentions.select(doc_col, "value", "content_sha256")

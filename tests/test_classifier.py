@@ -45,3 +45,26 @@ def test_bayes_scorer_complement():
     name, prob = most_likely(result)
     assert name == "yes"
     assert prob == pytest.approx(0.88, abs=0.01)
+
+
+def test_preprocess_word_mode_options():
+    """FeatureSetting word-mode knobs (Preprocessor.java:39-77): skip-grams
+    interleave before the length filter; stop words drop; stemming maps."""
+    from palladian_spark.kernels.classifier import FeatureSetting, preprocess
+
+    text = "The quick brown foxes"
+    base = FeatureSetting("word", 1, 3, min_term_length=3, max_term_length=30)
+    plain = preprocess(text, base)
+    assert "the quick brown" in plain
+
+    skip = preprocess(text, FeatureSetting(
+        "word", 1, 3, min_term_length=3, max_term_length=30, create_skip_grams=True))
+    assert "the brown" in skip  # skip-gram of "the quick brown"
+
+    stopped = preprocess(text, FeatureSetting(
+        "word", 1, 1, min_term_length=3, max_term_length=30, remove_stopwords=True))
+    assert "the" not in stopped and "quick" in stopped
+
+    stemmed = preprocess(text, FeatureSetting(
+        "word", 1, 1, min_term_length=3, max_term_length=30, stem=True))
+    assert "foxes" not in stemmed and "fox" in stemmed

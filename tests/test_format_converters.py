@@ -1,0 +1,78 @@
+"""Format-converter parity vs goldens produced by the ACTUAL reference
+FileFormatParser (tools/reference_harness/ConverterGoldenDriver.java on a
+3000-line slice of the NER training corpus)."""
+
+import os
+
+import pytest
+
+from palladian_spark.kernels import fileformats as ff
+
+FIXDIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "reference", "converters"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    with open(os.path.join(FIXDIR, "corpus_head.txt"), encoding="utf-8") as f:
+        return f.read()
+
+
+def _golden(name):
+    with open(os.path.join(FIXDIR, name), encoding="utf-8") as f:
+        return f.read()
+
+
+def test_column_to_bracket(corpus):
+    assert ff.column_to_bracket(corpus) == _golden("bracket.txt")
+
+
+def test_column_to_column_bio(corpus):
+    assert ff.column_to_column_bio(corpus) == _golden("bio.txt")
+
+
+def test_column_to_slash(corpus):
+    assert ff.column_to_slash(corpus) == _golden("slash.txt")
+
+
+def test_column_to_xml_token_based(corpus):
+    assert ff.column_to_xml_token_based(corpus) == _golden("xml_token.txt")
+
+
+def test_column_to_xml(corpus):
+    assert ff.column_to_xml(corpus) == _golden("xml.txt")
+
+
+def test_seed_annotations(corpus):
+    golden = [
+        tuple(line.split("\t"))
+        for line in _golden("seeds.tsv").splitlines()
+    ]
+    seeds = ff.get_seed_annotations(corpus, 5)
+    got = [(str(a.start), a.value, a.tag) for a in seeds]
+    assert got == golden
+
+
+def test_bio_round_trip(corpus):
+    bio = ff.column_to_column_bio(corpus)
+    back = ff.column_bio_to_column(bio)
+    want = "".join(
+        line + "\n"
+        for line in corpus.split("\n")
+        if len(ff._split_columns(line, "\t")) >= 2
+    )
+    assert back == want
+
+
+def test_xml_round_trip_token_level():
+    """column -> XML -> column via the tokenizer-based parser recovers the
+    token/tag stream for simple tokens. (The corpus starts with the usual
+    DOCSTART header: the reference's 0-based lineNumber>1 space rule glues
+    the first two tokens of a headerless file — faithful quirk.)"""
+    col = "=-DOCSTART-\tO\n\nJohn\tPER\nSmith\tPER\nvisited\tO\nBerlin\tLOC\n.\tO\n"
+    xml = ff.column_to_xml(col)
+    back = ff.xml_to_column_text(xml)
+    assert [l for l in back.splitlines() if l] == [
+        l for l in col.splitlines() if l and "DOCSTART" not in l
+    ]

@@ -1,0 +1,94 @@
+"""WordTransformer / StopWordRemover / Porter stemmer tests. The word
+transformation goldens are ported verbatim from WordTransformerTest.java
+(English paths; the German path needs the reference's wiktionary DB and is
+out of scope per SURVEY §2.1)."""
+
+from palladian_spark.kernels.morphology import (
+    Stemmer,
+    StopWordRemover,
+    porter_stem,
+    remove_word,
+    word_to_plural_english,
+    word_to_singular_english,
+)
+
+
+def test_word_to_singular_english():
+    """WordTransformerTest.java:48-80 verbatim."""
+    cases = {
+        "cloves": "clove", "slices": "slice", "elephants": "elephant",
+        "cities": "city", "enemies": "enemy", "trays": "tray",
+        "studios": "studio", "boxes": "box", "churches": "church",
+        "fish": "fish", "ladies": "lady", "thieves": "thief",
+        "wives": "wife", "shelves": "shelf", "tomatoes": "tomato",
+        "heroes": "hero", "pianos": "piano", "articles": "article",
+        "kisses": "kiss", "dishes": "dish", "phases": "phase",
+        "vertices": "vertex", "indices": "index", "matrices": "matrix",
+        "movies": "movie", "status": "status", "yves": "yf",
+    }
+    for plural, singular in cases.items():
+        assert word_to_singular_english(plural) == singular, plural
+
+
+def test_word_to_plural_english():
+    """WordTransformerTest.java:101-130 subset (plus composites)."""
+    cases = {
+        "qualcomm msm7627 3": "qualcomm msm7627 3",
+        "elephant": "elephants", "city": "cities", "enemy": "enemies",
+        "tray": "trays", "studio": "studios", "box": "boxes",
+        "church": "churches", "vertex": "vertices", "movie": "movies",
+        "status": "status", "computer mouse": "computer mice",
+        "computer key": "computer keys", "slice": "slices",
+        "addendum": "addenda", "alga": "algae", "alumna": "alumnae",
+        "alumnus": "alumni", "analysis": "analyses",
+        "appendix": "appendices", "axis": "axes", "bacillus": "bacilli",
+        "bacterium": "bacteria", "basis": "bases", "beau": "beaux",
+        "bison": "bison",
+    }
+    for singular, plural in cases.items():
+        assert word_to_plural_english(singular) == plural, singular
+
+
+def test_remove_word_boundaries():
+    """StringHelper.replaceWord boundary semantics (:577-622): whole-word,
+    case-insensitive, dash counts as a word character."""
+    assert remove_word("the", "the cat sat on the mat") == " cat sat on mat"
+    assert remove_word("cat", "catalog is not a cat") == "catalog is not a "
+    assert remove_word("the", "The-matic stays") == "The-matic stays"
+
+
+def test_stop_word_remover():
+    r = StopWordRemover()
+    assert r.is_stop_word("The")
+    assert not r.is_stop_word("spark")
+    assert r("spark") and not r("the")  # predicate: True = keep
+    small = StopWordRemover(small=True)
+    assert len(small.stopwords) < len(r.stopwords)
+    assert "quick brown fox" in r.remove_stop_words("the quick brown fox")
+
+
+def test_porter_stemmer():
+    """Canonical examples from the published Porter (1980) paper."""
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper",
+        "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electrical": "electr",
+        "hopefulness": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "adoption": "adopt",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controller": "control", "roll": "roll",
+    }
+    s = Stemmer()
+    for word, stem in cases.items():
+        assert porter_stem(word) == stem, word
+        assert s(word) == stem

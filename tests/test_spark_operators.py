@@ -273,3 +273,37 @@ def test_triples_write_partitioned(spark, docs, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == triples.count()
     assert "repo_hash" in back.columns
+
+
+def test_scoped_cooccurrences(spark):
+    """CoOccurrenceRetriever scope semantics (reference :115-152):
+    DOCUMENT counts docs with both terms, SENTENCE only same-sentence
+    pairs, CONTEXT window only pairs within N chars."""
+    from palladian_spark.operators.cooccurrence import (
+        CONTEXT_WINDOW,
+        DOCUMENT,
+        SENTENCE,
+        scoped_cooccurrences,
+    )
+
+    rows = [
+        (1, "alpha likes beta. The gamma stands alone."),
+        (2, "alpha here. The beta is far far away from it."),
+        (3, "nothing relevant at all."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["alpha", "beta", "gamma"]
+
+    doc = {(r["term_a"], r["term_b"]): r["n"]
+           for r in scoped_cooccurrences(docs, terms, DOCUMENT).collect()}
+    assert doc[("alpha", "beta")] == 2  # docs 1 and 2
+    assert doc[("alpha", "gamma")] == 1
+
+    sent = {(r["term_a"], r["term_b"]): r["n"]
+            for r in scoped_cooccurrences(docs, terms, SENTENCE).collect()}
+    assert sent[("alpha", "beta")] == 1  # doc 2 splits them across sentences
+    assert ("alpha", "gamma") not in sent
+
+    win = {(r["term_a"], r["term_b"]): r["n"]
+           for r in scoped_cooccurrences(docs, terms, CONTEXT_WINDOW, window=8).collect()}
+    assert win[("alpha", "beta")] == 1  # doc 1 gap is 7 chars; doc 2 gap is 11

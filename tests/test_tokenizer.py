@@ -64,3 +64,30 @@ def test_is_completely_uppercase():
 def test_contains_word():
     assert contains_word("new", "Brand New York")
     assert not contains_word("new", "Newton rules")
+
+
+def test_split_sentences_de():
+    """German splitter (Tokenizer.java:31): German abbreviations do not
+    break sentences; regular boundaries do."""
+    from palladian_spark.kernels.text import split_sentences_de
+
+    s = split_sentences_de("Das Auto kostet ca. 10 Euro. Es ist rot.")
+    assert s == ["Das Auto kostet ca. 10 Euro.", "Es ist rot."]
+    s = split_sentences_de("Wir kaufen Obst, z.B. Birnen. Dann gehen wir.")
+    assert s == ["Wir kaufen Obst, z.B. Birnen.", "Dann gehen wir."]
+
+
+def test_skip_grams():
+    """SkipGramWrapperIterator.java:30-55: each 3+-word n-gram is followed
+    by its first+last skip-gram; shorter grams pass through unchanged."""
+    from palladian_spark.kernels.text import skip_grams, word_ngrams
+
+    grams = word_ngrams(["the", "quick", "brown", "fox"], 1, 3)
+    out = skip_grams(grams)
+    assert "the quick brown" in out
+    assert out[out.index("the quick brown") + 1] == "the brown"
+    assert "quick brown fox" in out
+    assert out[out.index("quick brown fox") + 1] == "quick fox"
+    # 1- and 2-grams emit no skip-gram
+    assert out.count("the quick") == 1
+    assert len(out) == len(grams) + 2

@@ -1,0 +1,22 @@
+import ws.palladian.extraction.entity.FileFormatParser;
+import ws.palladian.core.Annotation;
+import java.util.List;
+
+/** Freeze FileFormatParser converter outputs on a corpus slice. */
+public class ConverterGoldenDriver {
+    public static void main(String[] args) throws Exception {
+        String in = args[0], outDir = args[1];
+        FileFormatParser.columnToBracket(in, outDir + "/bracket.txt", "\t");
+        FileFormatParser.columnToColumnBio(in, outDir + "/bio.txt", "\t");
+        FileFormatParser.columnToSlash(in, outDir + "/slash.txt", "\t");
+        FileFormatParser.columnToXmlTokenBased(in, outDir + "/xml_token.txt", "\t");
+        FileFormatParser.columnToXml(in, outDir + "/xml.txt", "\t");
+        List<? extends Annotation> seeds = FileFormatParser.getSeedAnnotations(in, 5);
+        StringBuilder sb = new StringBuilder();
+        for (Annotation a : seeds) {
+            sb.append(a.getStartPosition()).append("\t").append(a.getValue()).append("\t").append(a.getTag()).append("\n");
+        }
+        ws.palladian.helper.io.FileHelper.writeToFile(outDir + "/seeds.tsv", sb);
+        System.out.println("done, seeds=" + seeds.size());
+    }
+}
