@@ -309,6 +309,9 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
+    # both sides of the band self-join consume the signatures; without a
+    # cache the whole upstream token-hash aggregation runs twice
+    signatures = signatures.persist()
     band_vals = []
     for b in range(n_bands):
         lo = b * width

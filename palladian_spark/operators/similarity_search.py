@@ -116,10 +116,20 @@ def _make_buckets_udf(n_planes: int, n_tables: int, seed: int = 42):
 
 
 def _explode_tables(df: DataFrame, bucket_udf, vec_col: str) -> DataFrame:
-    """(row, [b_0..b_L]) -> one row per (table_id, bucket)."""
-    return df.withColumn("_bs", bucket_udf(F.col(vec_col))).select(
-        *[c for c in df.columns],
-        F.posexplode("_bs").alias("_t", "_bucket"),
+    """(row, [b_0..b_L]) -> one row per (table_id, bucket).
+
+    posexplode_outer, NOT posexplode: Catalyst rewrites inner generate as
+    `Filter size(udf(..)) > 0` + `Generate udf(..)` after collapsing the
+    projection, which evaluates the Arrow bucket UDF TWICE per row. The
+    outer variant needs no size filter; the UDF always returns a full
+    n_tables array, so the null-guard below never drops real rows."""
+    return (
+        df.withColumn("_bs", bucket_udf(F.col(vec_col)))
+        .select(
+            *[c for c in df.columns],
+            F.posexplode_outer("_bs").alias("_t", "_bucket"),
+        )
+        .where(F.col("_bucket").isNotNull())
     )
 
 
