@@ -56,8 +56,23 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     the split count already exceeds core count and this is a no-op — the
     repartition only fires when the input is under-parallel, so it never
     adds a shuffle at scale.
+
+    Parallelism probe: ``df.inputFiles()`` (logical file-index resolution
+    only) when the plan reads files — a TB-scale table has >> cores files
+    and short-circuits without ever touching the physical plan; the
+    ``df.rdd`` fallback (which costs a physical planning pass per call)
+    runs only for derived, file-less plans.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    if n >= target:
+        return df
+    # few/no files: large files may still split into many scan partitions,
+    # so fall back to the precise (physical-planning) probe before paying
+    # a repartition shuffle
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

