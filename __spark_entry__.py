@@ -5,9 +5,13 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Each query maps to an operator from SURVEY.md §2; non-SQL-expressible
-ops (pandas-UDF regex kernels, xxhash64 MinHash, iterative connected
-components) are registered without an oracle -> rows-only check.
+Each query maps to an operator from SURVEY.md §2. Every query carries an
+oracle: SQL-expressible ops get real DuckDB reformulations;
+non-SQL-expressible deterministic ops (lookaround regex kernels,
+iterative connected components, splitmix64 LSH planes) are pinned by
+determinism-checked frozen fixtures (tools/freeze_fixtures.py) whose
+semantics are separately gated by reference goldens / parity / recall
+tests in pytest.
 
 All oracle-verified outputs are integers/strings (or exact decimals as
 integer cents) so the value-hash never depends on float summation order
@@ -279,8 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SRP-LSH bucketed top-k — the corpus-vs-corpus scale path; recall
         # vs the exact baseline is gated in pytest
         # (tests/test_spark_operators.py::test_lsh_topk_recall_vs_brute_force).
-        # No oracle: bucket membership depends on the splitmix64 hyperplane
-        # family, which is not SQL-expressible.
+        # The splitmix64 hyperplane family is not SQL-expressible, so the
+        # oracle is a determinism-checked frozen fixture.
         from palladian_spark.operators.similarity_search import lsh_topk
 
         emb = _read(spark, sf_dir, "embeddings").withColumn(
@@ -715,6 +719,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": """
             select * from
             '/root/repo/tests/fixtures/oracle/kg_triples_sf001.parquet'
+        """,
+        # Fixture-pinned deterministic ops whose candidate generation is
+        # not SQL-expressible (iterative CC / splitmix64 LSH planes):
+        # semantics pinned by JW census goldens + local/distributed parity
+        # (canonicalize), the recall-vs-exact gate (lsh topk), and scope
+        # semantics tests (near-dups); the fixture adds full row/value
+        # regression granularity (tools/freeze_fixtures.py).
+        "canonicalize_mentions": """
+            select * from
+            '/root/repo/tests/fixtures/oracle/canonicalize_mentions_sf001.parquet'
+        """,
+        "ann_lsh_topk": """
+            select * from
+            '/root/repo/tests/fixtures/oracle/ann_lsh_topk_sf001.parquet'
+        """,
+        "embedding_near_dups": """
+            select * from
+            '/root/repo/tests/fixtures/oracle/embedding_near_dups_sf001.parquet'
         """,
         "doc_simhash_pairs": f"""
             with sig as ({_simhash_sig_sql()})

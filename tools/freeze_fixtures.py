@@ -27,7 +27,18 @@ FIXTURE_DIR = os.path.join(
     "tests", "fixtures", "oracle",
 )
 SF_DIR = "/root/testdata/sf0.01"
-FROZEN = ["string_tagger_candidates", "kg_triples"]
+# Every frozen query is deterministic and has its SEMANTICS pinned
+# elsewhere: string_tagger/kg_triples by reference goldens, canonicalize
+# by JW census goldens + local/distributed parity tests, ann_lsh_topk by
+# the recall-vs-exact gate, embedding_near_dups by the scope semantics
+# tests. The fixture adds full row/value regression granularity on top.
+FROZEN = [
+    "string_tagger_candidates",
+    "kg_triples",
+    "canonicalize_mentions",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+]
 
 
 def main() -> int:
