@@ -204,6 +204,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, text_col="content", tagger="candidates", keep_cols=["doc_id"]
         )
 
+    def doc_pos_tags(spark, sf_dir):
+        # PalladianPosTagger over the documents table: model trained on the
+        # checked-in slash corpus (the same fixture the Java-parity gate
+        # uses), broadcast, one Arrow hop per batch. Tag distribution per
+        # (doc_id, tag). Classification is not SQL-expressible -> frozen
+        # fixture oracle (determinism-checked).
+        import os as _os
+
+        from palladian_spark.kernels.pos import train_pos_tagger
+        from palladian_spark.operators.pos_tagging import pos_tag_documents
+
+        corpus_path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "tests", "fixtures", "reference", "pos_train_corpus.txt",
+        )
+        with open(corpus_path, encoding="utf-8") as f:
+            model = train_pos_tagger(f.read())
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            pos_tag_documents(docs, model, keep_cols=["doc_id"])
+            .groupBy("doc_id", "tag")
+            .agg(F.count("*").alias("n_tokens"))
+        )
+
     # ---- co-occurrence edges (SURVEY §2.6, CoOccurrenceRetriever) ----
     def doc_cooccur(spark, sf_dir):
         m = _doc_mentions(spark, sf_dir).select("doc_id", "value").dropDuplicates()
@@ -479,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_simhash_pairs=doc_simhash_pairs,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
+        doc_pos_tags=doc_pos_tags,
         doc_cooccur=doc_cooccur,
         doc_cooccur_sentence=doc_cooccur_sentence,
         doc_cooccur_window=doc_cooccur_window,
@@ -737,6 +762,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": """
             select * from
             '/root/repo/tests/fixtures/oracle/embedding_near_dups_sf001.parquet'
+        """,
+        "doc_pos_tags": """
+            select * from
+            '/root/repo/tests/fixtures/oracle/doc_pos_tags_sf001.parquet'
         """,
         "doc_simhash_pairs": f"""
             with sig as ({_simhash_sig_sql()})

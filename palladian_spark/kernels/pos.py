@@ -1,0 +1,211 @@
+"""PalladianPosTagger: text-classification-based POS tagging, built on
+the UniversalClassifier (text classifier over char 1-7 grams + naive
+Bayes over nominal word-shape features).
+
+References: extraction/pos/PalladianPosTagger.java:40-186 (feature
+extraction :155-172, Brown-corpus slash parsing :100-135),
+AbstractPosTagger.java:28-75 (WordTokenizer tokenization, uppercased
+tags, ``-.*`` tag normalization), classification/universal/
+UniversalClassifier.java:29-97 (probability-sum combination),
+classification/nb/NaiveBayes{Learner,Classifier,Model}.java (Laplace
+1e-5, plain-space scoring — the UniversalClassifier constructs the
+Bayes classifier with logSpace=false). Parity with the ACTUAL reference
+tagger (compiled via tools/reference_harness/PosGoldenDriver.java) is
+gated in tests/test_pos_tagger.py.
+"""
+
+from __future__ import annotations
+
+import regex
+from dataclasses import dataclass, field
+
+from .classifier import DictionaryModel, FeatureSetting, classify, train
+from .tagging import Annotation
+from .text import is_completely_uppercase, iterate_tokens
+
+POS_FEATURE_SETTING = FeatureSetting("char", 1, 7)
+
+_NUMBER_STRICT = regex.compile(
+    r"-?((\d{1,3}(\.\d{3})+(,\d{1,2})?)|(^\d+$)|(\d{1,3}(,\d{3})+(\.\d{1,2})?)|(\d+,\d{1,20})|(\d+\.\d{1,20}))"
+)
+_NUMBER_EXP = regex.compile(r"^-?\d+\.\d+E\d+$")
+_NUMBER_WORDS = {
+    "one", "two", "three", "four", "five", "six", "seven", "eight", "nine",
+    "ten", "eleven", "twelve",
+}
+_NORMALIZED_KEEP = regex.compile(r"[^`'\",.:;*\(\)]")
+
+LAPLACE = 0.00001
+
+
+def is_number(s: str) -> bool:
+    """StringHelper.isNumber (:704-738)."""
+    if not s:
+        return False
+    if s.startswith("-"):
+        s = s[1:]
+    ok = all(ch.isdigit() or ch in ".," for ch in s)
+    if s.startswith(".") or s.endswith("."):
+        return False
+    if not ok and _NUMBER_EXP.match(s):
+        return True
+    return bool(ok and _NUMBER_STRICT.fullmatch(s))
+
+
+def is_number_or_number_word(s: str) -> bool:
+    if not s:
+        return False
+    if is_number(s):
+        return True
+    return s.strip().lower() in _NUMBER_WORDS
+
+
+def extract_features(word: str) -> dict[str, str]:
+    """Nominal word-shape features (PalladianPosTagger.java:155-172);
+    booleans serialize as 'true'/'false' like ImmutableBooleanValue."""
+    n = len(word)
+
+    def b(x: bool) -> str:
+        return "true" if x else "false"
+
+    return {
+        "startsUppercase": b(word[:1].isupper()),
+        "length1": b(n == 1),
+        "length2": b(n == 2),
+        "length3": b(n == 3),
+        "length": str(n),
+        "number": b(is_number_or_number_word(word)),
+        "completelyUppercase": b(is_completely_uppercase(word)),
+        "normalizedLength": str(len(_NORMALIZED_KEEP.sub("", word))),
+        "lastCharacter": word[-1] if n else "",
+        "firstCharacter": word[:1],
+        "lastTwoCharacters": word[-2:] if n > 1 else "",
+        "word": word,
+    }
+
+
+@dataclass
+class NaiveBayesModel:
+    """NaiveBayesModel.java:24-97 (nominal part only — the POS feature
+    vector has no numeric values)."""
+
+    nominal_counts: dict[tuple[str, str], dict[str, int]] = field(default_factory=dict)
+    categories: dict[str, int] = field(default_factory=dict)
+    learned_features: set[str] = field(default_factory=set)
+
+    @property
+    def total(self) -> int:
+        return sum(self.categories.values())
+
+    def prior(self, category: str) -> float:
+        return self.categories[category] / self.total
+
+    def probability(self, feature: str, value: str, category: str, laplace: float) -> float:
+        counts = self.nominal_counts.get((feature, value), {})
+        count = counts.get(category, 0)
+        return (count + laplace) / (
+            self.categories[category] + laplace * len(self.categories)
+        )
+
+
+def train_naive_bayes(instances: list[tuple[dict[str, str], str]]) -> NaiveBayesModel:
+    """NaiveBayesLearner counterpart: count (feature, value) per category."""
+    model = NaiveBayesModel()
+    for features, category in instances:
+        model.categories[category] = model.categories.get(category, 0) + 1
+        for name, value in features.items():
+            model.learned_features.add(name)
+            cats = model.nominal_counts.setdefault((name, value), {})
+            cats[category] = cats.get(category, 0) + 1
+    return model
+
+
+def classify_naive_bayes(
+    features: dict[str, str], model: NaiveBayesModel, laplace: float = LAPLACE
+) -> dict[str, float]:
+    """Plain-space scoring (logSpace=false, NaiveBayesClassifier.java:75-113)
+    then CategoryEntriesBuilder normalization."""
+    scores: dict[str, float] = {}
+    for category in model.categories:
+        probability = model.prior(category)
+        for feature in model.learned_features:
+            value = features.get(feature)
+            if value is not None:
+                probability *= model.probability(feature, value, category, laplace)
+        scores[category] = probability
+    total = sum(scores.values())
+    if total == 0:
+        return {c: 0.0 for c in scores}
+    return {c: v / total for c, v in scores.items()}
+
+
+@dataclass
+class PosModel:
+    """UniversalClassifierModel counterpart (text + bayes parts)."""
+
+    text_model: DictionaryModel
+    bayes_model: NaiveBayesModel
+
+
+def normalize_tag(tag: str) -> str:
+    """AbstractPosTagger.normalizeTag (:72-74)."""
+    return regex.sub(r"-.*", "", tag)
+
+
+def parse_slash_corpus(text: str) -> list[tuple[str, str]]:
+    """word/TAG pairs from a Brown-style corpus
+    (PalladianPosTagger.BrownCorpusIterator :113-135)."""
+    out = []
+    for pair in regex.split(r"\s", text):
+        parts = pair.split("/")
+        if len(parts) < 2 or not parts[0]:
+            continue
+        tag = normalize_tag(parts[1])
+        if tag:
+            out.append((parts[0], tag))
+    return out
+
+
+def train_pos_tagger(corpus_text: str) -> PosModel:
+    """Train both sub-models from a slash-format corpus string."""
+    pairs = parse_slash_corpus(corpus_text)
+    text_model = train([(word, tag) for word, tag in pairs], POS_FEATURE_SETTING)
+    bayes_model = train_naive_bayes(
+        [(extract_features(word), tag) for word, tag in pairs]
+    )
+    return PosModel(text_model, bayes_model)
+
+
+def _combine(*distributions: dict[str, float]) -> dict[str, float]:
+    """CategoryEntriesBuilder.add over probability distributions, then
+    create() normalization (CategoryEntriesBuilder.java:106-160)."""
+    summed: dict[str, float] = {}
+    for dist in distributions:
+        for cat, p in dist.items():
+            summed[cat] = summed.get(cat, 0.0) + p
+    total = sum(summed.values())
+    if total == 0:
+        return summed
+    return {c: v / total for c, v in summed.items()}
+
+
+def classify_token(word: str, model: PosModel) -> str:
+    text_probs = classify(word, model.text_model)
+    bayes_probs = classify_naive_bayes(extract_features(word), model.bayes_model)
+    combined = _combine(text_probs, bayes_probs)
+    # most likely category; ties resolved by insertion order like the
+    # reference's strictly-greater scan
+    best, best_p = None, -1.0
+    for cat, p in combined.items():
+        if p > best_p:
+            best, best_p = cat, p
+    return best or ""
+
+
+def pos_tag(text: str, model: PosModel) -> list[Annotation]:
+    """AbstractPosTagger.getAnnotations (:32-44): WordTokenizer tokens,
+    per-token classification, uppercased tags."""
+    return [
+        Annotation(start, value, classify_token(value, model).upper())
+        for start, value in iterate_tokens(text)
+    ]

@@ -1,0 +1,48 @@
+"""Distributed POS tagging: the PalladianPosTagger kernel applied per
+document via a broadcast model + one Arrow hop.
+
+Same Spark mapping as mention detection (operators/mentions.py): the
+trained PosModel (a few dictionaries) ships once per executor as a
+broadcast variable; each Arrow batch runs the golden-tested kernel
+(kernels/pos.py, parity-gated against the compiled reference tagger) and
+returns annotation structs exploded JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.pos import PosModel, pos_tag
+from .mentions import ANNOTATION_STRUCT
+from .util import spread
+
+
+def pos_tag_documents(
+    df: DataFrame,
+    model: PosModel,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    keep_cols = (
+        keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    )
+    spark = df.sparkSession
+    model_bc = spark.sparkContext.broadcast(model)
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(ANNOTATION_STRUCT))
+    def tag_series(texts: pd.Series) -> pd.Series:
+        m = model_bc.value
+        return texts.map(
+            lambda t: [(a.start, a.end, a.value, a.tag) for a in pos_tag(t or "", m)]
+        )
+
+    return (
+        spread(df)
+        .select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
+        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
+    )

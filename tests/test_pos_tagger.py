@@ -1,0 +1,48 @@
+"""PalladianPosTagger parity vs the ACTUAL reference tagger (compiled and
+run via tools/reference_harness/PosGoldenDriver.java on the checked-in
+slash corpus). Tags include the reference model's own mistakes — parity,
+not linguistic accuracy, is what is being gated."""
+
+import os
+from collections import defaultdict
+
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "reference")
+
+SENTENCES = [
+    "The quick dog jumps over a lazy fox .",
+    "Mary reads two books in Berlin .",
+    "He walks slowly to the house .",
+]
+
+
+@pytest.fixture(scope="module")
+def model():
+    from palladian_spark.kernels.pos import train_pos_tagger
+
+    with open(os.path.join(FIXDIR, "pos_train_corpus.txt"), encoding="utf-8") as f:
+        return train_pos_tagger(f.read())
+
+
+def test_pos_parity_with_reference(model):
+    from palladian_spark.kernels.pos import pos_tag
+
+    golden = defaultdict(list)
+    with open(os.path.join(FIXDIR, "pos_annotations.tsv"), encoding="utf-8") as f:
+        for line in f:
+            i, start, value, tag = line.rstrip("\n").split("\t")
+            golden[int(i)].append((int(start), value, tag))
+
+    for i, sentence in enumerate(SENTENCES):
+        got = [(a.start, a.value, a.tag) for a in pos_tag(sentence, model)]
+        assert got == golden[i], f"sentence {i}: {got}"
+
+
+def test_slash_corpus_parsing(model):
+    from palladian_spark.kernels.pos import parse_slash_corpus
+
+    pairs = parse_slash_corpus("The/AT fox/NN-HL ./. \nbad token\n")
+    assert ("The", "AT") in pairs
+    assert ("fox", "NN") in pairs  # -HL suffix normalized away
+    assert (".", ".") in pairs

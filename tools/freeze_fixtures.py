@@ -38,6 +38,7 @@ FROZEN = [
     "canonicalize_mentions",
     "ann_lsh_topk",
     "embedding_near_dups",
+    "doc_pos_tags",
 ]
 
 

@@ -1,0 +1,22 @@
+import ws.palladian.classification.universal.UniversalClassifierModel;
+import ws.palladian.core.Annotation;
+import ws.palladian.extraction.pos.PalladianPosTagger;
+
+import java.io.PrintWriter;
+
+/** Train the reference PalladianPosTagger on a slash-corpus dir, tag
+ * sample sentences, dump token/TAG TSV. */
+public class PosGoldenDriver {
+    public static void main(String[] args) throws Exception {
+        UniversalClassifierModel model = PalladianPosTagger.trainModel(args[0]);
+        PalladianPosTagger tagger = new PalladianPosTagger(model);
+        try (PrintWriter w = new PrintWriter(args[1], "UTF-8")) {
+            for (int i = 2; i < args.length; i++) {
+                for (Annotation a : tagger.getAnnotations(args[i])) {
+                    w.println((i - 2) + "\t" + a.getStartPosition() + "\t" + a.getValue() + "\t" + a.getTag());
+                }
+            }
+        }
+        System.out.println("done");
+    }
+}
