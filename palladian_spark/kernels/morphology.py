@@ -1,5 +1,5 @@
-"""Term-normalization kernels: WordTransformer (English plural <-> singular),
-StopWordRemover, and a Porter stemmer.
+"""Term-normalization kernels: WordTransformer (English plural <-> singular,
+German dictionary-driven morphology), StopWordRemover, and a Porter stemmer.
 
 References: semantics/WordTransformer.java:196-478 (rule order and the
 quirky ves-handling preserved exactly; unit goldens from
@@ -311,3 +311,89 @@ class Stemmer:
 
     def stem(self, word: str) -> str:
         return porter_stem(word.lower())
+
+
+# ---------------------------------------------------------------------------
+# German morphology (WordTransformer.java:286-360, :493-530): dictionary-
+# driven singular<->plural plus longest-suffix compound handling. The
+# reference ships a 55k-row wiktionary-derived TSV resource
+# (germanSingularPluralNouns.tsv, columns: article, singular, article,
+# plural); the data is injected here rather than bundled (2 MB).
+# ---------------------------------------------------------------------------
+class GermanMorphology:
+    def __init__(self, tsv_lines):
+        self.singular_to_plural: dict[str, str] = {}
+        self.plural_to_singular: dict[str, str] = {}
+        for line in tsv_lines:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 4 or not parts[1]:
+                continue
+            singular = parts[1].lower()
+            plural = parts[3].lower()
+            self.singular_to_plural[singular] = plural
+            self.plural_to_singular[plural] = singular
+        # GERMAN_NOUNS: singulars + plurals, longest first, ties
+        # case-insensitive alphabetical (StringLengthComparator.java:23-26)
+        self.nouns = sorted(
+            list(self.singular_to_plural) + list(self.singular_to_plural.values()),
+            key=lambda w: (-len(w), w.lower()),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "GermanMorphology":
+        with open(path, encoding="utf-8") as f:
+            return cls(f)
+
+    def word_to_singular(self, plural_form: str) -> str:
+        """wordToSingularGerman(CaseSensitive) (:286-308)."""
+        return self._to_singular_cs(plural_form.lower())
+
+    def _to_singular_cs(self, word: str) -> str:
+        singular = self.plural_to_singular.get(word)
+        if singular is not None:
+            return singular
+        max_length = len(word) - 1
+        for noun in self.nouns:
+            if len(noun) < max_length and word.endswith(noun):
+                return word.replace(noun, self._to_singular_cs(noun))
+        return word
+
+    def word_to_plural(self, singular_form: str) -> str:
+        """wordToPluralGerman(CaseSensitive) (:493-523)."""
+        word = singular_form.lower()
+        plural = self.singular_to_plural.get(word)
+        if plural is not None:
+            return plural
+        for noun in self.nouns:
+            if len(noun) < len(word) and word.endswith(noun):
+                return word.replace(noun, self.word_to_plural(noun))
+        return word
+
+    def split_compound_words(self, word: str) -> list[str]:
+        """splitGermanCompoundWords (:317-353): peel known nouns off the
+        (singularized) compound right-to-left, longest-first, restarting
+        the scan after each match; an unsplittable head stays as-is.
+        NOTE: the reference iterates its GERMAN_WORDS list, loaded from a
+        germanWords.txt resource ABSENT from the repository — the noun
+        vocabulary (same wiktionary data) stands in for it here."""
+        words: list[str] = []
+        remaining = self._to_singular_cs(word.lower())
+        word_length = len(remaining)
+        i = 0
+        while i < len(self.nouns):
+            noun = self.nouns[i]
+            if (
+                len(noun) > 3
+                and (len(noun) <= word_length or words)
+                and remaining.endswith(noun)
+            ):
+                words.insert(0, noun)
+                remaining = remaining.replace(noun, "")
+                if not remaining:
+                    break
+                i = 0
+                continue
+            i += 1
+        if remaining:
+            words.insert(0, remaining)
+        return words

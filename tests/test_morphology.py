@@ -1,7 +1,7 @@
 """WordTransformer / StopWordRemover / Porter stemmer tests. The word
 transformation goldens are ported verbatim from WordTransformerTest.java
-(English paths; the German path needs the reference's wiktionary DB and is
-out of scope per SURVEY §2.1)."""
+(English built-in; German via the reference's wiktionary-derived TSV,
+injected — see GermanMorphology)."""
 
 from palladian_spark.kernels.morphology import (
     Stemmer,
@@ -92,3 +92,29 @@ def test_porter_stemmer():
     for word, stem in cases.items():
         assert porter_stem(word) == stem, word
         assert s(word) == stem
+
+
+def test_german_morphology():
+    """WordTransformerTest.java German goldens (the subset that depends on
+    the shipped germanSingularPluralNouns.tsv, not the absent
+    germanWords.txt resource)."""
+    import os
+
+    import pytest
+
+    tsv = "/root/reference/palladian-core/src/main/resources/germanSingularPluralNouns.tsv"
+    if not os.path.exists(tsv):
+        pytest.skip("reference German noun data not available")
+    from palladian_spark.kernels.morphology import GermanMorphology
+
+    de = GermanMorphology.from_file(tsv)
+    assert de.word_to_singular("Ketten") == "kette"
+    assert de.word_to_singular("Halsketten") == "halskette"
+    assert de.word_to_singular("Äpfel") == "apfel"
+    assert de.word_to_singular("Apfelkuchen") == "apfelkuchen"
+    assert de.word_to_singular("eßtische") == "eßtisch"
+    assert de.word_to_plural("arten") == "arten"
+    assert de.word_to_plural("Kette") == "ketten"
+    assert de.word_to_plural("Apfelkuchen") == "apfelkuchen"
+    assert de.split_compound_words("Teaktische") == ["teak", "tisch"]
+    assert de.split_compound_words("Kunststofftische") == ["kunststoff", "tisch"]
