@@ -1,0 +1,127 @@
+"""Wiktionary dump-page markup extraction: word type, plural, synonyms,
+hypernyms, hyponyms from German/English wiktionary page text.
+
+Port of the extraction rules inside WiktionaryParser's SAX handler
+(semantics/WiktionaryParser.java:118-262) — getSubstringBetween section
+slicing, the ``(?<=(^ |  |, )\\[\\[)...`` link-grab regex, the
+``:[1]``-line restriction for German relation blocks, and the
+Silbentrennung-based plural recovery. The reference writes into an H2
+WordDB (unavailable in this sandbox, so no runtime goldens); the fixture
+tests exercise each rule on hand-built pages following the public dump
+conventions the code parses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import regex
+
+# WiktionaryParser.java:193 — links at line start/after comma, <= 30 chars
+_TAG_GRAB = regex.compile(r"(?<=(^ |  |, )\[\[)([^\]]{1,30}?)(?=\]\]($|,|;))", regex.MULTILINE)
+_ITALICS = regex.compile(r"''.*?''")
+MAX_WORD_LENGTH = 30  # WordDB.MAX_WORD_LENGTH
+
+
+def get_substring_between(s: str, left: str, right: str) -> str:
+    """StringHelper.getSubstringBetween (first occurrence; '' if absent)."""
+    i = s.find(left)
+    if i == -1:
+        return ""
+    start = i + len(left)
+    j = s.find(right, start)
+    if j == -1:
+        return ""
+    return s[start:j]
+
+
+@dataclass
+class WiktionaryEntry:
+    word: str
+    language: str = ""
+    word_type: str = ""
+    plural: str = ""
+    synonyms: list[str] = field(default_factory=list)
+    hypernyms: list[str] = field(default_factory=list)
+    hyponyms: list[str] = field(default_factory=list)
+
+
+def _grab_links(block: str) -> list[str]:
+    return [m.group(2) for m in _TAG_GRAB.finditer(block)]
+
+
+def parse_page_german(word: str, text: str) -> WiktionaryEntry:
+    """German dump rules (WiktionaryParser.java:128-232)."""
+    entry = WiktionaryEntry(word)
+    entry.language = get_substring_between(text, " ({{Sprache|", "}}")
+
+    word_type = get_substring_between(text, "=== {{Wortart|", "|")
+    if "}}" in word_type:
+        word_type = get_substring_between(text, "=== {{Wortart|", "}}")
+    entry.word_type = word_type
+
+    if word_type.lower() == "substantiv":
+        plural = get_substring_between(text, "{{Silbentrennung}}\n", "\n")
+        if not plural:
+            plural = get_substring_between(text, "{{Silbentrennung}} \n", "\n")
+        if "{{Pl.}}" in plural:
+            plural = plural[plural.index("{{Pl.}}") + 7 :]
+        elif "{{Pl.1}}" in plural:
+            plural = plural[plural.index("{{Pl.1}}") + 8 :]
+            comma = plural.find(",")
+            plural = plural[:comma] if comma > -1 else ""
+        plural = _ITALICS.sub("", plural.replace("\n", "").replace("·", "")).strip()
+        if len(plural) > MAX_WORD_LENGTH:
+            plural = ""
+        entry.plural = plural
+
+    for marker, attr in (
+        ("{{Synonyme}}", "synonyms"),
+        ("{{Oberbegriffe}}", "hypernyms"),
+        ("{{Unterbegriffe}}", "hyponyms"),
+    ):
+        block = get_substring_between(text, marker, "}}\n")
+        block = get_substring_between(block, ":[1]", "\n")
+        block = _ITALICS.sub("", block)
+        setattr(entry, attr, _grab_links(block))
+    return entry
+
+
+def parse_page_english(word: str, text: str) -> WiktionaryEntry:
+    """English dump rules (WiktionaryParser.java:131-160, :205-208)."""
+    entry = WiktionaryEntry(word)
+    entry.language = get_substring_between(text, "==", "==")
+
+    word_type = get_substring_between(text, "Etymology 1===", "# ")
+    if not word_type:
+        word_type = get_substring_between(text, "Pronunciation===", "# ")
+    if not word_type:
+        word_type = get_substring_between(text, entry.language + "==", "# ")
+    if "Etymology==" in word_type:
+        word_type = get_substring_between(text, "Etymology===", "# ")
+    if "Pronunciation" in word_type:
+        word_type = get_substring_between(text, "Pronunciation===", "# ")
+    if word_type:
+        word_type = get_substring_between(word_type, "===", "===").strip()
+    entry.word_type = word_type
+
+    synonym_block = get_substring_between(text, "====Synonyms====", "===")
+    entry.synonyms = _grab_links(synonym_block)
+    return entry
+
+
+def entry_triples(entry: WiktionaryEntry) -> list[tuple[str, str, str]]:
+    """(subj, pred, obj) edges from one parsed entry — the WordDB
+    addSynonyms/addHypernyms/addHyponyms writes as graph edges."""
+    triples = []
+    for s in entry.synonyms:
+        triples.append((entry.word, "synonym-of", s))
+    for h in entry.hypernyms:
+        triples.append((entry.word, "has-hypernym", h))
+    for h in entry.hyponyms:
+        triples.append((entry.word, "has-hyponym", h))
+    if entry.plural:
+        triples.append((entry.word, "has-plural", entry.plural))
+    if entry.word_type:
+        triples.append((entry.word, "has-word-type", entry.word_type))
+    return triples

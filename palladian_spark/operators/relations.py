@@ -203,3 +203,51 @@ def frequent_itemsets(
             F.col("freq"),
         )
     )
+
+
+def wiktionary_triples(
+    pages: DataFrame,
+    language: str = "german",
+    title_col: str = "title",
+    text_col: str = "text",
+) -> DataFrame:
+    """Wiktionary dump pages -> (subj, pred, obj) lexical-relation triples.
+
+    Spark mapping of WiktionaryParser (semantics/WiktionaryParser.java:
+    76-262): the reference streams the XML dump through a SAX handler into
+    an H2 WordDB; here the (title, text) page table is the input (one
+    XML-to-table conversion upstream) and the markup-extraction kernel
+    (kernels/wiktionary.py) runs per page in one Arrow hop, emitting
+    synonym/hypernym/hyponym/plural/word-type edges instead of DB rows.
+    """
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    from ..kernels.wiktionary import (
+        entry_triples,
+        parse_page_english,
+        parse_page_german,
+    )
+    from .util import spread
+
+    parse = parse_page_german if language.lower() in ("german", "de") else parse_page_english
+    triple_t = StructType(
+        [
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(ArrayType(triple_t))
+    def _parse(titles: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for title, text in zip(titles, texts):
+            out.append(entry_triples(parse(title or "", text or "")))
+        return pd.Series(out)
+
+    return (
+        spread(pages)
+        .select(_parse(F.col(title_col), F.col(text_col)).alias("_t"))
+        .select(F.explode("_t").alias("t"))
+        .select("t.subj", "t.pred", "t.obj")
+    )

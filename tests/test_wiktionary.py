@@ -1,0 +1,92 @@
+"""WiktionaryParser markup-extraction rules on hand-built pages following
+the public dump conventions (the reference's runtime writes to an H2
+WordDB unavailable here, so rules are fixture-tested per extraction
+path; rule citations in kernels/wiktionary.py)."""
+
+GERMAN_PAGE = """== Haus ({{Sprache|Deutsch}}) ==
+=== {{Wortart|Substantiv|Deutsch}}, {{n}} ===
+
+{{Silbentrennung}}
+Haus, {{Pl.}} Häu·ser
+
+{{Synonyme}}
+:[1] [[Gebäude]], [[Bauwerk]]; ''veraltet:'' [[Heim]]
+:[2] [[Dynastie]]
+}}
+
+{{Oberbegriffe}}
+:[1] [[Bauwerk]]
+}}
+
+{{Unterbegriffe}}
+:[1] [[Hochhaus]], [[Rathaus]]
+}}
+"""
+
+ENGLISH_PAGE = """==English==
+
+===Etymology===
+From Old English.
+
+===Noun===
+# A [[building]] for living in.
+
+====Synonyms====
+* [[dwelling]], [[home]]
+===Antonyms===
+"""
+
+
+def test_german_page():
+    from palladian_spark.kernels.wiktionary import entry_triples, parse_page_german
+
+    e = parse_page_german("Haus", GERMAN_PAGE)
+    assert e.language == "Deutsch"
+    assert e.word_type == "Substantiv"
+    assert e.plural == "Häuser"  # text after the {{Pl.}} marker, middots stripped
+    # the italics strip leaves a double space, so the link regex
+    # accepts [[Heim]] too - faithful to the Java replaceAll order
+    assert e.synonyms == ["Gebäude", "Bauwerk", "Heim"]
+    assert e.hypernyms == ["Bauwerk"]
+    assert e.hyponyms == ["Hochhaus", "Rathaus"]
+    triples = entry_triples(e)
+    assert ("Haus", "synonym-of", "Gebäude") in triples
+    assert ("Haus", "has-hypernym", "Bauwerk") in triples
+    assert ("Haus", "has-hyponym", "Rathaus") in triples
+
+
+def test_english_page():
+    from palladian_spark.kernels.wiktionary import parse_page_english
+
+    e = parse_page_english("house", ENGLISH_PAGE)
+    assert e.language == "English"
+    # synonyms grabbed from the ====Synonyms==== block via the link regex
+    assert "home" in e.synonyms
+
+
+def test_italics_and_line_restriction():
+    """Only the :[1] line counts; ''italic'' qualifiers are stripped
+    (WiktionaryParser.java:199-212)."""
+    from palladian_spark.kernels.wiktionary import parse_page_german
+
+    page = (
+        "== W ({{Sprache|Deutsch}}) ==\n"
+        "=== {{Wortart|Substantiv|Deutsch}} ===\n"
+        "{{Synonyme}}\n:[1] [[Gut]], ''selten:'' [[Schlecht]]\n:[2] [[Nie]]\n}}\n"
+    )
+    e = parse_page_german("W", page)
+    assert e.synonyms == ["Gut", "Schlecht"]
+    assert "Nie" not in e.synonyms
+
+
+def test_wiktionary_triples_operator(spark):
+    from palladian_spark.operators.relations import wiktionary_triples
+
+    pages = spark.createDataFrame(
+        [("Haus", GERMAN_PAGE), ("Leer", "no markup here")], ["title", "text"]
+    )
+    triples = {(r["subj"], r["pred"], r["obj"])
+               for r in wiktionary_triples(pages, "german").collect()}
+    assert ("Haus", "synonym-of", "Gebäude") in triples
+    assert ("Haus", "has-plural", "Häuser") in triples
+    assert not any(s == "Leer" and p != "has-word-type" for s, p, _ in triples)
