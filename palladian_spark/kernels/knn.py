@@ -1,0 +1,47 @@
+"""k-nearest-neighbor classifier over numeric feature vectors — the third
+leg of the UniversalClassifier (classification/numeric/KnnClassifier.java
+:40-80, KnnLearner with NoNormalizer per UniversalClassifier.java:57).
+
+k nearest training examples by Euclidean distance vote with weight
+1/(distance + 1e-9); scores normalize to a probability distribution like
+CategoryEntriesBuilder.create().
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass
+class KnnModel:
+    """Training examples as (vector, category); NoNormalizer = vectors
+    stored raw."""
+
+    examples: list[tuple[tuple[float, ...], str]] = field(default_factory=list)
+    categories: set[str] = field(default_factory=set)
+
+
+def train_knn(instances: list[tuple[list[float], str]]) -> KnnModel:
+    model = KnnModel()
+    for vector, category in instances:
+        model.examples.append((tuple(vector), category))
+        model.categories.add(category)
+    return model
+
+
+def classify_knn(vector: list[float], model: KnnModel, k: int = 3) -> dict[str, float]:
+    scores: dict[str, float] = {c: 0.0 for c in model.categories}
+    neighbors = sorted(
+        (
+            (math.dist(vector, example), category)
+            for example, category in model.examples
+        ),
+        key=lambda t: t[0],
+    )[:k]
+    for distance, category in neighbors:
+        scores[category] = scores.get(category, 0.0) + 1.0 / (distance + 1e-9)
+    total = sum(scores.values())
+    if total == 0:
+        return scores
+    return {c: v / total for c, v in scores.items()}

@@ -68,3 +68,19 @@ def test_preprocess_word_mode_options():
     stemmed = preprocess(text, FeatureSetting(
         "word", 1, 1, min_term_length=3, max_term_length=30, stem=True))
     assert "foxes" not in stemmed and "fox" in stemmed
+
+
+def test_knn_classifier():
+    """KnnClassifier.java:40-80: 3 nearest by Euclidean distance,
+    1/(d+eps) weighted vote, normalized."""
+    from palladian_spark.kernels.knn import classify_knn, train_knn
+
+    model = train_knn([
+        ([0.0, 0.0], "a"), ([0.1, 0.0], "a"), ([0.0, 0.1], "a"),
+        ([5.0, 5.0], "b"), ([5.1, 5.0], "b"),
+    ])
+    probs = classify_knn([0.05, 0.05], model)
+    assert max(probs, key=probs.get) == "a"
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+    probs = classify_knn([5.05, 5.0], model)
+    assert max(probs, key=probs.get) == "b"
