@@ -230,7 +230,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- co-occurrence edges (SURVEY §2.6, CoOccurrenceRetriever) ----
     def doc_cooccur(spark, sf_dir):
-        m = _doc_mentions(spark, sf_dir).select("doc_id", "value").dropDuplicates()
+        # persisted: both sides of the pair self-join consume the mention
+        # UDF scan — without the cache the Arrow pass runs twice
+        m = (
+            _doc_mentions(spark, sf_dir)
+            .select("doc_id", "value")
+            .dropDuplicates()
+            .persist()
+        )
         a = m.alias("a")
         b = m.alias("b")
         return (

@@ -33,18 +33,24 @@ CONTEXT_WINDOW = "window"
 def _presence(
     unit_df: DataFrame, terms: list[str], unit_cols: list[str], text_col: str
 ) -> DataFrame:
-    """(unit_cols..., term) rows for units whose text CONTAINS the term."""
-    parts = []
-    for term in sorted(set(terms)):
-        parts.append(
-            unit_df.where(F.col(text_col).contains(term)).select(
-                *unit_cols, F.lit(term).alias("term")
-            )
+    """(unit_cols..., term) rows for units whose text CONTAINS the term.
+
+    One pass over the units: the term list explodes as a literal array and
+    filters JVM-side — a per-term union of filters would replay the whole
+    upstream subtree (including any sentence-explode UDF) once per term
+    per consumer. The result is persisted because the pair self-join
+    consumes it twice.
+    """
+    return (
+        unit_df.select(
+            *unit_cols,
+            F.col(text_col),
+            F.explode(F.array(*[F.lit(t) for t in sorted(set(terms))])).alias("term"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .where(F.col(text_col).contains(F.col("term")))
+        .select(*unit_cols, "term")
+        .persist()
+    )
 
 
 def _pair_counts(presence: DataFrame, unit_cols: list[str]) -> DataFrame:
