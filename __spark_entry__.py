@@ -204,6 +204,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corpus, text_col="content", tagger="candidates", keep_cols=["doc_id"]
         )
 
+    def ner_reference_agreement(spark, sf_dir):
+        # The north-rule acceptance bar AS a contract query: train on the
+        # reference NER corpus, tag BOTH corpora, and score agreement
+        # against the FROZEN outputs of the actual Java reference tagger
+        # (tests/fixtures/reference/, produced by
+        # tools/reference_harness/build_and_run.sh). Values in basis
+        # points so the hash check pins them exactly; the oracle inlines
+        # the measured values (all >= 9975, far above the 9500 bar).
+        import os as _os
+
+        from palladian_spark.kernels.evaluation import EXACT_MATCH, MUC, evaluate
+        from palladian_spark.kernels.fileformats import get_text_from_column
+        from palladian_spark.kernels.ner import tag_text, train_english
+        from palladian_spark.kernels.tagging import Annotation
+
+        base = _os.path.dirname(_os.path.abspath(__file__))
+        ref_dir = "/root/reference/palladian-core/src/test/resources/ner"
+        with open(_os.path.join(ref_dir, "training.txt"), encoding="utf-8") as f:
+            model = train_english(f.read())
+
+        rows = []
+        for corpus, corpus_file, fixture in [
+            ("train", "training.txt", "ref_train_annotations.tsv"),
+            ("test", "test.txt", "ref_test_annotations.tsv"),
+        ]:
+            with open(_os.path.join(ref_dir, corpus_file), encoding="utf-8") as f:
+                text = get_text_from_column(f.read())
+            frozen = []
+            fixture_path = _os.path.join(
+                base, "tests", "fixtures", "reference", fixture
+            )
+            with open(fixture_path, encoding="utf-8") as f:
+                for line in f:
+                    s, _e, v, t = line.rstrip("\n").split("\t")
+                    frozen.append(Annotation(int(s), v, t))
+            r = evaluate(frozen, tag_text(text, model))
+            rows.append(
+                (
+                    corpus,
+                    int(r.precision(EXACT_MATCH) * 10000),
+                    int(r.recall(EXACT_MATCH) * 10000),
+                    int(r.precision(MUC) * 10000),
+                    int(r.recall(MUC) * 10000),
+                )
+            )
+        return spark.createDataFrame(
+            rows, ["corpus", "exact_p_bp", "exact_r_bp", "muc_p_bp", "muc_r_bp"]
+        )
+
     def doc_pos_tags(spark, sf_dir):
         # PalladianPosTagger over the documents table: model trained on the
         # checked-in slash corpus (the same fixture the Java-parity gate
@@ -510,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_simhash_pairs=doc_simhash_pairs,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
+        ner_reference_agreement=ner_reference_agreement,
         doc_pos_tags=doc_pos_tags,
         doc_cooccur=doc_cooccur,
         doc_cooccur_sentence=doc_cooccur_sentence,
@@ -773,6 +823,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_pos_tags": """
             select * from
             '/root/repo/tests/fixtures/oracle/doc_pos_tags_sf001.parquet'
+        """,
+        # the measured reference-agreement values (basis points); the
+        # BASELINE.md bar is >= 9500 on every metric
+        "ner_reference_agreement": """
+            select * from (values
+              ('train', 9975, 9991, 9981, 9996),
+              ('test',  9990, 9990, 9993, 9993)
+            ) t(corpus, exact_p_bp, exact_r_bp, muc_p_bp, muc_r_bp)
         """,
         "doc_simhash_pairs": f"""
             with sig as ({_simhash_sig_sql()})
