@@ -654,6 +654,10 @@ def _rule_hits_sql() -> str:
 
 _GAZ_ALT = "|".join(sorted(GAZETTEER))
 
+_FIXTURE_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "oracle"
+)
+
 _SIMHASH_BITS = 60
 
 
@@ -794,13 +798,11 @@ def oracle_sql() -> dict[str, str]:
                    (12 + (doc_id * 7) % 24)::int as height
             from documents
         """,
-        "string_tagger_candidates": """
-            select * from
-            '/root/repo/tests/fixtures/oracle/string_tagger_candidates_sf001.parquet'
+        "string_tagger_candidates": f"""
+            select * from '{_FIXTURE_ORACLE_DIR}/string_tagger_candidates_sf001.parquet'
         """,
-        "kg_triples": """
-            select * from
-            '/root/repo/tests/fixtures/oracle/kg_triples_sf001.parquet'
+        "kg_triples": f"""
+            select * from '{_FIXTURE_ORACLE_DIR}/kg_triples_sf001.parquet'
         """,
         # Fixture-pinned deterministic ops whose candidate generation is
         # not SQL-expressible (iterative CC / splitmix64 LSH planes):
@@ -808,21 +810,17 @@ def oracle_sql() -> dict[str, str]:
         # (canonicalize), the recall-vs-exact gate (lsh topk), and scope
         # semantics tests (near-dups); the fixture adds full row/value
         # regression granularity (tools/freeze_fixtures.py).
-        "canonicalize_mentions": """
-            select * from
-            '/root/repo/tests/fixtures/oracle/canonicalize_mentions_sf001.parquet'
+        "canonicalize_mentions": f"""
+            select * from '{_FIXTURE_ORACLE_DIR}/canonicalize_mentions_sf001.parquet'
         """,
-        "ann_lsh_topk": """
-            select * from
-            '/root/repo/tests/fixtures/oracle/ann_lsh_topk_sf001.parquet'
+        "ann_lsh_topk": f"""
+            select * from '{_FIXTURE_ORACLE_DIR}/ann_lsh_topk_sf001.parquet'
         """,
-        "embedding_near_dups": """
-            select * from
-            '/root/repo/tests/fixtures/oracle/embedding_near_dups_sf001.parquet'
+        "embedding_near_dups": f"""
+            select * from '{_FIXTURE_ORACLE_DIR}/embedding_near_dups_sf001.parquet'
         """,
-        "doc_pos_tags": """
-            select * from
-            '/root/repo/tests/fixtures/oracle/doc_pos_tags_sf001.parquet'
+        "doc_pos_tags": f"""
+            select * from '{_FIXTURE_ORACLE_DIR}/doc_pos_tags_sf001.parquet'
         """,
         # the measured reference-agreement values (basis points); the
         # BASELINE.md bar is >= 9500 on every metric
