@@ -1,1 +1,2 @@
 from .pipeline import stream_documents, stream_triples  # noqa: F401
+from .sessions import sessionize_stream  # noqa: F401

@@ -1,0 +1,90 @@
+"""Stateful streaming sessionization over an event stream — the
+Structured-Streaming twin of the batch ``events_sessionize`` contract
+query, built on ``applyInPandasWithState`` (arbitrary stateful
+processing with a per-user GroupState).
+
+Semantics match the batch window exactly: events sort by (ts, event_id)
+per user; a gap > ``gap_seconds`` (or the first event ever) starts a new
+session. State per user = (last event micros, session count so far,
+event count so far); each micro-batch emits the user's updated running
+totals, so the LAST emitted row per user equals the batch aggregate —
+verified stream-vs-batch in tests/test_streaming.py.
+
+Watermarking: callers feeding real unbounded streams should
+``withWatermark("ts", ...)`` upstream so state for long-idle users can
+be timed out via ``state.setTimeoutTimestamp``; with file-drop replay
+(availableNow) no watermark is needed and state lives for the run.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """events(user_id, event_id, us) stream -> running (user_id,
+    n_sessions, n_events) via per-user GroupState."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["us", "event_id"])
+        for us in rows["us"]:
+            us = int(us)
+            if last_us is None or us - last_us > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_us = us
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            [(key[0], n_sessions, n_events)],
+            columns=["user_id", "n_sessions", "n_events"],
+        )
+
+    return (
+        events.select("user_id", "event_id", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -72,3 +72,64 @@ def test_stream_matches_batch(spark, tmp_path, doc_rows):
         .collect()
     }
     assert again == got
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: after draining time-ordered
+    file drops, the last emitted running total per user equals the batch
+    events_sessionize aggregate over the union."""
+    from pyspark.sql.window import Window
+
+    from palladian_spark.streaming.sessions import (
+        SESSION_OUTPUT_SCHEMA,
+        sessionize_stream,
+    )
+
+    GAP_US = 1800 * 1_000_000
+    rows = []
+    # user 1: three events, one gap -> 2 sessions; user 2: one session
+    rows_batch1 = [(1, 10, 0), (1, 11, 60_000_000), (2, 20, 0)]
+    rows_batch2 = [(1, 12, 60_000_000 + GAP_US + 1), (2, 21, 120_000_000)]
+
+    in_dir = str(tmp_path / "ev_in")
+    schema = "user_id long, event_id long, us long"
+    spark.createDataFrame(rows_batch1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows_batch2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted running total per user
+    out = spark.sql(
+        "select user_id, n_sessions, n_events from sess"
+    ).toPandas()
+    final = {}
+    for _, r in out.iterrows():
+        final[int(r["user_id"])] = (int(r["n_sessions"]), int(r["n_events"]))
+    # batch reference: same gap logic over the full event set
+    all_rows = rows_batch1 + rows_batch2
+    ev = spark.createDataFrame(all_rows, schema)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    batch = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .collect()
+    )
+    want = {int(r["user_id"]): (int(r["n_sessions"]), int(r["n_events"])) for r in batch}
+    assert final == want
+    assert final[1] == (2, 3)
