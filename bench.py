@@ -41,6 +41,9 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_exact_dedup",
     "doc_simhash_pairs",
+    "doc_pos_tags",
+    "doc_cooccur_window",
+    "media_features",
     "canonicalize_mentions",
     "ann_topk",
     "ann_lsh_topk",

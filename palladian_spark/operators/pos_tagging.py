@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.pos import PosModel, pos_tag
+from ..kernels.pos import PosModel
 from .mentions import ANNOTATION_STRUCT
 from .util import spread
 
@@ -35,9 +35,32 @@ def pos_tag_documents(
 
     @F.pandas_udf(ArrayType(ANNOTATION_STRUCT))
     def tag_series(texts: pd.Series) -> pd.Series:
+        from ..kernels.pos import classify_token
+        from ..kernels.text import iterate_tokens
+
         m = model_bc.value
+        # POS classification is a pure function of the token value, and
+        # corpora repeat tokens heavily (Zipf) — memoize on the broadcast
+        # model object so the cache survives across Arrow batches within
+        # an executor; bounded so a 100 TB vocabulary cannot exhaust memory
+        cache = getattr(m, "_tag_cache", None)
+        if cache is None:
+            cache = {}
+            m._tag_cache = cache
+
+        def tag_of(token: str) -> str:
+            tag = cache.get(token)
+            if tag is None:
+                tag = classify_token(token, m).upper()
+                if len(cache) < 262_144:
+                    cache[token] = tag
+            return tag
+
         return texts.map(
-            lambda t: [(a.start, a.end, a.value, a.tag) for a in pos_tag(t or "", m)]
+            lambda t: [
+                (start, start + len(value), value, tag_of(value))
+                for start, value in iterate_tokens(t or "")
+            ]
         )
 
     return (
