@@ -279,13 +279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- co-occurrence edges (SURVEY §2.6, CoOccurrenceRetriever) ----
     def doc_cooccur(spark, sf_dir):
-        # persisted: both sides of the pair self-join consume the mention
-        # UDF scan — without the cache the Arrow pass runs twice
+        # localCheckpoint: both sides of the pair self-join consume the
+        # mention UDF scan — lineage is cut so the Arrow pass runs once,
+        # and blocks are GC-reclaimed (persist would leak in CacheManager
+        # until an unpersist this lazy API cannot place)
         m = (
             _doc_mentions(spark, sf_dir)
             .select("doc_id", "value")
             .dropDuplicates()
-            .persist()
+            .localCheckpoint(eager=False)
         )
         a = m.alias("a")
         b = m.alias("b")
@@ -507,6 +509,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), GAZETTEER, min_support=0.2
         )
 
+    def fpgrowth_rules(spark, sf_dir):
+        from palladian_spark.operators.relations import association_rules
+
+        return association_rules(
+            _read(spark, sf_dir, "documents"),
+            GAZETTEER,
+            min_support=0.2,
+            min_confidence=0.5,
+        )
+
     # ---- url/date taggers + masked sentence detection (SURVEY §2.2/2.5) ----
     def doc_structure(spark, sf_dir):
         from palladian_spark.operators.textstats import structure_stats
@@ -580,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rule_triples=rule_triples,
         pattern_mining=pattern_mining,
         fpgrowth_itemsets=fpgrowth_itemsets,
+        fpgrowth_rules=fpgrowth_rules,
         classify_docs=classify_docs,
         doc_structure=doc_structure,
         media_features=media_features,
@@ -1053,5 +1066,37 @@ def oracle_sql() -> dict[str, str]:
             select items, freq
             from (select * from s1 union all select * from pairs)
             where freq >= ceil(0.2 * (select n from nb))
+        """,
+        # 1->1 association rules: Spark FPGrowth keeps itemsets with
+        # freq >= ceil(minSupport*n) and rules with confidence >=
+        # minConfidence; confidence/support emitted as floor(x*10000) so
+        # the identical IEEE division hashes identically in both engines.
+        "fpgrowth_rules": f"""
+            with baskets as (
+              select doc_id,
+                     list_distinct(regexp_extract_all(
+                         text, '\\b({_GAZ_ALT})\\b', 1)) as items
+              from documents
+              where len(regexp_extract_all(text, '\\b({_GAZ_ALT})\\b', 1)) > 0),
+            nb as (select count(*) as n from baskets),
+            singles as (select doc_id, unnest(items) as item from baskets),
+            s1 as (select item, count(*)::bigint as freq
+                   from singles group by 1),
+            dpairs as (select a.item as antecedent, b.item as consequent,
+                              count(*)::bigint as freq
+                       from singles a
+                       join singles b
+                         on a.doc_id = b.doc_id and a.item <> b.item
+                       group by 1, 2)
+            select p.antecedent,
+                   p.consequent,
+                   floor((p.freq::double / s.freq::double) * 10000)::bigint
+                       as confidence_bp,
+                   floor((p.freq::double / (select n from nb)) * 10000)::bigint
+                       as support_bp
+            from dpairs p
+            join s1 s on s.item = p.antecedent
+            where p.freq >= ceil(0.2 * (select n from nb))
+              and p.freq::double / s.freq::double >= 0.5
         """,
     }

@@ -155,7 +155,10 @@ class EntityPreprocessingTagger:
                     elif cumulated:
                         value = " ".join(cumulated)
                         if len(value) > 1:
-                            start = annotation.start + annotation.value.index(value)
+                            # str.find mirrors Java String.indexOf: -1 (not a
+                            # raise) when quote normalization made the part
+                            # absent from the original value.
+                            start = annotation.start + annotation.value.find(value)
                             split_annotations.append(
                                 Annotation(start, value, CANDIDATE_TAG)
                             )
@@ -163,14 +166,14 @@ class EntityPreprocessingTagger:
                 if cumulated:
                     value = " ".join(cumulated)
                     if value != annotation.value and len(value) > 1:
-                        start = annotation.start + annotation.value.index(value)
+                        start = annotation.start + annotation.value.find(value)
                         split_annotations.append(Annotation(start, value, CANDIDATE_TAG))
             temp = normalize_quotes(annotation.value)
             if "-" in temp or "&" in temp:
                 for part in regex.split("[-&]", temp):
                     trimmed = part.strip()
                     if _starts_uppercase(trimmed):
-                        start = annotation.start + annotation.value.index(trimmed)
+                        start = annotation.start + annotation.value.find(trimmed)
                         split_annotations.append(
                             Annotation(start, trimmed, CANDIDATE_TAG)
                         )

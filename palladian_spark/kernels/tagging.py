@@ -219,9 +219,14 @@ def dictionary_matcher(
         regex.escape(e) for e in sorted(entries, key=len, reverse=True)
     )
     pattern = regex.compile(r"(?<!\w)(?:" + alternation + r")(?!\w)", flags)
-    lookup = {
-        (e if case_sensitive else e.lower()): t for e, t in items if len(e) > 1
-    }
+    # Dictionary-order semantics on case-insensitive key collisions: the
+    # reference emits one match per entry pattern, and removeNested keeps
+    # the FIRST (earliest-added) at identical spans — so the first entry
+    # whose folded key collides wins, not the last.
+    lookup: dict[str, str] = {}
+    for e, t in items:
+        if len(e) > 1:
+            lookup.setdefault(e if case_sensitive else e.lower(), t)
     return pattern, lookup
 
 
@@ -242,11 +247,17 @@ def dictionary_tag(
     )
     if pattern is None:
         return []
+    # .get with tag fallback: Unicode case-fold edges ('İ'.lower() yields a
+    # combining-dot sequence absent from the folded key set) must not raise
+    # inside an executor UDF; fall back to the first entry's tag.
+    default_tag = next(iter(lookup.values()))
     return [
         Annotation(
             m.start(),
             m.group(),
-            lookup[m.group() if case_sensitive else m.group().lower()],
+            lookup.get(
+                m.group() if case_sensitive else m.group().lower(), default_tag
+            ),
         )
         for m in pattern.finditer(text)
     ]

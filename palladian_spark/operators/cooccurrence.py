@@ -38,8 +38,11 @@ def _presence(
     One pass over the units: the term list explodes as a literal array and
     filters JVM-side — a per-term union of filters would replay the whole
     upstream subtree (including any sentence-explode UDF) once per term
-    per consumer. The result is persisted because the pair self-join
-    consumes it twice.
+    per consumer. localCheckpoint (not persist) materializes it for the
+    two self-join sides: lineage is cut so the UDF subtree runs once, and
+    the blocks are reclaimed by the ContextCleaner when the checkpointed
+    RDD is garbage-collected — no unpersist bookkeeping leaks into callers
+    of this lazy API.
     """
     return (
         unit_df.select(
@@ -49,7 +52,7 @@ def _presence(
         )
         .where(F.col(text_col).contains(F.col("term")))
         .select(*unit_cols, "term")
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -111,26 +114,30 @@ def scoped_cooccurrences(
         )
 
     if scope == CONTEXT_WINDOW:
-        pairs = [(a, b) for a in terms for b in terms if a < b]
-        counts = []
-        for a, b in pairs:
-            fwd = f"{_re.escape(a)}.{{0,{window}}}{_re.escape(b)}"
-            bwd = f"{_re.escape(b)}.{{0,{window}}}{_re.escape(a)}"
-            n = F.size(F.regexp_extract_all(F.col("t"), F.lit(fwd), F.lit(0))) + F.size(
-                F.regexp_extract_all(F.col("t"), F.lit(bwd), F.lit(0))
-            )
-            counts.append(
-                base.select(
-                    F.lit(a).alias("term_a"),
-                    F.lit(b).alias("term_b"),
-                    n.alias("_n"),
+        # ONE projection per document emitting an array of
+        # (term_a, term_b, _n) structs — a single corpus scan regardless
+        # of |pairs|, vs the naive per-pair union-of-scans plan that
+        # re-reads the corpus |pairs| times.
+        pair_structs = []
+        for a in terms:
+            for b in terms:
+                if a >= b:
+                    continue
+                fwd = f"{_re.escape(a)}.{{0,{window}}}{_re.escape(b)}"
+                bwd = f"{_re.escape(b)}.{{0,{window}}}{_re.escape(a)}"
+                n = F.size(
+                    F.regexp_extract_all(F.col("t"), F.lit(fwd), F.lit(0))
+                ) + F.size(F.regexp_extract_all(F.col("t"), F.lit(bwd), F.lit(0)))
+                pair_structs.append(
+                    F.struct(
+                        F.lit(a).alias("term_a"),
+                        F.lit(b).alias("term_b"),
+                        n.alias("_n"),
+                    )
                 )
-            )
-        out = counts[0]
-        for c in counts[1:]:
-            out = out.unionByName(c)
         return (
-            out.groupBy("term_a", "term_b")
+            base.select(F.inline(F.array(*pair_structs)))
+            .groupBy("term_a", "term_b")
             .agg(F.sum("_n").cast("long").alias("n"))
             .where(F.col("n") > 0)
         )

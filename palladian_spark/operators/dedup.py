@@ -185,13 +185,14 @@ def minhash_lsh_pairs(
         _word_shingles(df, text_col, shingle_n)
         .select(F.col(id_col).alias("doc"), "_shingles")
         .where(F.size("_shingles") > 0)
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    # cache: the bucket self-join consumes bands on both sides — without a
-    # cache the band UDF would run twice over every document
+    # localCheckpoint: the bucket self-join consumes bands on both sides —
+    # without it the band UDF would run twice over every document; blocks
+    # are GC-reclaimed, unlike persist which leaks in a long-lived session
     bands = sigs.select(
         "doc", F.posexplode(_doc_bands(F.col("_shingles"))).alias("band_id", "band_hash")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     cand = (
         bands.alias("x")
@@ -310,8 +311,9 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     width = bits // n_bands
     # both sides of the band self-join consume the signatures; without a
-    # cache the whole upstream token-hash aggregation runs twice
-    signatures = signatures.persist()
+    # materialization the upstream token-hash aggregation runs twice
+    # (localCheckpoint: GC-reclaimed, no unpersist bookkeeping)
+    signatures = signatures.localCheckpoint(eager=False)
     band_vals = []
     for b in range(n_bands):
         lo = b * width

@@ -235,9 +235,12 @@ def set_entity_dictionary_from_df(
 def equalize_annotations(ann: DataFrame) -> DataFrame:
     """Distributed twin of the trainEnglish equalizeTypeCounts sampling
     (:390-404): downsample every tag to the rarest tag's count. The
-    reference samples with an unseeded Random; this twin (like the local
-    kernel) takes the first N per tag in (start, value) order via a window
-    rank, so training is deterministic and both paths agree."""
+    reference samples with an unseeded Random; this twin takes the first N
+    per tag in (start, longer-span-first) order via a window rank — the
+    same sort_key = (start, -end) the local kernel uses — so training is
+    deterministic. doc_id is only a final tiebreak for cross-document ties
+    at equal (start, length), where the local single-list path falls back
+    to stable input order instead; within one document the paths agree."""
     from pyspark.sql.window import Window
 
     min_count = (
@@ -246,7 +249,9 @@ def equalize_annotations(ann: DataFrame) -> DataFrame:
         .agg(F.min("cnt").alias("m"))
         .collect()[0]["m"]
     )
-    w = Window.partitionBy("tag").orderBy("start", "value", "doc_id")
+    w = Window.partitionBy("tag").orderBy(
+        F.col("start"), F.length("value").desc(), F.col("doc_id")
+    )
     return (
         ann.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= min_count)

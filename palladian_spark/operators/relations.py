@@ -162,6 +162,29 @@ def mine_context_patterns(
     )
 
 
+def _gazetteer_baskets(
+    df: DataFrame, dictionary: dict[str, str], text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document distinct-gazetteer-term presence sets (the transaction
+    input for itemset mining). One regexp_extract_all pass, JVM-side."""
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in sorted(dictionary))
+    pattern = f"\\b({alt})\\b"
+    return (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(1))
+                )
+            ).alias("items"),
+        )
+        .where(F.size("items") > 0)
+    )
+
+
 def frequent_itemsets(
     df: DataFrame,
     dictionary: dict[str, str],
@@ -177,22 +200,8 @@ def frequent_itemsets(
     <= max_size — string-typed output keeps the result oracle-hashable.
     """
     from pyspark.ml.fpm import FPGrowth
-    import re as _re
 
-    alt = "|".join(_re.escape(t) for t in sorted(dictionary))
-    pattern = f"\\b({alt})\\b"
-    baskets = (
-        spread(df)
-        .select(
-            F.col(id_col),
-            F.array_sort(
-                F.array_distinct(
-                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(1))
-                )
-            ).alias("items"),
-        )
-        .where(F.size("items") > 0)
-    )
+    baskets = _gazetteer_baskets(df, dictionary, text_col, id_col)
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=0.5
     ).fit(baskets)
@@ -201,6 +210,47 @@ def frequent_itemsets(
         .select(
             F.array_join(F.array_sort("items"), ",").alias("items"),
             F.col("freq"),
+        )
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    dictionary: dict[str, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: float = 0.05,
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """Association rules with confidence over gazetteer presence baskets.
+
+    Reference: extraction/apriori/Apriori.java:150-190 (buildRules) emits
+    ``X => Y`` rules with support, confidence = supp(X∪Y)/supp(X), and
+    lift; pyspark.ml's FPGrowth.associationRules computes the same
+    quantities from the frequent itemsets, distributed. Exposed here
+    restricted to 1→1 rules (single-item antecedent and consequent), which
+    keeps the SQL oracle independent and exact.
+
+    confidence/support are emitted in basis points via floor(x * 10000):
+    both engines perform the identical IEEE-double division freq_pair /
+    freq_antecedent (resp. / n_baskets), so the floored integer is
+    engine-portable where a rounded double might not hash-match.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = _gazetteer_baskets(df, dictionary, text_col, id_col)
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    return (
+        model.associationRules.where(
+            (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+        )
+        .select(
+            F.element_at("antecedent", 1).alias("antecedent"),
+            F.element_at("consequent", 1).alias("consequent"),
+            F.floor(F.col("confidence") * 10000).cast("long").alias("confidence_bp"),
+            F.floor(F.col("support") * 10000).cast("long").alias("support_bp"),
         )
     )
 

@@ -47,6 +47,26 @@ def band_hashes_for_shingles(shingles, a, b, band_size: int) -> list[int]:
     ]
 
 
+_SCAN_ONLY_NODES = ("Project", "Filter", "Relation", "SubqueryAlias", "View")
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when the analyzed logical plan is only Project/Filter over a
+    file Relation — the one shape where leaf file count equals current
+    parallelism. Any other node (Aggregate, Join, Repartition, ...) means
+    the partitioning downstream of the scan may differ from the file count.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:")
+        if node and not node.startswith(_SCAN_ONLY_NODES):
+            return False
+    return True
+
+
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure a DataFrame has at least defaultParallelism partitions before
     an expensive per-row UDF scan.
@@ -58,16 +78,20 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     adds a shuffle at scale.
 
     Parallelism probe: ``df.inputFiles()`` (logical file-index resolution
-    only) when the plan reads files — a TB-scale table has >> cores files
-    and short-circuits without ever touching the physical plan; the
-    ``df.rdd`` fallback (which costs a physical planning pass per call)
-    runs only for derived, file-less plans.
+    only) when the plan is a bare file scan (Project/Filter over a
+    Relation) — a TB-scale table has >> cores files and short-circuits
+    without ever touching the physical plan. For any derived plan (a
+    shuffle/aggregate/join upstream may have AQE-coalesced the output far
+    below the leaf-scan file count, so inputFiles overstates parallelism)
+    we always fall through to the precise ``df.rdd`` probe.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    try:
-        n = len(df.inputFiles())
-    except Exception:
-        n = 0
+    n = 0
+    if _is_bare_scan(df):
+        try:
+            n = len(df.inputFiles())
+        except Exception:
+            n = 0
     if n >= target:
         return df
     # few/no files: large files may still split into many scan partitions,

@@ -111,3 +111,23 @@ def test_empty_dictionary():
     assert dictionary_tag("anything", {}) == []
     pattern, lookup = dictionary_matcher((), False)
     assert pattern is None and lookup == {}
+
+
+def test_case_insensitive_collision_keeps_first_entry_tag():
+    """Two entries differing only in case: dictionary order wins (reference
+    emits per-entry matches; removeNested keeps the earliest-added at an
+    identical span) and the lookup must not KeyError."""
+    from palladian_spark.kernels.tagging import dictionary_tag
+
+    anns = dictionary_tag("we visited paris today", {"Paris": "CITY", "PARIS": "ORG"})
+    assert [(a.value, a.tag) for a in anns] == [("paris", "CITY")]
+
+
+def test_unicode_casefold_edge_no_keyerror():
+    """'İ'.lower() produces i + combining dot above — absent from the folded
+    key set; the matcher must fall back, not raise, inside an executor UDF."""
+    from palladian_spark.kernels.tagging import dictionary_tag
+
+    anns = dictionary_tag("İstanbul is large", {"İstanbul": "CITY"})
+    assert len(anns) == 1
+    assert anns[0].tag == "CITY"

@@ -95,3 +95,19 @@ def test_long_annotation_split(tagger):
     split = tagger.get_long_annotation_split(annotations, 3)
     assert len(split) == 2
     assert split[1].value == "New York City"
+
+def test_long_annotation_split_curly_quote_no_crash(tagger):
+    """Quote-normalized '-'/'&' parts absent from the raw value must not raise
+    (Java String.indexOf returns -1; EntityPreprocessingTagger.java:208-218
+    then emits start-1). Repro from round-2 advisor finding."""
+    from palladian_spark.kernels.tagging import Annotation
+
+    annotations = [Annotation(10, "O’Brien-Smith Holdings", "CANDIDATE")]
+    split = tagger.get_long_annotation_split(annotations, 99)
+    values = [a.value for a in split]
+    # The hyphen split yields "O'Brien" (normalized, absent from raw value →
+    # start = 10 + (-1) = 9, mirroring the reference) and "Smith Holdings".
+    assert "O'Brien" in values
+    assert "Smith Holdings" in values
+    starts = {a.value: a.start for a in split}
+    assert starts["O'Brien"] == 9
