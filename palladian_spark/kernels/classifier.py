@@ -31,6 +31,9 @@ class FeatureSetting:
     create_skip_grams: bool = False
     remove_stopwords: bool = False
     stem: bool = False
+    # language for the stopword list / stemmer (Stemmer.java:54-88,
+    # StopWordRemover.java:69-100 take a Language; "en" and "de" shipped)
+    language: str = "en"
 
 
 # NER settings (reference: PalladianNerTrainingSettings.java:83-88)
@@ -54,11 +57,12 @@ def preprocess(text: str, fs: FeatureSetting) -> list[str]:
     if fs.remove_stopwords:
         from .morphology import StopWordRemover
 
-        grams = list(filter(StopWordRemover(), grams))
+        grams = list(filter(StopWordRemover(language=fs.language), grams))
     if fs.stem:
         from .morphology import Stemmer
 
-        grams = [Stemmer()(g) for g in grams]
+        stemmer = Stemmer(language=fs.language)
+        grams = [stemmer(g) for g in grams]
     return grams
 
 

@@ -150,14 +150,24 @@ def remove_word(word: str, text: str) -> str:
 
 
 class StopWordRemover:
-    """StopWordRemover.java:26-160; English word lists shipped as data
-    modules (kernels/stopwords_en*.py), custom lists injectable."""
+    """StopWordRemover.java:26-160; English and German word lists shipped
+    as data modules (kernels/stopwords_*.py), custom lists injectable."""
 
-    def __init__(self, stopwords=None, small: bool = False):
+    def __init__(self, stopwords=None, small: bool = False, language: str = "en"):
         if stopwords is not None:
             self.stopwords = {w.lower() for w in stopwords}
-        else:
+        elif language == "de":
+            from .stopwords_de import STOPWORDS_DE
+
+            # the reference ships stopwords_de_small.txt too, but its small
+            # list is a strict subset; one list suffices here
+            self.stopwords = set(STOPWORDS_DE)
+        elif language == "en":
             self.stopwords = set(STOPWORDS_EN_SMALL if small else STOPWORDS_EN)
+        else:
+            # StopWordRemover.java:96-99 default branch: empty set for
+            # languages without a shipped list
+            self.stopwords = set()
 
     def is_stop_word(self, word: str) -> bool:
         return word.lower() in self.stopwords
@@ -302,14 +312,164 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# German Snowball stemmer (public specification,
+# snowballstem.org/algorithms/german/stemmer.html — the same algorithm the
+# reference's org.tartarus.snowball.ext.germanStemmer implements; see
+# extraction/feature/Stemmer.java:66-67). Validated exhaustively against
+# PostgreSQL 15's snowball german_stem dictionary (tests/fixtures/
+# german_stem_golden.tsv) — classic variant, no 2021 'syst' exception.
+# ---------------------------------------------------------------------------
+_DE_VOWELS = set("aeiouyäöü")
+_DE_S_ENDING = set("bdfghklmnrt")
+_DE_ST_ENDING = set("bdfghklmnt")
+
+
+def _de_prelude(word: str) -> str:
+    """ß -> ss, then mark u/y between vowels as U/Y (consonant markers)."""
+    w = list(word.replace("ß", "ss"))
+    n = len(w)
+    i = 0
+    # snowball `repeat goto (v [('u'] test v ...)`: find a vowel, and if
+    # the next char is u/y followed by another vowel, mark it; the
+    # following vowel is NOT consumed, so it can anchor the next mark
+    # (validated against PG snowball: 'aueue...' marks both u's)
+    while i < n:
+        if w[i] in _DE_VOWELS:
+            if i + 2 < n and w[i + 1] in "uy" and w[i + 2] in _DE_VOWELS:
+                w[i + 1] = w[i + 1].upper()
+                i += 2
+                continue
+            i += 1
+        else:
+            i += 1
+    return "".join(w)
+
+
+def _de_gopast_region(w: str, start: int) -> int:
+    """Cursor after the first non-vowel that follows a vowel, from `start`
+    (standard Snowball R1/R2 step); len(w) if the pattern never occurs."""
+    n = len(w)
+    i = start
+    while i < n and w[i] not in _DE_VOWELS:
+        i += 1
+    if i >= n:
+        return n
+    i += 1  # past the vowel
+    while i < n and w[i] in _DE_VOWELS:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1  # past the non-vowel
+
+
+def german_stem(word: str) -> str:
+    """Snowball German stemmer; lowercase input expected (the reference's
+    snowball jar is case-preserving, but every caller lowercases first —
+    Preprocessor lowercases unless case_sensitive)."""
+    w = _de_prelude(word)
+    r1 = _de_gopast_region(w, 0)
+    # p2 continues from the UNADJUSTED p1 cursor; the 3-letter floor
+    # applies to the r1 variable only (german.sbl mark_regions)
+    r2 = _de_gopast_region(w, r1)
+    if r1 < 3 and len(w) >= 3:
+        r1 = 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # --- Step 1 (longest of: em ern er | e en es | s) ------------------
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("em", "ern", "er"):
+            if in_r1(pos):
+                w = w[:pos]
+        elif suf in ("e", "en", "es"):
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("niss"):  # bedürfnissen -> bedürfnis
+                    w = w[:-1]
+        else:  # 's'
+            if in_r1(pos) and pos > 0 and w[pos - 1] in _DE_S_ENDING:
+                w = w[:pos]
+        break  # among() commits to the longest match
+
+    # --- Step 2 (longest of: en er est | st) ----------------------------
+    for suf in ("est", "en", "er", "st"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "st":
+            # valid st-ending itself preceded by >= 3 letters
+            if in_r1(pos) and pos > 3 and w[pos - 1] in _DE_ST_ENDING:
+                w = w[:pos]
+        else:
+            if in_r1(pos):
+                w = w[:pos]
+        break
+
+    # --- Step 3 (d-suffixes) --------------------------------------------
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("end", "ung"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ig") and not w.endswith("eig") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if in_r2(pos) and not (pos > 0 and w[pos - 1] == "e"):
+                w = w[:pos]
+        elif suf in ("lich", "heit"):
+            if in_r2(pos):
+                w = w[:pos]
+                for inner in ("er", "en"):
+                    if w.endswith(inner) and in_r1(len(w) - 2):
+                        w = w[: len(w) - 2]
+                        break
+        else:  # 'keit'
+            if in_r2(pos):
+                w = w[:pos]
+                for inner in ("lich", "ig"):
+                    if w.endswith(inner) and in_r2(len(w) - len(inner)):
+                        w = w[: len(w) - len(inner)]
+                        break
+        break
+
+    # --- Postlude: unmark, fold umlauts ---------------------------------
+    return (
+        w.replace("U", "u")
+        .replace("Y", "y")
+        .replace("ä", "a")
+        .replace("ö", "o")
+        .replace("ü", "u")
+    )
+
+
 class Stemmer:
-    """API twin of extraction/feature/Stemmer.java:29-110 (callable;
-    Porter variant — see module docstring for the Snowball deviation)."""
+    """API twin of extraction/feature/Stemmer.java:29-110 (callable,
+    per-language dispatch like createStemmer). English is the classic
+    Porter variant — see module docstring for the Snowball deviation;
+    German is the Snowball German algorithm (golden-tested against the
+    PostgreSQL snowball build)."""
+
+    def __init__(self, language: str = "en"):
+        if language not in ("en", "de"):
+            raise ValueError(f"no stemmer for language {language!r}")
+        self.language = language
 
     def __call__(self, word: str) -> str:
         return self.stem(word)
 
     def stem(self, word: str) -> str:
+        if self.language == "de":
+            return german_stem(word.lower())
         return porter_stem(word.lower())
 
 

@@ -118,3 +118,56 @@ def test_german_morphology():
     assert de.word_to_plural("Apfelkuchen") == "apfelkuchen"
     assert de.split_compound_words("Teaktische") == ["teak", "tisch"]
     assert de.split_compound_words("Kunststofftische") == ["kunststoff", "tisch"]
+
+
+def test_german_snowball_stemmer_goldens():
+    """Snowball German stemmer vs 8,570 goldens generated from the official
+    Snowball implementation shipped in PostgreSQL 15 (dict_snowball,
+    language='german'); tests/fixtures/german_stem_golden.tsv. The
+    reference dispatches GERMAN to the same tartarus germanStemmer
+    (extraction/feature/Stemmer.java:66-67)."""
+    import os
+
+    from palladian_spark.kernels.morphology import german_stem
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "german_stem_golden.tsv")
+    n = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            word, expected = line.rstrip("\n").split("\t")
+            assert german_stem(word) == expected, word
+            n += 1
+    assert n > 8000
+
+
+def test_german_stemmer_spot_checks():
+    from palladian_spark.kernels.morphology import Stemmer, german_stem
+
+    de = Stemmer(language="de")
+    assert de("wärme") == "warm"
+    assert de("Versicherungen") == "versicher"
+    assert german_stem("bedürfnissen") == "bedurfnis"
+    assert german_stem("aufeinanderfolgen") == "aufeinanderfolg"
+    assert german_stem("möglichkeit") == "moglich"
+    assert german_stem("großartig") == "grossart"  # ß->ss, ig deleted in R2
+
+
+def test_german_stopwords_and_feature_setting():
+    from palladian_spark.kernels.classifier import FeatureSetting, preprocess
+    from palladian_spark.kernels.morphology import StopWordRemover
+
+    de = StopWordRemover(language="de")
+    assert de.is_stop_word("aber")
+    assert de.is_stop_word("während")
+    assert not de.is_stop_word("versicherung")
+    # unknown language -> empty set (StopWordRemover.java:96-99)
+    assert not StopWordRemover(language="xx").is_stop_word("aber")
+
+    fs = FeatureSetting(
+        "word", 1, 1, language="de", remove_stopwords=True, stem=True
+    )
+    terms = preprocess("aber die Versicherungen, nicht die Bedürfnisse", fs)
+    assert "aber" not in terms and "nicht" not in terms
+    assert "versicher" in terms
