@@ -504,6 +504,21 @@ class GermanMorphology:
         with open(path, encoding="utf-8") as f:
             return cls(f)
 
+    @classmethod
+    def from_triples(cls, triples) -> "GermanMorphology":
+        """Build the noun morphology from (subj, pred, obj) edges as the
+        WiktionaryParser emits them (kernels/wiktionary.entry_triples /
+        operators/relations.wiktionary_triples) — the glue the reference
+        gets from parsing the wiktionary dump INTO WordDB and reading
+        GERMAN_NOUNS back out of it (semantics/WordDB.java +
+        GermanMorphology's germanWordDatabase.txt resource)."""
+        lines = (
+            f"\t{subj}\t\t{obj}"
+            for subj, pred, obj in triples
+            if pred == "has-plural"
+        )
+        return cls(lines)
+
     def word_to_singular(self, plural_form: str) -> str:
         """wordToSingularGerman(CaseSensitive) (:286-308)."""
         return self._to_singular_cs(plural_form.lower())

@@ -170,6 +170,38 @@ def skip_grams(ngrams: list[str], separator: str = " ") -> list[str]:
     return out
 
 
+def char_edge_ngrams(text: str, n: int, must_hit_left_edge: bool = False) -> set[str]:
+    """Char n-grams touching a word edge only (search-index style).
+
+    Reference: extraction/token/Tokenizer.java:96-121
+    (calculateCharEdgeNGrams) — of all offsets, keep only i==0 (left edge)
+    and i==len-n (right edge); with must_hit_left_edge only the left one.
+    'pROTector' must not yield 'rot', 'Sleeve' must not yield 'ee'.
+    """
+    length = len(text)
+    if length < n:
+        return set()
+    if must_hit_left_edge:
+        return {text[:n]}
+    return {text[:n], text[length - n :]}
+
+
+def all_char_edge_ngrams(
+    text: str, n1: int, n2: int, must_hit_left_edge: bool = False
+) -> set[str]:
+    """Union of edge n-grams for n in [n1..n2] over space-split parts.
+
+    Reference: Tokenizer.java:65-78 (calculateAllCharEdgeNGrams) — Java
+    String.split(" "): single-space separator, empty parts contribute
+    nothing (len < n for any n >= 1).
+    """
+    out: set[str] = set()
+    for part in text.split(" "):
+        for n in range(n1, n2 + 1):
+            out |= char_edge_ngrams(part, n, must_hit_left_edge)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Case signature / casing helpers
 # ---------------------------------------------------------------------------

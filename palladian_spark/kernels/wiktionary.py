@@ -125,3 +125,74 @@ def entry_triples(entry: WiktionaryEntry) -> list[tuple[str, str, str]]:
     if entry.word_type:
         triples.append((entry.word, "has-word-type", entry.word_type))
     return triples
+
+
+class WordGraph:
+    """In-memory lookup twin of semantics/WordDB.java over a (subj, pred,
+    obj) edge list — the Spark-side store is the triple DataFrame itself
+    (operators/relations.wiktionary_triples); collect the edges for a
+    word neighborhood and answer WordDB-style queries locally.
+
+    Faithful lookup semantics:
+    - synonyms are symmetric pairs (WordDB.addSynonyms:416-434 inserts
+      the word into its own synonym list, then links every pair both
+      ways; getSynonyms:622-656 unions both directions),
+    - hypernyms/hyponyms are ONE edge set read from both ends
+      (psGetHyponyms:161 selects wordId1 from the hypernyms table where
+      wordId2 = ?, i.e. hyponym(w) == inverse hypernym(w)),
+    - addHypernyms/addHyponyms propagate the new edge to the word's
+      synonyms at write time (WordDB.java:487-559) — mirrored here at
+      build time so lookups agree with a reference-populated DB.
+    """
+
+    def __init__(self, triples, propagate_synonyms: bool = True):
+        self.synonyms: dict[str, set[str]] = {}
+        self.hypernym_edges: set[tuple[str, str]] = set()
+        self.plural: dict[str, str] = {}
+        self.word_type: dict[str, str] = {}
+        for subj, pred, obj in triples:
+            if pred == "synonym-of":
+                self.synonyms.setdefault(subj, set()).add(obj)
+                self.synonyms.setdefault(obj, set()).add(subj)
+            elif pred == "has-hypernym":
+                self.hypernym_edges.add((subj, obj))
+            elif pred == "has-hyponym":
+                self.hypernym_edges.add((obj, subj))
+            elif pred == "has-plural":
+                self.plural[subj] = obj
+            elif pred == "has-word-type":
+                self.word_type[subj] = obj
+        if propagate_synonyms:
+            extra = set()
+            for sub, sup in self.hypernym_edges:
+                for syn in self.synonyms.get(sub, ()):
+                    extra.add((syn, sup))
+            self.hypernym_edges |= extra
+
+    def get_synonyms(self, word: str) -> set[str]:
+        return set(self.synonyms.get(word, ())) - {word}
+
+    def get_hypernyms(self, word: str) -> set[str]:
+        return {sup for sub, sup in self.hypernym_edges if sub == word}
+
+    def get_hyponyms(self, word: str) -> set[str]:
+        return {sub for sub, sup in self.hypernym_edges if sup == word}
+
+    def get_word(self, word: str) -> "WiktionaryEntry | None":
+        """WordDB.getWord:326-359 + aggregateInformation: a Word node with
+        its relations attached, or None for an unknown word."""
+        known = (
+            word in self.synonyms
+            or word in self.plural
+            or word in self.word_type
+            or any(word in edge for edge in self.hypernym_edges)
+        )
+        if not known:
+            return None
+        entry = WiktionaryEntry(word)
+        entry.word_type = self.word_type.get(word, "")
+        entry.plural = self.plural.get(word, "")
+        entry.synonyms = sorted(self.get_synonyms(word))
+        entry.hypernyms = sorted(self.get_hypernyms(word))
+        entry.hyponyms = sorted(self.get_hyponyms(word))
+        return entry

@@ -91,3 +91,25 @@ def test_skip_grams():
     # 1- and 2-grams emit no skip-gram
     assert out.count("the quick") == 1
     assert len(out) == len(grams) + 2
+
+
+def test_char_edge_ngrams():
+    """TokenizerTest.java:56-62 goldens: only grams touching a word edge
+    survive ('pROTector' must not produce 'rot')."""
+    from palladian_spark.kernels.text import all_char_edge_ngrams, char_edge_ngrams
+
+    grams = char_edge_ngrams("allthelilacsinohio", 3)
+    assert {"all", "hio"} <= grams and len(grams) == 2
+
+    grams = all_char_edge_ngrams("allthelilacsinohio", 1, 4)
+    assert {"all", "ohio", "io", "al"} <= grams and len(grams) == 8
+
+    # n == len(word): one gram, the word itself
+    assert char_edge_ngrams("ohio", 4) == {"ohio"}
+    # shorter than n: nothing
+    assert char_edge_ngrams("io", 3) == set()
+    # mustHitLeftEdge keeps only the prefix gram (Tokenizer.java:115-117)
+    assert char_edge_ngrams("allthelilacsinohio", 3, must_hit_left_edge=True) == {"all"}
+    assert all_char_edge_ngrams("pROTector Sleeve", 2, 3) == {
+        "pR", "pRO", "or", "tor", "Sl", "Sle", "ve", "eve",
+    }

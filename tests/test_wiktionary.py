@@ -90,3 +90,73 @@ def test_wiktionary_triples_operator(spark):
     assert ("Haus", "synonym-of", "Gebäude") in triples
     assert ("Haus", "has-plural", "Häuser") in triples
     assert not any(s == "Leer" and p != "has-word-type" for s, p, _ in triples)
+
+
+HOCHHAUS_PAGE = """== Hochhaus ({{Sprache|Deutsch}}) ==
+=== {{Wortart|Substantiv|Deutsch}}, {{n}} ===
+
+{{Silbentrennung}}
+Hoch·haus, {{Pl.}} Hoch·häu·ser
+
+{{Oberbegriffe}}
+:[1] [[Haus]]
+}}
+"""
+
+
+def test_worddb_graph_roundtrip():
+    """Parser pages -> entry_triples -> WordGraph answers WordDB-style
+    lookups (semantics/WordDB.java:326-680): symmetric synonyms, the
+    hypernym edge readable from both ends, synonym propagation of
+    hypernym edges at build time (addHypernyms:487-510)."""
+    from palladian_spark.kernels.wiktionary import (
+        WordGraph,
+        entry_triples,
+        parse_page_german,
+    )
+
+    triples = entry_triples(parse_page_german("Haus", GERMAN_PAGE))
+    triples += entry_triples(parse_page_german("Hochhaus", HOCHHAUS_PAGE))
+    graph = WordGraph(triples)
+
+    # symmetric synonyms
+    assert "Gebäude" in graph.get_synonyms("Haus")
+    assert "Haus" in graph.get_synonyms("Gebäude")
+    # hypernym edge readable from both ends (psGetHyponyms reads the
+    # hypernyms table reversed, WordDB.java:161)
+    assert "Bauwerk" in graph.get_hypernyms("Haus")
+    assert "Haus" in graph.get_hyponyms("Bauwerk")
+    assert "Haus" in graph.get_hypernyms("Hochhaus")
+    # explicit has-hyponym edge is the same edge set
+    assert "Hochhaus" in graph.get_hyponyms("Haus")
+    # write-time synonym propagation: Haus's synonyms inherit Bauwerk
+    assert "Bauwerk" in graph.get_hypernyms("Heim")
+    # aggregated node view
+    word = graph.get_word("Haus")
+    assert word.plural == "Häuser"
+    assert word.word_type == "Substantiv"
+    assert graph.get_word("NichtVorhanden") is None
+
+
+def test_german_morphology_from_triples():
+    """wiktionary_triples output drives GermanMorphology directly — the
+    last §2.7 glue: plural/singular round-trip and compound split over a
+    parser-derived (not hand-typed) noun table."""
+    from palladian_spark.kernels.morphology import GermanMorphology
+    from palladian_spark.kernels.wiktionary import entry_triples, parse_page_german
+
+    triples = entry_triples(parse_page_german("Haus", GERMAN_PAGE))
+    triples += entry_triples(parse_page_german("Hochhaus", HOCHHAUS_PAGE))
+    de = GermanMorphology.from_triples(triples)
+
+    assert de.word_to_plural("Haus") == "häuser"
+    assert de.word_to_singular("Häuser") == "haus"
+    # compound morphology falls back through known nouns
+    assert de.word_to_singular("Hochhäuser") == "hochhaus"
+    # a compound whose whole form IS a known word matches itself first
+    # (WordTransformer.java:332: word2.length() <= wordLength allows the
+    # full-length match, longest-first)
+    assert de.split_compound_words("Hochhaus") == ["hochhaus"]
+    # an unknown compound peels known nouns off the right, unsplittable
+    # head stays (WordTransformer.java:348-351)
+    assert de.split_compound_words("Althaus") == ["alt", "haus"]
