@@ -559,6 +559,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = synthesize_media_table(spark, _read(spark, sf_dir, "documents"))
         return image_features(media).select("media_id", "width", "height")
 
+    # ---- streaming surface: foreachBatch triple log + compaction ----
+    def streaming_triples(spark, sf_dir):
+        # Two file drops -> >=2 micro-batches through the REAL
+        # writeStream/foreachBatch/checkpoint path (streaming/pipeline.py);
+        # the compacted append-log is verified against an independent
+        # DuckDB recomputation (gazetteer mentioned-in + co-occurs-with
+        # edges, per-doc sha256 lineage). Exercises the one surface the
+        # round-2 contract did not: exactly-once batch append + compaction.
+        import shutil
+        import tempfile
+
+        from palladian_spark.streaming.pipeline import (
+            compact_triples,
+            start_triple_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="spark_graft_stream_")
+        in_dir = os.path.join(tmp, "in")
+        out_dir = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        for parity in (0, 1):  # two drops -> two micro-batches
+            (
+                docs.where(F.col("doc_id") % 2 == parity)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(in_dir)
+            )
+        query = start_triple_stream(
+            spark, in_dir, out_dir, ckpt,
+            max_files_per_trigger=1, gazetteer=GAZETTEER,
+        )
+        query.awaitTermination(300)
+        out = (
+            compact_triples(spark, out_dir)
+            .select(
+                "subj", "pred", "obj", "content_sha256",
+                F.col("support").cast("long").alias("support"),
+            )
+            # materialize into Spark block storage so the temp parquet
+            # dirs can be deleted before the driver collects the result
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
     q.update(
         doc_token_counts=doc_token_counts,
         doc_quality=doc_quality,
@@ -596,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classify_docs=classify_docs,
         doc_structure=doc_structure,
         media_features=media_features,
+        streaming_triples=streaming_triples,
     )
     return q
 
@@ -694,6 +743,37 @@ def _simhash_sig_sql() -> str:
                 from documents)),
         votes as (select doc, {sums} from toks group by doc)
         select doc, ({sig})::bigint as simhash from votes
+    """
+
+
+def _streaming_triples_sql() -> str:
+    """DuckDB recomputation of the compacted streaming triple log
+    (streaming/pipeline.py): per-term occurrence counts -> mentioned-in
+    edges (support = match count), presence pairs -> co-occurs-with
+    edges (support = co-containing doc count), min-sha256 lineage."""
+    occ = " union all ".join(
+        f"select doc_id, '{t}' as value, "
+        f"len(regexp_extract_all(text, '\\b{t}\\b')) as n from documents"
+        for t in GAZETTEER
+    )
+    return f"""
+        with occ as ({occ}),
+        docs as (
+          select doc_id,
+                 'corpus/' || source || '/docs/' || doc_id || '.txt' as doc_ref,
+                 sha256(text) as sha
+          from documents),
+        present as (select * from occ where n > 0)
+        select p.value as subj, 'mentioned-in' as pred, d.doc_ref as obj,
+               min(d.sha) as content_sha256, sum(p.n)::bigint as support
+        from present p join docs d using (doc_id)
+        group by 1, 2, 3
+        union all
+        select a.value as subj, 'co-occurs-with' as pred, b.value as obj,
+               min(d.sha) as content_sha256, count(*)::bigint as support
+        from present a join present b using (doc_id) join docs d using (doc_id)
+        where a.value < b.value
+        group by 1, 2, 3
     """
 
 
@@ -811,6 +891,13 @@ def oracle_sql() -> dict[str, str]:
                    (12 + (doc_id * 7) % 24)::int as height
             from documents
         """,
+        # Independent recomputation of the streamed-and-compacted triple
+        # log: gazetteer occurrence counts per doc drive mentioned-in
+        # support (one triple row per regex match folds to the match
+        # count) and co-occurs-with support (distinct per doc, folds to
+        # doc count); lineage is min(sha256(text)) over contributing docs,
+        # matching dedup semantics across micro-batches.
+        "streaming_triples": _streaming_triples_sql(),
         "string_tagger_candidates": f"""
             select * from '{_FIXTURE_ORACLE_DIR}/string_tagger_candidates_sf001.parquet'
         """,

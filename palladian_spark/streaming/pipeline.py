@@ -52,11 +52,17 @@ def stream_documents(
     return reader.load(input_dir)
 
 
-def stream_triples(docs: DataFrame) -> DataFrame:
+def stream_triples(docs: DataFrame, gazetteer: dict[str, str] | None = None) -> DataFrame:
     """Streaming documents -> streaming (subj, pred, obj, content_sha256,
     support) triples. Every operator here is stateless per document, so
     the micro-batch plan is identical to the batch plan: one Arrow hop
     for the mention UDF, JVM-side lineage/explode/pair logic.
+
+    With ``gazetteer`` the mention stage is the DictionaryTagger
+    (broadcast alternation) instead of the StringTagger candidate regex —
+    the contract query uses this so the compacted log has an independent
+    SQL oracle (gazetteer matching is SQL-expressible; the candidate
+    lookaround regex is not).
 
     ``support`` is per-micro-batch (append mode cannot re-aggregate
     history); the downstream compaction job (dedup_triples over the sink)
@@ -64,7 +70,7 @@ def stream_triples(docs: DataFrame) -> DataFrame:
     groupBy performs, materialized across time instead of across tasks.
     """
     from ..operators import triples as T
-    from ..operators.mentions import detect_mentions
+    from ..operators.mentions import detect_mentions, dictionary_mentions
     from ..pipeline import documents_as_source
 
     source = documents_as_source(docs)
@@ -72,9 +78,15 @@ def stream_triples(docs: DataFrame) -> DataFrame:
     lineage = lineage.withColumn(
         "doc_ref", F.concat_ws("/", F.col("repo"), F.col("path"))
     )
-    mentions = detect_mentions(
-        lineage, text_col="content", keep_cols=["doc_ref", "content_sha256"]
-    )
+    if gazetteer is not None:
+        mentions = dictionary_mentions(
+            lineage, gazetteer, text_col="content",
+            keep_cols=["doc_ref", "content_sha256"],
+        )
+    else:
+        mentions = detect_mentions(
+            lineage, text_col="content", keep_cols=["doc_ref", "content_sha256"]
+        )
     parts = [
         T.mentioned_in_triples(mentions),
         T.co_occurrence_triples(mentions),
@@ -95,6 +107,8 @@ def start_triple_stream(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    gazetteer: dict[str, str] | None = None,
 ):
     """Wire stream_documents -> stream_triples -> parquet append sink.
 
@@ -102,11 +116,13 @@ def start_triple_stream(
     runs inside foreachBatch and appends, making the sink an immutable
     triple log (exactly-once per batch via the checkpoint + batch id).
     """
-    docs = stream_documents(spark, input_dir)
+    docs = stream_documents(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            stream_triples_batch(batch_df)
+            stream_triples_batch(batch_df, gazetteer=gazetteer)
             .write.mode("append")
             .parquet(output_dir)
         )
@@ -120,10 +136,10 @@ def start_triple_stream(
     return writer.start()
 
 
-def stream_triples_batch(docs: DataFrame) -> DataFrame:
+def stream_triples_batch(docs: DataFrame, gazetteer: dict[str, str] | None = None) -> DataFrame:
     """Batch-DataFrame version of stream_triples (foreachBatch hands over
     plain batch frames)."""
-    return stream_triples(docs)
+    return stream_triples(docs, gazetteer=gazetteer)
 
 
 def compact_triples(spark: SparkSession, triple_log_dir: str) -> DataFrame:
