@@ -27,6 +27,14 @@ FIXTURE_DIR = os.path.join(
     "tests", "fixtures", "oracle",
 )
 SF_DIR = "/root/testdata/sf0.01"
+# Second-scale-factor freeze (verdict r2 item 3): each pinned query is
+# ALSO frozen at sf0.001 and gated by tests/test_pinned_second_sf.py.
+# A semantic regression re-frozen at the contract scale must therefore
+# also be re-frozen here — two diffs to review instead of one silent
+# absorption — and any scale-dependent behavior (thresholds, gates)
+# diverges between the two freezes instead of hiding.
+SECOND_SF_DIR = "/root/testdata/sf0.001"
+SECOND_SUFFIX = "_sf0001"
 # Every frozen query is deterministic and has its SEMANTICS pinned
 # elsewhere: string_tagger/kg_triples by reference goldens, canonicalize
 # by JW census goldens + local/distributed parity tests, ann_lsh_topk by
@@ -51,16 +59,17 @@ def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     spark = get_spark("freeze-fixtures", master="local[8]", shuffle_partitions=8)
     qs = ent.queries()
-    for name in FROZEN:
-        a = qs[name](spark, SF_DIR).toPandas()
-        b = qs[name](spark, SF_DIR).toPandas()
-        key = sorted(a.columns)
-        a = a.sort_values(key).reset_index(drop=True)[key]
-        b = b.sort_values(key).reset_index(drop=True)[key]
-        pd.testing.assert_frame_equal(a, b, check_exact=True)
-        out = os.path.join(FIXTURE_DIR, f"{name}_sf001.parquet")
-        a.to_parquet(out, index=False)
-        print(f"froze {name}: {len(a)} rows -> {out}")
+    for sf_dir, suffix in [(SF_DIR, "_sf001"), (SECOND_SF_DIR, SECOND_SUFFIX)]:
+        for name in FROZEN:
+            a = qs[name](spark, sf_dir).toPandas()
+            b = qs[name](spark, sf_dir).toPandas()
+            key = sorted(a.columns)
+            a = a.sort_values(key).reset_index(drop=True)[key]
+            b = b.sort_values(key).reset_index(drop=True)[key]
+            pd.testing.assert_frame_equal(a, b, check_exact=True)
+            out = os.path.join(FIXTURE_DIR, f"{name}{suffix}.parquet")
+            a.to_parquet(out, index=False)
+            print(f"froze {name}: {len(a)} rows -> {out}")
     spark.stop()
     return 0
 

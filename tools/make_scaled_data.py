@@ -1,0 +1,118 @@
+"""Derive an N-times-larger benchmark dataset from the driver testdata.
+
+Verdict r2 item 8 asks for a bench datapoint past sf0.1 to surface the
+constants the small run hides (minhash band UDF, canonicalize gate,
+shuffle sizing). No larger driver data exists, so this derives one
+DETERMINISTICALLY from /root/testdata/sf0.1 (no external data, per the
+round rules):
+
+- every table is replicated ``--factor`` times with primary/foreign keys
+  offset by ``replica * 10_000_000`` (consistently across customer/orders
+  and the lineitem order keys, so join fan-out stays linear);
+- ``documents.text`` replicas keep a DIFFERENT deterministic half of the
+  word stream (``filter(words, pmod(xxhash64(w, i, r), 2) = 0)``) —
+  replica 0 is the original. Straight row copies would make every
+  replica a near-duplicate of its siblings, and the pair-join queries
+  (minhash/simhash Jaccard) would measure an artificial quadratic
+  pair explosion instead of 10x the real workload; hash-halving the
+  words drives cross-replica trigram Jaccard to ~0.07, far below the
+  0.2 bench threshold, while keeping gazetteer/tagger/token workloads
+  proportional;
+- ``embeddings.embedding`` replicas are rotated by ``r`` positions
+  (norm-preserving, direction-randomizing), so ANN bucket density grows
+  linearly instead of collapsing every replica into one point.
+
+Usage:
+    python tools/make_scaled_data.py --factor 10 --out /tmp/sf1
+    SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFFSET = 10_000_000
+
+# (table, [key columns to offset per replica])
+TABLES = {
+    "region": [],
+    "nation": [],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["user_id", "event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def scale_table(spark, src: str, name: str, factor: int):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+    keys = TABLES[name]
+    if not keys:  # dimension tables stay as-is (region/nation)
+        return df
+    out = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_r", F.explode(F.expr(f"sequence(0, {factor - 1})")))
+    )
+    for k in keys:
+        out = out.withColumn(k, F.col(k) + F.col("_r") * F.lit(OFFSET))
+    if name == "documents":
+        # replica r keeps the half of the word stream whose (word, index,
+        # r) hash is even; replica 0 keeps the original text untouched
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                F.expr(
+                    "concat_ws(' ', filter(split(text, ' '), "
+                    "(w, i) -> pmod(xxhash64(w, i, _r), 2) = 0))"
+                )
+            ),
+        )
+        if "n_chars" in out.columns:
+            out = out.withColumn("n_chars", F.length("text"))
+    if name == "embeddings":
+        out = out.withColumn(
+            "embedding",
+            F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+                F.expr(
+                    "concat(slice(embedding, pmod(_r, size(embedding)) + 1, "
+                    "size(embedding) - pmod(_r, size(embedding))), "
+                    "slice(embedding, 1, pmod(_r, size(embedding))))"
+                )
+            ),
+        )
+    return out.drop("_r")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from palladian_spark.sources.session import get_spark
+
+    spark = get_spark("make-scaled-data", master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+    for name in TABLES:
+        scaled = scale_table(spark, args.src, name, args.factor)
+        dest = os.path.join(args.out, f"{name}.parquet")
+        scaled.write.mode("overwrite").parquet(dest)
+        print(f"{name}: -> {dest}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
