@@ -1,0 +1,49 @@
+"""Second-scale-factor gate for the fixture-pinned queries.
+
+The driver's correctness check compares the six non-SQL-expressible
+queries against fixtures frozen at sf0.01. Re-freezing after a semantic
+change could silently absorb a regression there; this test replays each
+pinned query at sf0.001 against its OWN frozen answer, so a re-freeze
+touches two independent diffs (and scale-dependent bugs — gate
+thresholds, per-partition effects — diverge between the scales instead
+of hiding). Complements tests/test_fixture_oracle_hardening.py, which
+recomputes SQL-expressible sub-stages of the sf0.01 fixtures from raw
+inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+BASE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_DIR = os.path.join(BASE, "tests", "fixtures", "oracle")
+SECOND_SF_DIR = "/root/testdata/sf0.001"
+
+PINNED = [
+    "string_tagger_candidates",
+    "kg_triples",
+    "canonicalize_mentions",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "doc_pos_tags",
+]
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_pinned_query_at_second_sf(spark, name):
+    import __spark_entry__ as ent
+
+    fixture = os.path.join(FIXTURE_DIR, f"{name}_sf0001.parquet")
+    assert os.path.exists(fixture), (
+        f"missing second-sf fixture {fixture}; run tools/freeze_fixtures.py"
+    )
+    want = pd.read_parquet(fixture)
+    got = ent.queries()[name](spark, SECOND_SF_DIR).toPandas()
+    key = sorted(want.columns)
+    assert sorted(got.columns) == key
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

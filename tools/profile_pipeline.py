@@ -1,0 +1,110 @@
+"""Per-stage wall/CPU profile of the scaling-bench pipeline.
+
+Runs the SAME replicated job tools/scaling_bench.py measures, but
+materializes each stage separately with wall + job-tree-CPU timers, so
+the non-scaling stage (the Amdahl term behind a <0.8 N->4N reading) can
+be located instead of guessed at.
+
+Usage:  python tools/profile_pipeline.py --cores 8 [--repl 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--repl", type=int, default=60)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from bench import build_spark, warmup
+    from tools.scaling_bench import _proc_tree_cpu_seconds, replicated_source
+
+    from palladian_spark.operators import triples as T
+    from palladian_spark.operators.canonicalize import canonicalize_values
+    from palladian_spark.operators.mentions import detect_mentions
+
+    spark = build_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark)
+    source = replicated_source(spark, args.sf_dir, args.repl).localCheckpoint()
+    n_docs = source.count()
+
+    stages: dict[str, dict] = {}
+
+    def timed(name: str, fn):
+        c0, t0 = _proc_tree_cpu_seconds(), time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        cpu = _proc_tree_cpu_seconds() - c0
+        stages[name] = {
+            "wall": round(wall, 2),
+            "cpu": round(cpu, 1),
+            "cores_used": round(cpu / wall, 2) if wall else None,
+        }
+        print(name, json.dumps(stages[name]), flush=True)
+        return out
+
+    lineage = T.with_lineage(source, "content").withColumn(
+        "doc_ref", F.concat_ws("/", F.col("repo"), F.col("path"))
+    )
+
+    def mat(df):
+        # DISK_ONLY: the profiled stages reference each other; memory
+        # blocks for the full mention table OOM the bench-sized heap
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+
+    mentions = timed(
+        "mentions",
+        lambda: mat(
+            detect_mentions(
+                lineage, text_col="content", keep_cols=["doc_ref", "content_sha256"]
+            )
+        ),
+    )
+    stages["mentions"]["rows"] = mentions.count()
+
+    mi = timed("mentioned_in", lambda: mat(T.mentioned_in_triples(mentions)))
+    co = timed("co_occurrence", lambda: mat(T.co_occurrence_triples(mentions)))
+    canon = timed(
+        "canonicalize",
+        lambda: mat(T.synonym_triples(canonicalize_values(mentions.select("value")))),
+    )
+    union = mi.unionByName(co).unionByName(canon)
+    dedup = timed("dedup", lambda: mat(T.dedup_triples(union)))
+    stages["dedup"]["rows"] = dedup.count()
+
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "repl": args.repl,
+                "docs": n_docs,
+                "stages": stages,
+                "total_wall": round(sum(s["wall"] for s in stages.values()), 2),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -164,16 +164,24 @@ def run_once(cores: int, repl: int) -> dict:
     return out
 
 
-def _attempt(cores: int) -> dict:
-    """One fresh-JVM measured run at `cores` (subprocess isolation)."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cores", str(cores)],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-    )
+def _attempt(cores: int, pin: bool = False) -> dict:
+    """One fresh-JVM measured run at `cores` (subprocess isolation).
+
+    With ``pin`` the whole job tree is bound to exactly `cores` CPUs via
+    ``taskset``. local[N] caps only TASK slots — the unpinned JVM still
+    sizes GC/JIT/netty pools for all host CPUs and Python workers float
+    free, so an unpinned "2-core" run actually consumes ~3.3 cores
+    (measured: cpu_util 1.6-1.7), understating T_N and deflating the
+    efficiency ratio. Pinning makes "N cores" mean N the way a real
+    N-executor cluster does (and lets the JVM size its GC threads to N).
+    """
+    cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     line = proc.stdout.strip().splitlines()[-1]
     run = json.loads(line)
+    run["pinned"] = pin
     print(json.dumps(run), flush=True)
     return run
 
@@ -216,6 +224,7 @@ def main() -> None:
         return
 
     attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+    pin = "--pin" in sys.argv
     if "--ladder" in sys.argv:
         levels = [1, 2, 4, 8]
     else:
@@ -225,7 +234,7 @@ def main() -> None:
     all_runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(attempts):
         for cores in levels:
-            all_runs[cores].append(_attempt(cores))
+            all_runs[cores].append(_attempt(cores, pin=pin))
 
     # best-of-N per level: the sandbox host has noisy neighbors, so
     # wall-clock is contaminated by external load; the fastest attempt is
@@ -240,15 +249,17 @@ def main() -> None:
         "metric": "scaling_efficiency",
         "value": max((p["nominal_efficiency"] for p in pairs), default=None),
         "unit": "ratio",
+        "pinned": pin,
         "estimators": pairs,
         "runs": {str(c): rs for c, rs in all_runs.items()},
         "sf": SF_DIR,
         "repl": REPL,
     }
     print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w", encoding="utf-8") as f:
+    out_name = "BENCH_SCALING_PINNED.json" if pin else "BENCH_SCALING.json"
+    with open(os.path.join(REPO, out_name), "w", encoding="utf-8") as f:
         json.dump(summary, f, indent=1)
-    print("wrote BENCH_SCALING.json (fold results into BENCH.md by hand)")
+    print(f"wrote {out_name} (fold results into BENCH.md by hand)")
 
 
 
