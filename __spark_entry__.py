@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/reference_harness/build_and_run.sh). Values in basis
         # points so the hash check pins them exactly; the oracle inlines
         # the measured values (all >= 9975, far above the 9500 bar).
+        # Deliberately NOT a data-path operator: the corpus is a fixed-size
+        # acceptance fixture, so training/tagging runs single-threaded on
+        # the driver — the distributed twins live in operators/ner_pipeline.
         import os as _os
 
         from palladian_spark.kernels.evaluation import EXACT_MATCH, MUC, evaluate

@@ -64,7 +64,10 @@ def _minhash_bands(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(value) -> (value, band_id, band_hash) rows for LSH bucketing."""
+    from .util import spread
+
     udf = _make_band_udf(num_hashes, band_size, shingle_n)
+    values = spread(values)  # single-split value tables: one-core band UDF
     return values.select(
         value_col, F.posexplode(udf(F.col(value_col))).alias("band_id", "band_hash")
     )

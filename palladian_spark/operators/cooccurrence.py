@@ -88,9 +88,13 @@ def scoped_cooccurrences(
     ``a.{0,window}b`` plus (for distinct terms) ``b.{0,window}a`` regex
     matches (:135-152).
     """
+    from .util import spread
+
     text = F.lower(F.col(text_col)) if case_insensitive else F.col(text_col)
     terms = sorted({t.lower() for t in terms} if case_insensitive else set(terms))
-    base = docs.select(F.col(id_col).alias("doc"), text.alias("t"))
+    # spread: a single-split documents table would run the contains-filter /
+    # sentence UDF / pair-regex projection on one core (no-op at real scale)
+    base = spread(docs.select(F.col(id_col).alias("doc"), text.alias("t")))
 
     if scope == DOCUMENT:
         return _pair_counts(_presence(base, terms, ["doc"], "t"), ["doc"])

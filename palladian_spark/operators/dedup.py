@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import spread
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents via md5 hash-groupBy.
@@ -42,7 +44,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _word_shingles(df: DataFrame, text_col: str, n: int = 3):
-    """Distinct word n-gram shingles per document, JVM-side only."""
+    """Distinct word n-gram shingles per document, JVM-side only.
+
+    spread() first: a small parquet arrives as ONE split, which would run
+    the regex + shingle projection (and every Arrow stage downstream of
+    it) on a single core; at real table sizes the split count already
+    exceeds parallelism and the repartition never fires."""
+    df = spread(df)
     return df.withColumn(
         "_words", F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
     ).withColumn(
@@ -270,6 +278,7 @@ def simhash_signatures(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
+    df = spread(df)  # single-split inputs would tokenize on one core
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(

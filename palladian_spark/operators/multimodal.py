@@ -95,7 +95,12 @@ def image_features(
                 )
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "feature"])
 
-    return df.select(id_col, media_col).mapInPandas(process, IMAGE_FEATURE_SCHEMA)
+    from .util import spread
+
+    # spread: a single-split media table would decode every blob on one core
+    return spread(df.select(id_col, media_col)).mapInPandas(
+        process, IMAGE_FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = StructType(
@@ -132,7 +137,9 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
 
-    return df.select(id_col, media_col).mapInPandas(process, FRAME_SCHEMA)
+    from .util import spread
+
+    return spread(df.select(id_col, media_col)).mapInPandas(process, FRAME_SCHEMA)
 
 
 MEDIA_SCHEMA = StructType(
@@ -170,7 +177,12 @@ def synthesize_media_table(spark, documents: DataFrame, text_col: str = "text") 
             out.append(encode_png(img))
         return pd.Series(out)
 
-    media = documents.select(
+    from .util import spread
+
+    # spread BEFORE the encode UDF: a single-split documents table would
+    # otherwise synthesize every PNG on one core (and the downstream decode
+    # spread would only fire after the encode already serialized)
+    media = spread(documents).select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
         _png(F.col("doc_id")).alias("media"),
         F.lit("image/png").alias("mime"),

@@ -33,7 +33,9 @@ def train_term_dictionary(
     per-document term SET semantics (PalladianTextClassifier.train
     :201-205 builds a set before addDocument), so each (doc, term) pair
     contributes exactly once regardless of in-document frequency."""
-    words = docs.select(
+    from .util import spread
+
+    words = spread(docs).select(
         F.col(id_col),
         F.col(label_col).alias("category"),
         F.explode(
@@ -77,7 +79,9 @@ def classify_documents_relational(
         F.pow(F.col("cnt") / F.col("dict_count"), 2).alias("term_score"),
     )
 
-    words = docs.select(
+    from .util import spread
+
+    words = spread(docs).select(
         F.col(id_col),
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")

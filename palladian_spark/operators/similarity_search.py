@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 from pyspark.sql.window import Window
 
+from .util import spread
+
 
 @F.pandas_udf(DoubleType())
 def _cosine_udf(left: pd.Series, right: pd.Series) -> pd.Series:
@@ -59,6 +61,9 @@ def brute_force_topk(
     q = F.broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ))
+    # single-split embedding tables would run every cosine batch on one
+    # core; no-op when the scan already has >= parallelism splits
+    embeddings = spread(embeddings)
     scored = embeddings.crossJoin(q).select(
         query_id_col,
         id_col,
@@ -158,7 +163,9 @@ def lsh_topk(
     (query, id) pair BEFORE scoring.
     """
     bucket_udf = _make_buckets_udf(n_planes, n_tables)
-    emb_b = _explode_tables(embeddings, bucket_udf, vec_col)
+    # corpus side only (the query side is broadcast — spreading it would
+    # just add a shuffle in front of a tiny table)
+    emb_b = _explode_tables(spread(embeddings), bucket_udf, vec_col)
     q_b = F.broadcast(
         _explode_tables(
             queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
@@ -193,7 +200,7 @@ def embedding_near_duplicates(
     """
     bucket_udf = _make_buckets_udf(n_planes, n_tables)
     b = _explode_tables(
-        embeddings.select(F.col(id_col), F.col(vec_col)), bucket_udf, vec_col
+        spread(embeddings.select(F.col(id_col), F.col(vec_col))), bucket_udf, vec_col
     )
     left = b.alias("l")
     right = b.alias("r")

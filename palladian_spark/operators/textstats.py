@@ -42,7 +42,9 @@ def _extract_all(col, pattern: str):
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Palladian word-token count per document — one regex scan, codegen."""
-    return df.select(
+    from .util import spread
+
+    return spread(df).select(
         id_col,
         F.size(_extract_all(F.col(text_col), TOKEN_REGEX_RE2)).alias("token_count"),
     )
@@ -51,9 +53,11 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality metrics: length, word stats, punctuation/stopword
     ratios — the standard pretraining-corpus filters, all column math."""
+    from .util import spread
+
     en = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
     return (
-        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        spread(df).select(F.col(id_col), F.col(text_col).alias("_t"))
         .withColumn("_words", _extract_all(F.lower(F.col("_t")), _WORD_REGEX))
         .select(
             id_col,
@@ -84,9 +88,11 @@ def quality_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     quality_scores): character/word counts, total word chars, stopword hits,
     punctuation chars. Ratios are numerator/denominator pairs so the DuckDB
     oracle compares exact integers, never rounded floats."""
+    from .util import spread
+
     en = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
     return (
-        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        spread(df).select(F.col(id_col), F.col(text_col).alias("_t"))
         .withColumn("_words", _extract_all(F.lower(F.col("_t")), _WORD_REGEX))
         .select(
             id_col,
@@ -110,7 +116,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     n-gram/stopword classifier — the scalable first-pass filter before any
     model-based LID.
     """
-    out = df.select(
+    from .util import spread
+
+    out = spread(df).select(
         F.col(id_col),
         _extract_all(F.lower(F.col(text_col)), _WORD_REGEX).alias("_words"),
     )
@@ -138,6 +146,9 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """Document fingerprint: md5 of the normalized word stream + a 64-bit
     xxhash64 rolling variant. Normalization = lowercase word tokens joined
     by single spaces — robust to whitespace/punctuation reflows."""
+    from .util import spread
+
+    df = spread(df)
     normalized = F.concat_ws(
         " ", _extract_all(F.lower(F.col(text_col)), _WORD_REGEX)
     )
