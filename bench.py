@@ -61,7 +61,10 @@ def build_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("palladian-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

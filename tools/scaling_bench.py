@@ -39,6 +39,16 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "60"))
 
+# Data partitioning is a property of the DATA, not the cluster size: a real
+# N-executor and 4N-executor cluster read the SAME splits and run the SAME
+# shuffle-partition count (nobody retunes spark.sql.shuffle.partitions when
+# the cluster shrinks). Earlier revisions set both to `cores`, which gave
+# the small level 2-way partitioning — one skewed partition idled the other
+# core (measured cpu_util 0.54 at N=2) and the "inefficiency" was really a
+# partitioning artifact. A fixed count >> max cores amortizes waves/tails
+# identically at both levels, which is exactly the N-vs-4N contract.
+PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
+
 
 def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
     """documents replicated `repl`x (rows) and `text_repl`x (content length)
@@ -57,9 +67,12 @@ def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
     docs = e._read(spark, sf_dir, "documents")
     # repartition BEFORE the explode: the base parquet is one split, and
     # exploding first would make the whole replicated corpus flow through a
-    # single serial task (an Amdahl floor on every downstream stage)
+    # single serial task (an Amdahl floor on every downstream stage).
+    # Fixed PARTITIONS (not defaultParallelism): both cluster sizes must
+    # see identically-partitioned input, like a real cluster reading the
+    # same files.
     docs = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        docs.repartition(PARTITIONS)
         .withColumn("_r", F.explode(F.expr(f"sequence(0, {repl - 1})")))
         .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
         .drop("_r")
@@ -123,6 +136,8 @@ def _host_busy_cpu_seconds() -> float:
 
 def run_once(cores: int, repl: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    # same shuffle-partition count at every cluster size (see PARTITIONS)
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(PARTITIONS)
     from bench import build_spark, warmup
 
     from palladian_spark.pipeline import extract_triples
