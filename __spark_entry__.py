@@ -82,8 +82,12 @@ def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palladian_spark.operators.mentions import dictionary_mentions
 
     docs = _read(spark, sf_dir, "documents")
+    # case_sensitive: the gazetteer is lowercase code tokens and the DuckDB
+    # oracles match \\bterm\\b case-sensitively — insensitive matching here
+    # would emit original-cased subjects the SQL side cannot reproduce on a
+    # corpus with case variants (latent divergence; none in the sf corpora)
     return dictionary_mentions(
-        docs, GAZETTEER, text_col="text", keep_cols=["doc_id"]
+        docs, GAZETTEER, text_col="text", keep_cols=["doc_id"], case_sensitive=True
     )
 
 
@@ -595,8 +599,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = start_triple_stream(
             spark, in_dir, out_dir, ckpt,
             max_files_per_trigger=1, gazetteer=GAZETTEER,
+            # match the \\bterm\\b case-sensitive DuckDB oracle exactly
+            gazetteer_case_sensitive=True,
         )
-        query.awaitTermination(300)
+        # awaitTermination(timeout) returns False WITHOUT raising when the
+        # stream has not finished — compacting a partial log and rmtree'ing
+        # dirs under a live query would corrupt the result, so fail loudly
+        # (and stop the orphaned query) instead
+        finished = query.awaitTermination(300)
+        if not finished:
+            query.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise TimeoutError("streaming_triples: stream not done in 300s")
         out = (
             compact_triples(spark, out_dir)
             .select(

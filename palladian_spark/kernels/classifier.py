@@ -35,6 +35,15 @@ class FeatureSetting:
     # StopWordRemover.java:69-100 take a Language; "en" and "de" shipped)
     language: str = "en"
 
+    def __post_init__(self):
+        # fail fast on the DRIVER at setting construction: Stemmer raises
+        # for unshipped languages, and letting that surface on first use
+        # inside an executor UDF would kill the whole Spark job mid-stage
+        if self.stem:
+            from .morphology import Stemmer
+
+            Stemmer(language=self.language)
+
 
 # NER settings (reference: PalladianNerTrainingSettings.java:83-88)
 ANNOTATION_FEATURE_SETTING = FeatureSetting("char", 5, 5, character_padding=True)

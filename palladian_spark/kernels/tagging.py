@@ -227,6 +227,12 @@ def dictionary_matcher(
     for e, t in items:
         if len(e) > 1:
             lookup.setdefault(e if case_sensitive else e.lower(), t)
+            if not case_sensitive:
+                # secondary casefold key: IGNORECASE matches Unicode
+                # case-fold pairs whose .lower() differs from the entry's
+                # folded key (e.g. 'ſ' vs 's'), so the primary lookup can
+                # miss a genuine match of THIS entry
+                lookup.setdefault(e.casefold(), t)
     return pattern, lookup
 
 
@@ -247,17 +253,21 @@ def dictionary_tag(
     )
     if pattern is None:
         return []
-    # .get with tag fallback: Unicode case-fold edges ('İ'.lower() yields a
-    # combining-dot sequence absent from the folded key set) must not raise
-    # inside an executor UDF; fall back to the first entry's tag.
+    # Tag resolution: exact/lower key first, then the casefold key (Unicode
+    # case-fold edges like 'ſ'->'s' or 'İ'.lower()'s combining-dot sequence
+    # miss the .lower() key while IGNORECASE still matches). The final
+    # fallback must not raise inside an executor UDF; first entry's tag.
     default_tag = next(iter(lookup.values()))
+
+    def _tag(matched: str) -> str:
+        if case_sensitive:
+            return lookup.get(matched, default_tag)
+        t = lookup.get(matched.lower())
+        if t is None:
+            t = lookup.get(matched.casefold(), default_tag)
+        return t
+
     return [
-        Annotation(
-            m.start(),
-            m.group(),
-            lookup.get(
-                m.group() if case_sensitive else m.group().lower(), default_tag
-            ),
-        )
+        Annotation(m.start(), m.group(), _tag(m.group()))
         for m in pattern.finditer(text)
     ]

@@ -150,24 +150,37 @@ class WordGraph:
         self.hypernym_edges: set[tuple[str, str]] = set()
         self.plural: dict[str, str] = {}
         self.word_type: dict[str, str] = {}
+        hyper_triples: list[tuple[str, str]] = []
+        hypo_triples: list[tuple[str, str]] = []
         for subj, pred, obj in triples:
             if pred == "synonym-of":
                 self.synonyms.setdefault(subj, set()).add(obj)
                 self.synonyms.setdefault(obj, set()).add(subj)
             elif pred == "has-hypernym":
-                self.hypernym_edges.add((subj, obj))
+                hyper_triples.append((subj, obj))
             elif pred == "has-hyponym":
-                self.hypernym_edges.add((obj, subj))
+                hypo_triples.append((subj, obj))
             elif pred == "has-plural":
                 self.plural[subj] = obj
             elif pred == "has-word-type":
                 self.word_type[subj] = obj
-        if propagate_synonyms:
-            extra = set()
-            for sub, sup in self.hypernym_edges:
-                for syn in self.synonyms.get(sub, ()):
-                    extra.add((syn, sup))
-            self.hypernym_edges |= extra
+        # Propagation mirrors WordDB's per-call direction (WordDB.java):
+        # addHypernyms:487-522 links the new hypernym to the word AND every
+        # synonym OF THE WORD (sub side); addHyponyms:555-591 links the new
+        # hyponym to the word AND every synonym of the word — which is the
+        # SUP side of the resulting (hyponym -> word) edge. The direction
+        # therefore depends on which call produced the edge, so the raw
+        # triples keep their origin until synonyms are fully loaded.
+        for subj, obj in hyper_triples:  # edge subj -> obj (sub -> sup)
+            self.hypernym_edges.add((subj, obj))
+            if propagate_synonyms:
+                for syn in self.synonyms.get(subj, ()):
+                    self.hypernym_edges.add((syn, obj))
+        for subj, obj in hypo_triples:  # edge obj -> subj (sub -> sup)
+            self.hypernym_edges.add((obj, subj))
+            if propagate_synonyms:
+                for syn in self.synonyms.get(subj, ()):
+                    self.hypernym_edges.add((obj, syn))
 
     def get_synonyms(self, word: str) -> set[str]:
         return set(self.synonyms.get(word, ())) - {word}

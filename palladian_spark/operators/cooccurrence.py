@@ -42,7 +42,9 @@ def _presence(
     two self-join sides: lineage is cut so the UDF subtree runs once, and
     the blocks are reclaimed by the ContextCleaner when the checkpointed
     RDD is garbage-collected — no unpersist bookkeeping leaks into callers
-    of this lazy API.
+    of this lazy API. (Cluster trade-off documented at the minhash cut in
+    operators/dedup.py: truncated lineage means executor loss fails the
+    job instead of recomputing; production stage boundaries use StageStore.)
     """
     return (
         unit_df.select(

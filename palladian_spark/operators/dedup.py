@@ -51,14 +51,19 @@ def _word_shingles(df: DataFrame, text_col: str, n: int = 3):
     it) on a single core; at real table sizes the split count already
     exceeds parallelism and the repartition never fires."""
     df = spread(df)
+    # guard: sequence(0, -1) is DESCENDING in Spark (never empty), so a doc
+    # with <= n words would feed slice() a 0 start and kill the job — short
+    # documents are routine in any real corpus
     return df.withColumn(
         "_words", F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
     ).withColumn(
         "_shingles",
         F.array_distinct(
             F.expr(
-                f"transform(sequence(0, greatest(size(_words) - {n}, 0) - 1), "
-                f"i -> concat_ws(' ', slice(_words, i + 1, {n})))"
+                f"case when size(_words) > {n} then "
+                f"transform(sequence(0, size(_words) - {n} - 1), "
+                f"i -> concat_ws(' ', slice(_words, i + 1, {n}))) "
+                f"else array() end"
             )
         ),
     )
@@ -197,7 +202,13 @@ def minhash_lsh_pairs(
     )
     # localCheckpoint: the bucket self-join consumes bands on both sides —
     # without it the band UDF would run twice over every document; blocks
-    # are GC-reclaimed, unlike persist which leaks in a long-lived session
+    # are GC-reclaimed, unlike persist which leaks in a long-lived session.
+    # Trade-off (applies to every localCheckpoint cut in this package):
+    # lineage is truncated, so on a multi-executor cluster a lost executor
+    # makes the block unrecoverable (fails the job) where persist would
+    # recompute. For production stage boundaries use StageStore
+    # (sources/checkpoint.py) — reliable parquet materialization with
+    # resume; the local cuts here only dedupe work INSIDE one job
     bands = sigs.select(
         "doc", F.posexplode(_doc_bands(F.col("_shingles"))).alias("band_id", "band_hash")
     ).localCheckpoint(eager=False)

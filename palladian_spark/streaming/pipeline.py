@@ -52,7 +52,11 @@ def stream_documents(
     return reader.load(input_dir)
 
 
-def stream_triples(docs: DataFrame, gazetteer: dict[str, str] | None = None) -> DataFrame:
+def stream_triples(
+    docs: DataFrame,
+    gazetteer: dict[str, str] | None = None,
+    gazetteer_case_sensitive: bool = False,
+) -> DataFrame:
     """Streaming documents -> streaming (subj, pred, obj, content_sha256,
     support) triples. Every operator here is stateless per document, so
     the micro-batch plan is identical to the batch plan: one Arrow hop
@@ -82,6 +86,7 @@ def stream_triples(docs: DataFrame, gazetteer: dict[str, str] | None = None) -> 
         mentions = dictionary_mentions(
             lineage, gazetteer, text_col="content",
             keep_cols=["doc_ref", "content_sha256"],
+            case_sensitive=gazetteer_case_sensitive,
         )
     else:
         mentions = detect_mentions(
@@ -109,6 +114,7 @@ def start_triple_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     gazetteer: dict[str, str] | None = None,
+    gazetteer_case_sensitive: bool = False,
 ):
     """Wire stream_documents -> stream_triples -> parquet append sink.
 
@@ -122,7 +128,10 @@ def start_triple_stream(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            stream_triples_batch(batch_df, gazetteer=gazetteer)
+            stream_triples_batch(
+                batch_df, gazetteer=gazetteer,
+                gazetteer_case_sensitive=gazetteer_case_sensitive,
+            )
             .write.mode("append")
             .parquet(output_dir)
         )
@@ -136,10 +145,17 @@ def start_triple_stream(
     return writer.start()
 
 
-def stream_triples_batch(docs: DataFrame, gazetteer: dict[str, str] | None = None) -> DataFrame:
+def stream_triples_batch(
+    docs: DataFrame,
+    gazetteer: dict[str, str] | None = None,
+    gazetteer_case_sensitive: bool = False,
+) -> DataFrame:
     """Batch-DataFrame version of stream_triples (foreachBatch hands over
     plain batch frames)."""
-    return stream_triples(docs, gazetteer=gazetteer)
+    return stream_triples(
+        docs, gazetteer=gazetteer,
+        gazetteer_case_sensitive=gazetteer_case_sensitive,
+    )
 
 
 def compact_triples(spark: SparkSession, triple_log_dir: str) -> DataFrame:

@@ -131,3 +131,15 @@ def test_unicode_casefold_edge_no_keyerror():
     anns = dictionary_tag("İstanbul is large", {"İstanbul": "CITY"})
     assert len(anns) == 1
     assert anns[0].tag == "CITY"
+
+
+def test_casefold_miss_keeps_matched_entry_tag():
+    """IGNORECASE matches Unicode case-fold pairs whose .lower() differs
+    from the entry's folded key (long s 'ſ' vs 's'); the tag must come from
+    the MATCHED entry via the casefold key, not a blanket first-entry
+    fallback."""
+    from palladian_spark.kernels.tagging import dictionary_tag
+
+    d = {"apple": "FRUIT", "sound": "NOISE"}
+    anns = dictionary_tag("a ſound check", d, case_sensitive=False)
+    assert [(a.value, a.tag) for a in anns] == [("ſound", "NOISE")]

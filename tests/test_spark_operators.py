@@ -344,3 +344,24 @@ def test_heavy_scans_are_spread(spark, tmp_path):
     )
     scored = brute_force_topk(emb, q, k=3)
     assert scored.count() == 6
+
+
+def test_short_documents_do_not_crash_shingles(spark):
+    """sequence(0, -1) is DESCENDING in Spark — docs with <= n words used to
+    feed slice() a zero start and kill the job. Shingle semantics: a doc
+    with size <= n words has NO shingles (both engines agree)."""
+    from palladian_spark.operators.dedup import (
+        _word_shingles,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(1, ""), (2, "one"), (3, "one two three"),
+            (4, "alpha beta gamma delta alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["_shingles"] for r in
+           _word_shingles(df, "text").select("doc_id", "_shingles").collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert len(got[4]) == 4
+    assert minhash_lsh_pairs(df, threshold=0.2).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.2).count() == 0

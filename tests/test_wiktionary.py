@@ -160,3 +160,36 @@ def test_german_morphology_from_triples():
     # an unknown compound peels known nouns off the right, unsplittable
     # head stays (WordTransformer.java:348-351)
     assert de.split_compound_words("Althaus") == ["alt", "haus"]
+
+
+def test_hyponym_propagates_to_word_synonyms():
+    """WordDB.addHyponyms:555-591 links a new hyponym to the word AND every
+    synonym of the word (the SUP side of the resulting edge) — a
+    hyponym-sourced edge must therefore surface under the word's synonyms."""
+    from palladian_spark.kernels.wiktionary import WordGraph
+
+    graph = WordGraph(
+        [
+            ("Haus", "synonym-of", "Gebäude"),
+            ("Haus", "has-hyponym", "Hochhaus"),
+        ]
+    )
+    assert graph.get_hyponyms("Haus") == {"Hochhaus"}
+    assert graph.get_hyponyms("Gebäude") == {"Hochhaus"}
+    assert graph.get_hypernyms("Hochhaus") == {"Haus", "Gebäude"}
+
+
+def test_hypernym_propagates_to_subject_synonyms():
+    """WordDB.addHypernyms:487-522: the new hypernym links to the word and
+    every synonym OF THE WORD (sub side)."""
+    from palladian_spark.kernels.wiktionary import WordGraph
+
+    graph = WordGraph(
+        [
+            ("Haus", "synonym-of", "Gebäude"),
+            ("Haus", "has-hypernym", "Bauwerk"),
+        ]
+    )
+    assert graph.get_hypernyms("Haus") == {"Bauwerk"}
+    assert graph.get_hypernyms("Gebäude") == {"Bauwerk"}
+    assert graph.get_hyponyms("Bauwerk") == {"Haus", "Gebäude"}

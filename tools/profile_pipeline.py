@@ -32,8 +32,17 @@ def main() -> int:
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
+    from tools.scaling_bench import (
+        PARTITIONS,
+        _proc_tree_cpu_seconds,
+        replicated_source,
+    )
+
+    # same fixed shuffle width as the bench this profile explains —
+    # otherwise the profile re-introduces the cores-wide partitioning the
+    # bench deliberately removed and attributes a phantom Amdahl term
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(PARTITIONS)
     from bench import build_spark, warmup
-    from tools.scaling_bench import _proc_tree_cpu_seconds, replicated_source
 
     from palladian_spark.operators import triples as T
     from palladian_spark.operators.canonicalize import canonicalize_values

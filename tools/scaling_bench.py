@@ -105,9 +105,16 @@ def _proc_tree_cpu_seconds() -> float:
         try:
             with open(f"/proc/{d}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
-            # after the comm field: state, ppid, ..., utime(11), stime(12)
+            # after the comm field: state, ppid, ..., utime(11), stime(12),
+            # cutime(13), cstime(14). cutime/cstime hold the CPU of REAPED
+            # children (e.g. respawned Python UDF workers), which a
+            # live-descendant walk alone would drop from the window delta;
+            # live children are counted directly, so adding the reaped
+            # totals never double-counts.
             ppid[int(d)] = int(parts[1])
-            ticks[int(d)] = int(parts[11]) + int(parts[12])
+            ticks[int(d)] = (
+                int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            )
         except (OSError, IndexError, ValueError):
             continue
     tree = {me}
@@ -194,8 +201,15 @@ def _attempt(cores: int, pin: bool = False) -> dict:
     if pin:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
-    line = proc.stdout.strip().splitlines()[-1]
-    run = json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        # surface the child's stderr — a silent IndexError here would kill
+        # a multi-hour ladder without ever printing the actual cause
+        raise RuntimeError(
+            f"attempt cores={cores} pin={pin} failed rc={proc.returncode}:\n"
+            + proc.stderr[-2000:]
+        )
+    run = json.loads(lines[-1])
     run["pinned"] = pin
     print(json.dumps(run), flush=True)
     return run
