@@ -187,10 +187,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_signatures,
         )
 
+        # max_hamming=3 (the standard SimHash near-dup radius): pigeonhole
+        # banding splits the 60-bit signature into max_hamming+1 bands, so
+        # the band width is 60/(h+1) bits and bucket occupancy ~ n/2^width.
+        # h=6 gave 8-bit bands whose buckets hold n/256 docs — measured
+        # near-quadratic at the 10x bench (150s, 190k junk pairs); h=3
+        # gives 15-bit bands and a linear candidate regime.
         sigs = simhash_signatures(
             _read(spark, sf_dir, "documents"), bits=60, hash_fn=portable_token_hash
         )
-        return simhash_pairs(sigs, max_hamming=6, bits=60)
+        return simhash_pairs(sigs, max_hamming=3, bits=60)
 
     # ---- mention detection (SURVEY §2.2) ----
     def dict_mentions(spark, sf_dir):
@@ -952,7 +958,7 @@ def oracle_sql() -> dict[str, str]:
             select a.doc as doc_a, b.doc as doc_b,
                    bit_count(xor(a.simhash, b.simhash))::int as hamming
             from sig a join sig b on a.doc < b.doc
-            where bit_count(xor(a.simhash, b.simhash)) <= 6
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dict_mentions": f"""
             with hits as ({_gazetteer_union_sql()})
