@@ -30,6 +30,15 @@ from pyspark.sql.window import Window
 from .util import spread
 
 
+def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop null/empty embedding rows BEFORE any numpy UDF: np.array over a
+    batch containing None builds a ragged object array and the matmul/einsum
+    throws, killing the stage — and at 10^12 rows null vectors WILL occur.
+    A null/empty vector cannot participate in similarity, so filtering is
+    the semantics, not a workaround (cheap JVM predicate, pushed to scan)."""
+    return df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+
+
 @F.pandas_udf(DoubleType())
 def _cosine_udf(left: pd.Series, right: pd.Series) -> pd.Series:
     """Pairwise cosine, rounded to 6 decimals (matches the DuckDB oracle's
@@ -58,12 +67,12 @@ def brute_force_topk(
     """Exact cosine top-k per query. Queries must be small (broadcast):
     the corpus side streams once through the crossJoin; never use this for
     corpus-vs-corpus (that is lsh_topk / embedding_near_duplicates)."""
-    q = F.broadcast(queries.select(
+    q = F.broadcast(_non_null_vectors(queries, vec_col).select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ))
     # single-split embedding tables would run every cosine batch on one
     # core; no-op when the scan already has >= parallelism splits
-    embeddings = spread(embeddings)
+    embeddings = spread(_non_null_vectors(embeddings, vec_col))
     scored = embeddings.crossJoin(q).select(
         query_id_col,
         id_col,
@@ -165,10 +174,14 @@ def lsh_topk(
     bucket_udf = _make_buckets_udf(n_planes, n_tables)
     # corpus side only (the query side is broadcast — spreading it would
     # just add a shuffle in front of a tiny table)
-    emb_b = _explode_tables(spread(embeddings), bucket_udf, vec_col)
+    emb_b = _explode_tables(
+        spread(_non_null_vectors(embeddings, vec_col)), bucket_udf, vec_col
+    )
     q_b = F.broadcast(
         _explode_tables(
-            queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+            _non_null_vectors(queries, vec_col).select(
+                query_id_col, F.col(vec_col).alias("_qvec")
+            ),
             bucket_udf,
             "_qvec",
         )
@@ -200,7 +213,9 @@ def embedding_near_duplicates(
     """
     bucket_udf = _make_buckets_udf(n_planes, n_tables)
     b = _explode_tables(
-        spread(embeddings.select(F.col(id_col), F.col(vec_col))), bucket_udf, vec_col
+        spread(_non_null_vectors(embeddings, vec_col).select(F.col(id_col), F.col(vec_col))),
+        bucket_udf,
+        vec_col,
     )
     left = b.alias("l")
     right = b.alias("r")

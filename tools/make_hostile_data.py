@@ -1,0 +1,102 @@
+"""Derive an adversarial copy of the smoke dataset for crash-proofing.
+
+At 10^12 rows every pathological row shape WILL occur: null/empty/
+whitespace text, single-word documents, unicode (case-fold edges,
+combining marks, emoji, RTL), megabyte-scale docs, one token repeated
+thousands of times, null/zero/empty embeddings. The driver data is
+uniformly clean, so this tool rewrites sf0.001 with a block of hostile
+rows appended to documents/embeddings — tests/test_hostile_inputs.py
+then runs EVERY contract query over it and asserts none of them crash
+(row counts may legitimately differ or be zero).
+
+Usage: python tools/make_hostile_data.py --out /tmp/sf_hostile
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HOSTILE_DOCS = [
+    # (doc_id, text, lang, source)
+    (900001, None, None, None),
+    (900002, "", "en", "hostile"),
+    (900003, "   \t\n  ", "en", "hostile"),
+    (900004, "word", "en", "hostile"),
+    (900005, "two words", "en", "hostile"),
+    (900006, "ſound Straße İstanbul ﬁlter ﬂow", "de", "hostile"),
+    (900007, "éclair café \U0001f600 ‏שלום", "fr", "hostile"),
+    (900008, "spark " * 5000, "en", "hostile"),  # one token, 5000 times
+    (900009, ("the quick Spark Table scan joins a Filter Vector stream . " * 2000),
+     "en", "hostile"),  # ~120 KB doc
+    (900010, "\x00\x01\x02 control chars spark table", "en", "hostile"),
+    (900011, "UPPER CASE SPARK TABLE FILTER JOIN", "en", "hostile"),
+    (900012, "a.b.c.d.e.f.g.h.i.j.k.l.m.n.o.p.q.r.s.t", "en", "hostile"),
+]
+
+HOSTILE_EMBEDDINGS = [
+    # (vec_id, embedding, label) — dim must match the table's vectors
+    (900001, None, None),
+    (900002, "zeros", 0),   # placeholder, resolved to [0.0]*dim below
+    (900003, "tiny", 1),    # denormal-ish magnitudes
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/sf_hostile")
+    args = ap.parse_args()
+
+    from palladian_spark.sources.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("make-hostile", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+
+    for name in [
+        "region", "nation", "supplier", "part", "customer",
+        "orders", "lineitem", "events",
+    ]:
+        src = os.path.join(args.src, f"{name}.parquet")
+        dst = os.path.join(args.out, f"{name}.parquet")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+        print(f"{name}: copied")
+
+    docs = spark.read.parquet(os.path.join(args.src, "documents.parquet"))
+    hostile = spark.createDataFrame(
+        [(i, t, l, s) for i, t, l, s in HOSTILE_DOCS],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))).cast("long"))
+    docs.unionByName(hostile.select(docs.columns)).write.mode("overwrite").parquet(
+        os.path.join(args.out, "documents.parquet")
+    )
+    print("documents: +", len(HOSTILE_DOCS), "hostile rows")
+
+    emb = spark.read.parquet(os.path.join(args.src, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    rows = [
+        (900001, None, None),
+        (900002, [0.0] * dim, 0),
+        (900003, [1e-30] * dim, 1),
+    ]
+    hostile_emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.unionByName(hostile_emb.select(emb.columns)).write.mode("overwrite").parquet(
+        os.path.join(args.out, "embeddings.parquet")
+    )
+    print("embeddings: + 3 hostile rows")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
