@@ -43,30 +43,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _make_shingle_udf(n: int):
+    """words -> distinct word n-gram shingles, Arrow-batched.
+
+    The previous formulation was a Catalyst ``transform(sequence(...),
+    i -> concat_ws(' ', slice(...)))`` — HOF lambda bodies are interpreted
+    per ELEMENT (no codegen), measured at ~21 us per shingle (5.7 s for a
+    5k-doc corpus); the same work is ~0.2 s of Python string joins per
+    Arrow batch. dict.fromkeys preserves first-occurrence order exactly
+    like array_distinct did, and a doc with <= n words has no shingles
+    (the size > n semantics both engines pin)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _shingles(words: pd.Series) -> pd.Series:
+        out = []
+        for ws in words:
+            ws = list(ws) if ws is not None else []
+            if len(ws) > n:
+                out.append(
+                    list(dict.fromkeys(
+                        " ".join(ws[i : i + n]) for i in range(len(ws) - n)
+                    ))
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return _shingles
+
+
 def _word_shingles(df: DataFrame, text_col: str, n: int = 3):
-    """Distinct word n-gram shingles per document, JVM-side only.
+    """Distinct word n-gram shingles per document (regex JVM-side, shingle
+    assembly in one Arrow hop — see _make_shingle_udf).
 
     spread() first: a small parquet arrives as ONE split, which would run
-    the regex + shingle projection (and every Arrow stage downstream of
-    it) on a single core; at real table sizes the split count already
-    exceeds parallelism and the repartition never fires."""
+    the regex + shingle stage (and every Arrow stage downstream of it) on
+    a single core; at real table sizes the split count already exceeds
+    parallelism and the repartition never fires."""
     df = spread(df)
-    # guard: sequence(0, -1) is DESCENDING in Spark (never empty), so a doc
-    # with <= n words would feed slice() a 0 start and kill the job — short
-    # documents are routine in any real corpus
+    shingle_udf = _make_shingle_udf(n)
     return df.withColumn(
         "_words", F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
-    ).withColumn(
-        "_shingles",
-        F.array_distinct(
-            F.expr(
-                f"case when size(_words) > {n} then "
-                f"transform(sequence(0, size(_words) - {n} - 1), "
-                f"i -> concat_ws(' ', slice(_words, i + 1, {n}))) "
-                f"else array() end"
-            )
-        ),
-    )
+    ).withColumn("_shingles", shingle_udf(F.col("_words")))
 
 
 def ngram_jaccard_pairs(
