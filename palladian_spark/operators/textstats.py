@@ -40,6 +40,25 @@ def _extract_all(col, pattern: str):
     return F.regexp_extract_all(col, F.lit(pattern), F.lit(0))
 
 
+
+def _sum_word_chars(words_col):
+    """Total characters across word tokens, pure codegen: length of the
+    ''-joined array equals the sum of element lengths. The F.aggregate
+    lambda it replaces is interpreted per ELEMENT (no codegen) — the same
+    trap the shingle builder hit (operators/dedup.py:_make_shingle_udf)."""
+    return F.length(F.array_join(words_col, ""))
+
+
+def _marker_hits(words_col, markers):
+    """Occurrences (with multiplicity) of any marker word, pure codegen:
+    chain one array_remove per marker and count the length drop — replaces
+    an interpreted filter(w -> w in (...)) lambda."""
+    pruned = words_col
+    for w in markers:
+        pruned = F.array_remove(pruned, w)
+    return F.size(words_col) - F.size(pruned)
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Palladian word-token count per document — one regex scan, codegen."""
     from .util import spread
@@ -55,7 +74,6 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ratios — the standard pretraining-corpus filters, all column math."""
     from .util import spread
 
-    en = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
     return (
         spread(df).select(F.col(id_col), F.col(text_col).alias("_t"))
         .withColumn("_words", _extract_all(F.lower(F.col("_t")), _WORD_REGEX))
@@ -65,12 +83,12 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.size("_words").alias("n_words"),
             F.round(
                 F.when(F.size("_words") > 0,
-                       F.aggregate("_words", F.lit(0).cast("double"),
-                                   lambda acc, w: acc + F.length(w)) / F.size("_words")
+                       _sum_word_chars(F.col("_words")).cast("double")
+                       / F.size("_words")
                        ).otherwise(F.lit(0.0)), 6
             ).alias("avg_word_len"),
             F.round(
-                F.size(F.expr(f"filter(_words, w -> w in ({en}))"))
+                _marker_hits(F.col("_words"), LANG_MARKERS["en"])
                 / F.greatest(F.size("_words"), F.lit(1)),
                 6,
             ).alias("stopword_ratio"),
@@ -90,7 +108,6 @@ def quality_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     oracle compares exact integers, never rounded floats."""
     from .util import spread
 
-    en = ",".join(f"'{w}'" for w in LANG_MARKERS["en"])
     return (
         spread(df).select(F.col(id_col), F.col(text_col).alias("_t"))
         .withColumn("_words", _extract_all(F.lower(F.col("_t")), _WORD_REGEX))
@@ -98,10 +115,8 @@ def quality_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             id_col,
             F.length("_t").alias("n_chars"),
             F.size("_words").alias("n_words"),
-            F.aggregate("_words", F.lit(0), lambda acc, w: acc + F.length(w)).alias(
-                "sum_word_chars"
-            ),
-            F.size(F.expr(f"filter(_words, w -> w in ({en}))")).alias("stopword_hits"),
+            _sum_word_chars(F.col("_words")).cast("int").alias("sum_word_chars"),
+            _marker_hits(F.col("_words"), LANG_MARKERS["en"]).alias("stopword_hits"),
             (
                 F.length("_t") - F.length(F.regexp_replace("_t", r"[^\w\s]", ""))
             ).alias("punct_chars"),
@@ -124,9 +139,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     hit_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
-        lst = ",".join(f"'{w}'" for w in markers)
         hit_cols.append(
-            F.size(F.expr(f"filter(_words, w -> w in ({lst}))")).alias(f"hits_{lang}")
+            _marker_hits(F.col("_words"), markers).alias(f"hits_{lang}")
         )
     out = out.select(id_col, *hit_cols)
     langs = sorted(LANG_MARKERS)
