@@ -61,7 +61,7 @@ def main() -> int:
 
     for name in [
         "region", "nation", "supplier", "part", "customer",
-        "orders", "lineitem", "events",
+        "orders", "lineitem",
     ]:
         src = os.path.join(args.src, f"{name}.parquet")
         dst = os.path.join(args.out, f"{name}.parquet")
@@ -69,6 +69,21 @@ def main() -> int:
             shutil.rmtree(dst)
         shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
         print(f"{name}: copied")
+
+    events = spark.read.parquet(os.path.join(args.src, "events.parquet"))
+    hostile_events = spark.createDataFrame(
+        [
+            (900001, None, None, None, None, None),
+            (900002, "2024-01-01 00:00:00", 900001, "", 0.0, ""),
+            (900003, "2024-01-01 00:00:00", 900001, "click", float("nan"), None),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    events.unionByName(hostile_events.select(events.columns)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.out, "events.parquet"))
+    print("events: + 3 hostile rows (null ts/user, NaN value)")
 
     docs = spark.read.parquet(os.path.join(args.src, "documents.parquet"))
     hostile = spark.createDataFrame(
