@@ -132,6 +132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint_md5"
         )
 
+    def doc_chunks(spark, sf_dir):
+        from palladian_spark.operators.curation import chunk_documents
+
+        out = chunk_documents(_read(spark, sf_dir, "documents"), size=500, stride=400)
+        # posexplode emits int ordinals; DuckDB generate_series emits bigint
+        return out.select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text")
+
+    def doc_split(spark, sf_dir):
+        from palladian_spark.operators.curation import dataset_split
+
+        return dataset_split(_read(spark, sf_dir, "documents"))
+
     # ---- dedup family (SURVEY training-data ops) ----
     def doc_exact_dedup(spark, sf_dir):
         from palladian_spark.operators.dedup import exact_dedup
@@ -394,6 +406,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = lsh_topk(emb, qset, k=5, n_planes=3, n_tables=16)
         return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
 
+    def ann_ivf_topk(spark, sf_dir):
+        # IVF coarse-quantized top-k — the probe-limited ANN scale path.
+        # Seeded deterministic centroids (16 lowest vec_ids) make the whole
+        # assignment+probe+search SQL-expressible, so unlike the SRP-LSH
+        # variant this one gets a full independent DuckDB oracle.
+        from palladian_spark.operators.similarity_search import ivf_topk
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qset = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = ivf_topk(emb, qset, k=5, n_centroids=16, n_probe=4)
+        return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
+
     def embedding_near_dups(spark, sf_dir):
         from palladian_spark.operators.similarity_search import embedding_near_duplicates
 
@@ -635,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_quality=doc_quality,
         doc_language_id=doc_language_id,
         doc_fingerprints=doc_fingerprints,
+        doc_chunks=doc_chunks,
+        doc_split=doc_split,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
         doc_minhash_pairs=doc_minhash_pairs,
@@ -651,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         canonicalize_mentions=canonicalize_mentions,
         ann_topk=ann_topk,
         ann_lsh_topk=ann_lsh_topk,
+        ann_ivf_topk=ann_ivf_topk,
         embedding_near_dups=embedding_near_dups,
         tpch_pricing=tpch_pricing,
         join_customer_orders=join_customer_orders,
@@ -845,6 +876,27 @@ def oracle_sql() -> dict[str, str]:
                        as fingerprint_md5
             from documents
         """,
+        # chunking: n_chunks = 1 + floor((len-size+stride-1)/stride), clamped
+        # to >= 1; substr/length are char-based on both engines.
+        "doc_chunks": """
+            with d as (select doc_id, coalesce(text, '') as t from documents),
+            n as (select doc_id, t,
+                         greatest(1, 1 + cast(floor((length(t) - 101) / 400.0) as int)) as nc
+                  from d),
+            x as (select doc_id, t,
+                         unnest(generate_series(0, nc - 1)) as chunk_id
+                  from n)
+            select doc_id, chunk_id::bigint as chunk_id,
+                   substr(t, chunk_id * 400 + 1, 500) as chunk_text
+            from x
+        """,
+        "doc_split": """
+            select doc_id,
+                   case when substr(md5(coalesce(text, '')), 1, 2) < 'cc' then 'train'
+                        when substr(md5(coalesce(text, '')), 1, 2) < 'e6' then 'val'
+                        else 'test' end as split
+            from documents
+        """,
         "doc_exact_dedup": """
             select doc_id, md5(text) as content_hash
             from (select doc_id, text,
@@ -1015,6 +1067,45 @@ def oracle_sql() -> dict[str, str]:
                                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                                 * sqrt(list_dot_product(q.qv, q.qv))), 6) as cos
                   from embeddings e cross join q),
+            r as (select query_id, vec_id,
+                         row_number() over (partition by query_id
+                                            order by cos desc, vec_id) as rnk
+                  from s)
+            select query_id, vec_id, rnk from r where rnk <= 5
+        """,
+        # IVF: same cosine formulation/rounding as the Spark UDFs; assignment
+        # and probe tie-break `order by cos desc, c_id` == the UDF's stable
+        # argsort over ids-ascending centroids.
+        "ann_ivf_topk": """
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings
+                       where embedding is not null and len(embedding) > 0),
+            c as (select vec_id as c_id, v as cv from e order by vec_id limit 16),
+            ac as (select e.vec_id, c.c_id,
+                          round(list_dot_product(e.v, c.cv) /
+                                coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
+                                                * sqrt(list_dot_product(c.cv, c.cv)), 0), 1),
+                                6) as cos
+                   from e cross join c),
+            assign as (select vec_id, c_id from (
+                         select vec_id, c_id,
+                                row_number() over (partition by vec_id
+                                                   order by cos desc, c_id) as rn
+                         from ac) where rn = 1),
+            qprobe as (select vec_id as qid, c_id from (
+                         select vec_id, c_id,
+                                row_number() over (partition by vec_id
+                                                   order by cos desc, c_id) as rn
+                         from ac where vec_id < 3) where rn <= 4),
+            cand as (select distinct qp.qid as query_id, a.vec_id
+                     from qprobe qp join assign a using (c_id)),
+            s as (select cand.query_id, cand.vec_id,
+                         round(list_dot_product(e.v, q.v) /
+                               coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
+                                               * sqrt(list_dot_product(q.v, q.v)), 0), 1),
+                               6) as cos
+                  from cand
+                  join e on e.vec_id = cand.vec_id
+                  join e q on q.vec_id = cand.query_id),
             r as (select query_id, vec_id,
                          row_number() over (partition by query_id
                                             order by cos desc, vec_id) as rnk

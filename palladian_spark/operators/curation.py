@@ -1,0 +1,108 @@
+"""Training-data curation operators: document chunking and deterministic
+dataset splitting.
+
+Both are pure JVM-expression plans (no Python in the hot path, no Catalyst
+HOF lambdas — PLANS.md bans the interpreted-per-element pattern), so they
+whole-stage-codegen and scale with the scan:
+
+- ``chunk_documents``: fixed-width overlapping character windows — the
+  standard pre-tokenization step that turns arbitrary-length documents into
+  model-context-sized training rows. One generator (posexplode over a
+  bounded ``sequence``) per document; no shuffle at all — chunking is
+  embarrassingly row-local.
+- ``dataset_split``: content-addressed train/val/test assignment by
+  comparing a prefix of md5(text) against fixed hex cut-points. Content
+  hashing (not row ids) keeps the split stable under repartitions, id
+  reassignment, and incremental reloads — the property a 100 TB corpus
+  actually needs; row-number splits are not reproducible across runs.
+
+Reference scope note: the reference (xiaming9880/palladian) stops at
+document-level processing; these two close the gap between its text stack
+and an LLM-scale data pipeline (round instructions: dedup/curation ops are
+first-class alongside SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 500,
+    stride: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, text) -> one row per overlapping chunk of ``size`` chars,
+    advancing ``stride`` chars (overlap = size - stride).
+
+    chunk i covers characters [i*stride, i*stride + size); the last chunk is
+    the first one whose window reaches the end of the document (it may be
+    shorter). Every document yields >= 1 chunk (empty/null text -> one empty
+    chunk), so no rows vanish silently — a curation pipeline that drops
+    short documents must do so explicitly with a filter, not as a chunking
+    side effect.
+
+    Scale shape: zero shuffles — a generator inside the scan stage. Both
+    ``substring`` and ``length`` are character-based (UTF-8 aware) in Spark
+    and DuckDB, so the oracle recomputes identical chunks on multibyte text.
+
+    Guard rails: ``sequence(0, n-1)`` requires n >= 1 — Spark's sequence()
+    with a negative stop is DESCENDING, never empty (the round-3 10x-bench
+    bug class), so n is clamped with greatest(1, ...).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.lit(1)
+        + F.floor(
+            (F.length(txt) - F.lit(size) + F.lit(stride) - F.lit(1)) / F.lit(stride)
+        ).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            txt.alias("_txt"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+                "chunk_id", "_i"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.substring(
+                F.col("_txt"), F.col("_i") * F.lit(stride) + F.lit(1), size
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# 80/90 percentile cut-points over the first md5 hex byte: 0xcc/0x100 = 79.7%,
+# 0xe6/0x100 = 89.8%. Hex-string comparison (not hex->int conversion) because
+# both engines emit lowercase hex md5 and compare strings identically — no
+# integer-parsing function needs to exist on both sides.
+_SPLIT_CUTS = (("train", "cc"), ("val", "e6"))
+
+
+def dataset_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~80/10/10).
+
+    Assignment = first two hex chars of md5(text) against fixed cut-points;
+    a document's split follows its CONTENT, so exact duplicates always land
+    in the same split (no train/test leakage through duplicated text), and
+    the assignment is reproducible on any engine with an md5 — which is also
+    what makes it independently DuckDB-oracle-able.
+    """
+    prefix = F.substring(F.md5(F.coalesce(F.col(text_col), F.lit(""))), 1, 2)
+    split = F.lit("test")
+    for name, cut in reversed(_SPLIT_CUTS):
+        split = F.when(prefix < F.lit(cut), F.lit(name)).otherwise(split)
+    return df.select(F.col(id_col), split.alias("split"))

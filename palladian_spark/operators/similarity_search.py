@@ -198,6 +198,114 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _centroid_matrix(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic coarse-quantizer codebook: the ``n_centroids`` non-null
+    vectors with the smallest ids. A bounded collect (codebook size is a
+    parameter, like a broadcast dimension table — NOT data-sized). Seeded
+    selection keeps the quantizer a pure function of the table so the DuckDB
+    oracle can recompute the identical assignment; a production build would
+    Lloyd-refine these seeds (pure groupBy-mean iterations over the same
+    assignment join), which changes centroid VALUES but none of the
+    partition/probe plumbing measured here."""
+    rows = (
+        _non_null_vectors(embeddings, vec_col)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        # fully-null/empty embedding table: keep the codebook 2-D so the
+        # eager norm in _make_probe_udf stays well-formed; the corpus side
+        # is empty after the same filter, so no batch ever hits the matmul
+        return ids, np.zeros((0, 1), dtype=np.float64)
+    vecs = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, vecs
+
+
+def _make_probe_udf(cent_ids: np.ndarray, cent_vecs: np.ndarray, n_probe: int):
+    """array<long> of the ``n_probe`` nearest centroid ids per vector,
+    nearest-first. One matmul per Arrow batch against the broadcast codebook.
+    Cosine is rounded to 6 decimals BEFORE the argsort (same op order as the
+    DuckDB oracle) so assignment ties break identically on both engines:
+    stable argsort over ids-ascending centroids == `order by cos desc, c_id`.
+    """
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cent_vecs, cent_vecs))
+    cnorm[cnorm == 0.0] = 1.0
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype="object")
+        vnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        vnorm[vnorm == 0.0] = 1.0
+        cos = np.round((mat @ cent_vecs.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cent_ids[order]))
+
+    return _probe
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
+    exact cosine only within probed cells.
+
+    The 100 TB path when queries outnumber what brute-force can stream:
+    corpus assignment is one matmul per Arrow batch; the search join is an
+    equi-join on the cell id, so each query pays ~n_probe/n_centroids of the
+    corpus instead of all of it. Cell sizes follow the data distribution —
+    a hot cell (skew) is handled the same way as any skewed join key: AQE
+    skew-join splitting, or salt the cell id and replicate the probe side.
+    Approximate by design: a true neighbor assigned to an unprobed cell is
+    missed; recall vs the exact baseline is pytest-gated.
+    """
+    cent_ids, cent_vecs = _centroid_matrix(embeddings, n_centroids, id_col, vec_col)
+    assign1 = _make_probe_udf(cent_ids, cent_vecs, 1)
+    probe_n = _make_probe_udf(cent_ids, cent_vecs, n_probe)
+
+    corpus = spread(_non_null_vectors(embeddings, vec_col)).select(
+        id_col, vec_col
+    )
+    # element_at over the 1-probe array (not a scalar-UDF variant): the
+    # single UDF family keeps tie-breaking provably identical on both sides
+    corpus = corpus.withColumn("_cell", F.element_at(assign1(F.col(vec_col)), 1))
+
+    q = _non_null_vectors(queries, vec_col).select(
+        query_id_col, F.col(vec_col).alias("_qvec")
+    )
+    # posexplode_outer (not posexplode): see _explode_tables — the inner
+    # variant re-evaluates the Arrow UDF behind Catalyst's size()>0 filter
+    q_probe = F.broadcast(
+        q.withColumn("_cs", probe_n(F.col("_qvec")))
+        .select(query_id_col, "_qvec", F.posexplode_outer("_cs").alias("_p", "_cell"))
+        .where(F.col("_cell").isNotNull())
+        .drop("_p")
+    )
+
+    cand = corpus.join(q_probe, "_cell").dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        _cosine_udf(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

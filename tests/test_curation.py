@@ -1,0 +1,91 @@
+"""Chunking and dataset-split curation operators (operators/curation.py).
+
+Semantics pinned here:
+- chunk windows [i*stride, i*stride+size), last chunk short, >= 1 chunk per
+  document (empty included), character (not byte) offsets on multibyte text;
+- content-hash split: deterministic, duplicate text -> same split (no
+  train/test leakage through duplicates), ~80/10/10 at corpus scale.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from palladian_spark.operators.curation import chunk_documents, dataset_split
+
+
+def _chunks(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, **kw).orderBy("doc_id", "chunk_id").collect()
+    return [(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out]
+
+
+def test_chunk_windows_and_overlap(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(11))  # 11 chars
+    got = _chunks(spark, [(1, text)], size=5, stride=3)
+    # windows: [0,5) [3,8) [6,11) [9,12)->short; n = 1+floor((11-5+2)/3) = 3+1?
+    # (11-5+3-1)/3 = 8/3 -> floor 2 -> n=3: [0,5) [3,8) [6,11)
+    assert got == [
+        (1, 0, text[0:5]),
+        (1, 1, text[3:8]),
+        (1, 2, text[6:11]),
+    ]
+
+
+def test_chunk_last_window_short(spark):
+    got = _chunks(spark, [(1, "abcdefg")], size=5, stride=5)
+    assert got == [(1, 0, "abcde"), (1, 1, "fg")]
+
+
+def test_chunk_short_empty_null_docs(spark):
+    got = _chunks(spark, [(1, "ab"), (2, ""), (3, None)], size=5, stride=3)
+    assert got == [(1, 0, "ab"), (2, 0, ""), (3, 0, "")]
+
+
+def test_chunk_exact_boundary_no_phantom(spark):
+    # len == size must yield exactly one chunk, len == size+1 two
+    assert len(_chunks(spark, [(1, "x" * 500)], size=500, stride=400)) == 1
+    two = _chunks(spark, [(1, "x" * 501)], size=500, stride=400)
+    assert len(two) == 2 and two[1][2] == "x" * 101
+
+
+def test_chunk_multibyte_character_offsets(spark):
+    text = "äöü" * 4  # 12 chars, 24 utf-8 bytes
+    got = _chunks(spark, [(1, text)], size=6, stride=6)
+    assert got == [(1, 0, text[:6]), (1, 1, text[6:])]
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=5, stride=0)
+
+
+def test_split_matches_md5_cutpoints(spark):
+    rows = [(i, f"document number {i}") for i in range(50)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["split"] for r in dataset_split(df).collect()}
+
+    def expect(text):
+        h = hashlib.md5((text or "").encode()).hexdigest()[:2]
+        return "train" if h < "cc" else ("val" if h < "e6" else "test")
+
+    for doc_id, text in rows:
+        assert got[doc_id] == expect(text), (doc_id, text)
+
+
+def test_split_duplicates_never_leak_across_splits(spark):
+    # identical text under different ids -> identical split, always
+    rows = [(i, f"dup text {i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dataset_split(df).join(df, "doc_id")
+    n = (
+        out.groupBy("text")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert n == 1

@@ -217,6 +217,38 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF recall gate on the sf0.001 embeddings table: probing 4 of 16
+    cells must recover >= 0.7 of the exact top-5 (the synthetic embeddings
+    sit at near-random angles — the hardest case for a coarse quantizer;
+    real near-dup corpora cluster and probe recall rises). Also pins the
+    invariant that every returned row IS in the probed cells (a subset of
+    brute force scored identically — cosine/rank values match exactly on
+    the intersection)."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]): r["cosine"]
+              for r in ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()}
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} < 0.7"
+    for key in exact.keys() & approx.keys():
+        assert exact[key] == approx[key], f"cosine mismatch at {key}"
+
+
 def test_multimodal_plumbing(spark, docs):
     from palladian_spark.operators.multimodal import (
         image_features,
