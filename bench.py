@@ -47,6 +47,9 @@ HEADLINE = [
     "canonicalize_mentions",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "doc_chunks",
+    "doc_split",
     "doc_token_counts",
     "tpch_pricing",
     "join_customer_orders",

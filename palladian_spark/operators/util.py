@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 
 # 31-bit Mersenne prime: a*h'+b stays < 2^62 (no ANSI long overflow)
@@ -48,6 +50,24 @@ def band_hashes_for_shingles(shingles, a, b, band_size: int) -> list[int]:
 
 
 _SCAN_ONLY_NODES = ("Project", "Filter", "Relation", "SubqueryAlias", "View")
+# leaves (Range/LocalRelation/LogicalRDD) + narrow unary ops: all preserve
+# the width of an upstream explicit Repartition
+_NARROW_NODES = _SCAN_ONLY_NODES + (
+    "Repartition",
+    "Range",
+    "LocalRelation",
+    "LogicalRDD",
+)
+
+_REPARTITION_RE = _re.compile(r"^Repartition (\d+), true")
+
+
+def _analyzed_lines(df: DataFrame) -> list[str] | None:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    return [ln.lstrip(" +-:") for ln in plan.splitlines() if ln.strip(" +-:")]
 
 
 def _is_bare_scan(df: DataFrame) -> bool:
@@ -56,15 +76,32 @@ def _is_bare_scan(df: DataFrame) -> bool:
     parallelism. Any other node (Aggregate, Join, Repartition, ...) means
     the partitioning downstream of the scan may differ from the file count.
     """
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
+    lines = _analyzed_lines(df)
+    if lines is None:
         return False
-    for line in plan.splitlines():
-        node = line.lstrip(" +-:")
-        if node and not node.startswith(_SCAN_ONLY_NODES):
+    return all(node.startswith(_SCAN_ONLY_NODES) for node in lines)
+
+
+def _already_spread(df: DataFrame, target: int) -> bool:
+    """True when the plan is narrow ops over an explicit ``Repartition(n)``
+    with n >= target: projections/filters preserve the partition count, and
+    AQE never coalesces a user-specified repartition width, so the probe
+    (and its AQE side effect — ``df.rdd`` under AQE EXECUTES every upstream
+    shuffle stage just to finalize the plan, a whole wasted stage per call)
+    can be skipped. Any wide node (Aggregate/Join/Window) disqualifies:
+    its output width is AQE-coalesced and only the physical probe knows it.
+    """
+    lines = _analyzed_lines(df)
+    if lines is None:
+        return False
+    best = 0
+    for node in lines:
+        if not node.startswith(_NARROW_NODES):
             return False
-    return True
+        m = _REPARTITION_RE.match(node)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best >= target
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -93,6 +130,8 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
         except Exception:
             n = 0
     if n >= target:
+        return df
+    if _already_spread(df, target):
         return df
     # few/no files: large files may still split into many scan partitions,
     # so fall back to the precise (physical-planning) probe before paying

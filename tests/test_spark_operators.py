@@ -378,6 +378,28 @@ def test_heavy_scans_are_spread(spark, tmp_path):
     assert scored.count() == 6
 
 
+def test_spread_skips_probe_on_already_repartitioned_plans(spark):
+    """spread() over Project/Filter on an explicit Repartition(n >= target)
+    must return the frame untouched WITHOUT the df.rdd probe: under AQE
+    that probe executes every upstream shuffle stage just to finalize the
+    plan — a whole wasted stage per operator call (found via the
+    media_features double-stage). Wide nodes must still fall through."""
+    from palladian_spark.operators.util import _already_spread, spread
+
+    target = spark.sparkContext.defaultParallelism
+    base = spark.range(100).repartition(target).select(
+        F.col("id"), (F.col("id") * 2).alias("y")
+    )
+    assert _already_spread(base, target)
+    assert spread(base) is base
+    # narrower explicit repartition -> not enough, must NOT short-circuit
+    narrow = spark.range(100).repartition(max(1, target // 2))
+    assert not _already_spread(narrow, target)
+    # wide node (AQE may coalesce its width) -> never short-circuit
+    agg = spark.range(100).repartition(target).groupBy((F.col("id") % 3)).count()
+    assert not _already_spread(agg, target)
+
+
 def test_short_documents_do_not_crash_shingles(spark):
     """sequence(0, -1) is DESCENDING in Spark — docs with <= n words used to
     feed slice() a zero start and kill the job. Shingle semantics: a doc
