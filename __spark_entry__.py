@@ -422,6 +422,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = ivf_topk(emb, qset, k=5, n_centroids=16, n_probe=4)
         return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
 
+    def embedding_quantize(spark, sf_dir):
+        # int8 scalar quantization (vec_id, pos, code) — pure JVM plan;
+        # floor(x+0.5) formulation is engine-portable (see operator doc).
+        from palladian_spark.operators.similarity_search import quantize_embeddings
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return quantize_embeddings(emb)
+
     def embedding_near_dups(spark, sf_dir):
         from palladian_spark.operators.similarity_search import embedding_near_duplicates
 
@@ -682,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk=ann_topk,
         ann_lsh_topk=ann_lsh_topk,
         ann_ivf_topk=ann_ivf_topk,
+        embedding_quantize=embedding_quantize,
         embedding_near_dups=embedding_near_dups,
         tpch_pricing=tpch_pricing,
         join_customer_orders=join_customer_orders,
@@ -1111,6 +1122,22 @@ def oracle_sql() -> dict[str, str]:
                                             order by cos desc, vec_id) as rnk
                   from s)
             select query_id, vec_id, rnk from r where rnk <= 5
+        """,
+        # int8 quantization: identical double op order + floor(x+0.5) on
+        # both engines (round() differs: numpy half-even vs SQL half-away).
+        "embedding_quantize": """
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings
+                       where embedding is not null and len(embedding) > 0),
+            x as (select vec_id, v,
+                         unnest(generate_series(1, len(v))) as pos1 from e),
+            vals as (select vec_id, pos1, v[pos1] as val from x),
+            stats as (select pos1, min(val) as mn, max(val) as mx
+                      from vals group by pos1)
+            select vec_id, (pos1 - 1)::bigint as pos,
+                   case when mx = mn then 0
+                        else cast(floor((val - mn) * 255.0 / (mx - mn) + 0.5) as int) - 128
+                   end as code
+            from vals join stats using (pos1)
         """,
         # NOTE: DuckDB sum() over integer args returns HUGEINT (int128),
         # which pandas renders as float64/object and breaks the driver's

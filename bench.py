@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_quantize",
     "doc_chunks",
     "doc_split",
     "doc_token_counts",

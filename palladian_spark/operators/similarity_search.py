@@ -250,12 +250,62 @@ def _make_probe_udf(cent_ids: np.ndarray, cent_vecs: np.ndarray, n_probe: int):
     return _probe
 
 
+def refine_centroids(
+    embeddings: DataFrame,
+    cent_ids: np.ndarray,
+    cent_vecs: np.ndarray,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd refinement of the seeded codebook: assign every corpus vector
+    to its nearest centroid (the same Arrow matmul as search-time
+    assignment), then recompute each centroid as the member mean — the
+    k-means step proper, run ``iters`` times.
+
+    Distributed shape: the mean is ONE partial+final aggregation per
+    iteration — explode vectors to (cell, dim_pos, value), groupBy
+    (cell, dim_pos) avg — so per-iteration shuffle volume is
+    n_centroids * dim doubles regardless of corpus size; the collect is
+    bounded by the codebook size. Empty cells keep their previous centroid
+    (the standard k-means convention). Refinement changes centroid VALUES
+    only; assignment/probe/search plumbing (and their plans) are identical,
+    which is why the oracle-facing contract query stays on the seeded
+    codebook while refinement is pytest-gated for exact parity with a
+    numpy reference implementation."""
+    corpus = _non_null_vectors(embeddings, vec_col)
+    for _ in range(iters):
+        assign1 = _make_probe_udf(cent_ids, cent_vecs, 1)
+        assigned = spread(corpus.select(vec_col)).withColumn(
+            "_cell", F.element_at(assign1(F.col(vec_col)), 1)
+        )
+        sums = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("_p", "_v"))
+            .groupBy("_cell", "_p")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new_vecs = cent_vecs.copy()
+        by_cell: dict[int, list] = {}
+        for r in sums:
+            by_cell.setdefault(r["_cell"], []).append(r)
+        idx_of = {int(c): i for i, c in enumerate(cent_ids)}
+        for cell, rows in by_cell.items():
+            vec = np.zeros(cent_vecs.shape[1], dtype=np.float64)
+            for r in rows:
+                vec[r["_p"]] = r["_s"] / r["_n"]
+            new_vecs[idx_of[int(cell)]] = vec
+        cent_vecs = new_vecs
+    return cent_vecs
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    lloyd_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -274,6 +324,11 @@ def ivf_topk(
     missed; recall vs the exact baseline is pytest-gated.
     """
     cent_ids, cent_vecs = _centroid_matrix(embeddings, n_centroids, id_col, vec_col)
+    if lloyd_iters and cent_ids.size:
+        cent_vecs = refine_centroids(
+            embeddings, cent_ids, cent_vecs, iters=lloyd_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     assign1 = _make_probe_udf(cent_ids, cent_vecs, 1)
     probe_n = _make_probe_udf(cent_ids, cent_vecs, n_probe)
 
@@ -304,6 +359,50 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to int8
+    codes: (vec_id, pos, code) with code = floor((v - min_d) * 255 /
+    (max_d - min_d) + 0.5) - 128 over each dimension's corpus min/max.
+
+    The 100 TB storage/scan path: int8 codes cut vector bytes 4× (and ANN
+    candidate scans with them); rescoring on the float column touches only
+    the final top-k candidates. Pure JVM plan — one partial+final agg for
+    the per-dimension stats (output bounded by dim, broadcast back), then a
+    codegen projection; no Python anywhere.
+
+    floor(x + 0.5), NOT round(): numpy rounds half-to-even, DuckDB/Spark
+    round half-away-from-zero — floor(+0.5) is the one formulation every
+    engine computes identically, which is what makes the operator
+    hash-verifiable cross-engine. A constant dimension (max == min)
+    quantizes to code 0.
+    """
+    e = spread(_non_null_vectors(embeddings, vec_col)).select(id_col, vec_col)
+    vals = e.select(id_col, F.posexplode(vec_col).alias("pos", "val"))
+    stats = vals.groupBy("pos").agg(
+        F.min("val").alias("_mn"), F.max("val").alias("_mx")
+    )
+    joined = vals.join(F.broadcast(stats), "pos")
+    code = (
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("val") - F.col("_mn"))
+                * F.lit(255.0)
+                / (F.col("_mx") - F.col("_mn"))
+                + F.lit(0.5)
+            ).cast("int")
+            - F.lit(128)
+        )
+    )
+    return joined.select(
+        id_col, F.col("pos").cast("long").alias("pos"), code.alias("code")
+    )
 
 
 def embedding_near_duplicates(

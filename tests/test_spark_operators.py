@@ -249,6 +249,74 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         assert exact[key] == approx[key], f"cosine mismatch at {key}"
 
 
+def test_ivf_lloyd_refinement_matches_numpy_reference(spark):
+    """One Lloyd iteration must equal the straightforward numpy k-means
+    step exactly (same assignment tie-break, member means, empty cells keep
+    their seed). Distributed mean is a sum/count aggregate — exact for
+    these values, so the comparison is to-the-bit up to summation order;
+    we allow 1e-12 for that."""
+    import numpy as np
+
+    from palladian_spark.operators.similarity_search import (
+        _centroid_matrix,
+        _make_probe_udf,
+        refine_centroids,
+    )
+
+    rows = [(i, [float((i * 3) % 7), float((i * 5) % 11), float(i % 4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent_ids, cent_vecs = _centroid_matrix(df, 4, "vec_id", "embedding")
+    got = refine_centroids(df, cent_ids, cent_vecs, iters=1)
+
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cnorm = np.sqrt((cent_vecs ** 2).sum(1)); cnorm[cnorm == 0] = 1
+    vnorm = np.sqrt((mat ** 2).sum(1)); vnorm[vnorm == 0] = 1
+    cos = np.round((mat @ cent_vecs.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+    assign = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+    want = cent_vecs.copy()
+    for ci in range(len(cent_ids)):
+        members = mat[assign == ci]
+        if len(members):
+            want[ci] = members.mean(axis=0)
+    assert np.abs(got - want).max() < 1e-12
+
+    # refinement plugs into search without changing the output contract
+    from palladian_spark.operators.similarity_search import ivf_topk
+
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(df, q, k=3, n_centroids=4, n_probe=2, lloyd_iters=1)
+    assert out.count() == 6
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """int8 codes must reconstruct every value within half a quantization
+    step (the defining property of floor(x+0.5) rounding), and constant
+    dimensions must emit code 0."""
+    import numpy as np
+
+    from palladian_spark.operators.similarity_search import quantize_embeddings
+
+    rows = [(i, [float(i) / 7.0, -3.0 + (i % 5) * 0.25, 2.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["vec_id"], r["pos"]): r["code"]
+           for r in quantize_embeddings(df).collect()}
+    assert len(got) == 90
+    mat = np.array([r[1] for r in rows])
+    for d in range(3):
+        mn, mx = mat[:, d].min(), mat[:, d].max()
+        for i in range(30):
+            code = got[(i, d)]
+            if mx == mn:
+                assert code == 0
+                continue
+            assert -128 <= code <= 127
+            recon = (code + 128) * (mx - mn) / 255.0 + mn
+            step = (mx - mn) / 255.0
+            assert abs(recon - mat[i, d]) <= step / 2 + 1e-12
+
+
 def test_multimodal_plumbing(spark, docs):
     from palladian_spark.operators.multimodal import (
         image_features,
