@@ -39,21 +39,68 @@ def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
 
 
+def _stack_valid(vecs: list, dim: int | None = None):
+    """(rows, dim) float64 matrix over the batch's CONFORMING vectors plus
+    the boolean keep-mask. A 10^12-row corpus WILL contain dimension-corrupt
+    rows (truncated writes, schema drift); np.array over a ragged batch
+    builds an object array and the matmul kills the stage, so deviant rows
+    are masked out here and surface as null scores/buckets (excluded from
+    similarity, like null vectors) instead of failing the job. With no
+    expected ``dim`` the batch's first valid row sets it."""
+    lens = np.fromiter(
+        (len(v) if v is not None else -1 for v in vecs), dtype=np.int64, count=len(vecs)
+    )
+    if dim is None:
+        valid = lens[lens > 0]
+        if valid.size == 0:
+            return np.zeros((0, 1), dtype=np.float64), lens > 0
+        # modal length, not first-row length: a corrupt row that happens to
+        # lead the batch must not redefine the batch's dimensionality
+        dim = int(np.bincount(valid).argmax())
+    ok = lens == dim
+    if not ok.any():
+        return np.zeros((0, dim), dtype=np.float64), ok
+    mat = np.array([vecs[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
+    return mat, ok
+
+
 @F.pandas_udf(DoubleType())
 def _cosine_udf(left: pd.Series, right: pd.Series) -> pd.Series:
     """Pairwise cosine, rounded to 6 decimals (matches the DuckDB oracle's
     ``round(list_dot_product(a,b)/(sqrt(..)*sqrt(..)), 6)`` formulation —
-    same op order, so float drift stays below the rounding grain)."""
-    a = np.array(left.tolist(), dtype=np.float64)
-    b = np.array(right.tolist(), dtype=np.float64)
-    if a.size == 0:
-        return pd.Series([], dtype="float64")
-    dots = np.einsum("ij,ij->i", a, b)
-    na = np.sqrt(np.einsum("ij,ij->i", a, a))
-    nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-    denom = na * nb
-    denom[denom == 0.0] = 1.0
-    return pd.Series(np.round(dots / denom, 6))
+    same op order, so float drift stays below the rounding grain).
+    Length-mismatched pairs score null (undefined similarity, ranks last)."""
+    lvals, rvals = left.tolist(), right.tolist()
+    ok = np.fromiter(
+        (
+            a is not None and b is not None and len(a) == len(b) > 0
+            for a, b in zip(lvals, rvals)
+        ),
+        dtype=bool,
+        count=len(lvals),
+    )
+    out = np.full(len(lvals), np.nan)
+    if ok.any():
+        idx = np.nonzero(ok)[0]
+        # per-length groups: one vectorized pass per distinct dim in batch
+        by_len: dict[int, list[int]] = {}
+        for i in idx:
+            by_len.setdefault(len(lvals[i]), []).append(i)
+        for rows in by_len.values():
+            a = np.array([lvals[i] for i in rows], dtype=np.float64)
+            b = np.array([rvals[i] for i in rows], dtype=np.float64)
+            dots = np.einsum("ij,ij->i", a, b)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+            denom = na * nb
+            denom[denom == 0.0] = 1.0
+            out[rows] = np.round(dots / denom, 6)
+    # object dtype so masked rows are real NULLs — a float-dtype NaN would
+    # survive as NaN, and Spark orders NaN ABOVE every value in desc sorts,
+    # which would rank corrupt pairs first instead of last
+    return pd.Series(
+        [float(v) if k else None for k, v in zip(ok, out)], dtype="object"
+    )
 
 
 def brute_force_topk(
@@ -116,15 +163,20 @@ def _make_buckets_udf(n_planes: int, n_tables: int, seed: int = 42):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        if mat.size == 0:
-            return pd.Series([], dtype="object")
-        planes = _planes_matrix(mat.shape[1], n_planes * n_tables, seed)
-        bits = (mat @ planes.T) >= 0  # (rows, n_tables*n_planes)
-        bits = bits.reshape(len(mat), n_tables, n_planes)
-        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
-        buckets = (bits @ weights).astype(np.int64)  # (rows, n_tables)
-        return pd.Series(list(buckets))
+        lists = vecs.tolist()
+        mat, ok = _stack_valid(lists)
+        out: list = [None] * len(lists)
+        if mat.shape[0]:
+            planes = _planes_matrix(mat.shape[1], n_planes * n_tables, seed)
+            bits = (mat @ planes.T) >= 0  # (rows, n_tables*n_planes)
+            bits = bits.reshape(mat.shape[0], n_tables, n_planes)
+            weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+            buckets = (bits @ weights).astype(np.int64)  # (rows, n_tables)
+            for row, i in zip(buckets, np.nonzero(ok)[0]):
+                out[i] = row
+        # dim-corrupt rows keep None -> posexplode_outer emits a null bucket
+        # -> dropped by the callers' isNotNull filter (cannot participate)
+        return pd.Series(out, dtype="object")
 
     return _buckets
 
@@ -216,14 +268,17 @@ def _centroid_matrix(
         .limit(n_centroids)
         .collect()
     )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
     if not rows:
         # fully-null/empty embedding table: keep the codebook 2-D so the
         # eager norm in _make_probe_udf stays well-formed; the corpus side
         # is empty after the same filter, so no batch ever hits the matmul
-        return ids, np.zeros((0, 1), dtype=np.float64)
-    vecs = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    return ids, vecs
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 1), dtype=np.float64)
+    # a dim-corrupt row among the lowest ids must not enter (or ragged-crash)
+    # the codebook: keep only rows of the modal length
+    lists = [list(r[1]) for r in rows]
+    mat, ok = _stack_valid(lists)
+    ids = np.array([r[0] for r, keep in zip(rows, ok) if keep], dtype=np.int64)
+    return ids, mat
 
 
 def _make_probe_udf(cent_ids: np.ndarray, cent_vecs: np.ndarray, n_probe: int):
@@ -238,14 +293,19 @@ def _make_probe_udf(cent_ids: np.ndarray, cent_vecs: np.ndarray, n_probe: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _probe(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        if mat.size == 0:
-            return pd.Series([], dtype="object")
-        vnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        vnorm[vnorm == 0.0] = 1.0
-        cos = np.round((mat @ cent_vecs.T) / (vnorm[:, None] * cnorm[None, :]), 6)
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(cent_ids[order]))
+        lists = vecs.tolist()
+        mat, ok = _stack_valid(lists, cent_vecs.shape[1])
+        out: list = [None] * len(lists)
+        if mat.shape[0]:
+            vnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            vnorm[vnorm == 0.0] = 1.0
+            cos = np.round((mat @ cent_vecs.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            probed = cent_ids[order]
+            for row, i in zip(probed, np.nonzero(ok)[0]):
+                out[i] = row
+        # dim-corrupt rows keep None -> null cell -> equi-join drops them
+        return pd.Series(out, dtype="object")
 
     return _probe
 
@@ -288,6 +348,10 @@ def refine_centroids(
         new_vecs = cent_vecs.copy()
         by_cell: dict[int, list] = {}
         for r in sums:
+            # null cell = dim-corrupt row (assignment UDF masks it);
+            # out-of-range pos = a corrupt row longer than the codebook dim
+            if r["_cell"] is None or r["_p"] >= cent_vecs.shape[1]:
+                continue
             by_cell.setdefault(r["_cell"], []).append(r)
         idx_of = {int(c): i for i, c in enumerate(cent_ids)}
         for cell, rows in by_cell.items():

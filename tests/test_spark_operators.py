@@ -290,6 +290,44 @@ def test_ivf_lloyd_refinement_matches_numpy_reference(spark):
     assert out.count() == 6
 
 
+def test_dim_corrupt_vectors_are_masked_not_fatal(spark):
+    """Length-mismatched embedding rows (truncated writes, schema drift —
+    inevitable at 10^12 rows) must be EXCLUDED from similarity, not ragged-
+    crash the numpy stage, and must never surface in results even though
+    Spark sorts NaN above every value in desc order (masked scores are real
+    nulls, not NaNs)."""
+    from palladian_spark.operators.similarity_search import (
+        brute_force_topk,
+        embedding_near_duplicates,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    good = [(i, [float((i * 3) % 7), float((i * 5) % 11), float(i % 4)]) for i in range(20)]
+    bad = [(100, [1.0]), (101, [1.0, 2.0, 3.0, 4.0, 5.0]), (102, [9.0, 9.0])]
+    df = spark.createDataFrame(good + bad, ["vec_id", "embedding"])
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for out in (
+        brute_force_topk(df, q, k=5),
+        lsh_topk(df, q, k=5, n_planes=2, n_tables=4),
+        ivf_topk(df, q, k=5, n_centroids=4, n_probe=2),
+    ):
+        rows = out.collect()
+        assert rows, "corrupt rows must not empty the result"
+        assert all(r["vec_id"] < 100 for r in rows), rows
+        assert all(r["cosine"] is not None for r in rows)
+    dups = embedding_near_duplicates(df, threshold=-1.0, n_planes=2, n_tables=4).collect()
+    assert all(r["id_a"] < 100 and r["id_b"] < 100 for r in dups)
+    # corrupt-leading codebook: centroids skip the deviant row
+    from palladian_spark.operators.similarity_search import _centroid_matrix
+
+    df2 = spark.createDataFrame([(0, [7.0])] + good[1:] , ["vec_id", "embedding"])
+    ids, vecs = _centroid_matrix(df2, 4, "vec_id", "embedding")
+    assert 0 not in ids and vecs.shape[1] == 3
+
+
 def test_quantize_embeddings_roundtrip_error_bound(spark):
     """int8 codes must reconstruct every value within half a quantization
     step (the defining property of floor(x+0.5) rounding), and constant

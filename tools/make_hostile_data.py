@@ -101,6 +101,11 @@ def main() -> int:
         (900001, None, None),
         (900002, [0.0] * dim, 0),
         (900003, [1e-30] * dim, 1),
+        # dimension-corrupt rows (truncated write / schema drift): shorter,
+        # longer, and single-element — must be masked, never ragged-crash
+        (900004, [1.0] * max(dim - 1, 1), 2),
+        (900005, [0.5] * (dim + 3), 3),
+        (900006, [2.0], 4),
     ]
     hostile_emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -108,7 +113,7 @@ def main() -> int:
     emb.unionByName(hostile_emb.select(emb.columns)).write.mode("overwrite").parquet(
         os.path.join(args.out, "embeddings.parquet")
     )
-    print("embeddings: + 3 hostile rows")
+    print("embeddings: + 6 hostile rows (null/zero/tiny/dim-corrupt)")
     spark.stop()
     return 0
 
