@@ -32,7 +32,8 @@ class FeatureSetting:
     remove_stopwords: bool = False
     stem: bool = False
     # language for the stopword list / stemmer (Stemmer.java:54-88,
-    # StopWordRemover.java:69-100 take a Language; "en" and "de" shipped)
+    # StopWordRemover.java:69-100 take a Language; "en", "de", "fr", "es"
+    # shipped)
     language: str = "en"
 
     def __post_init__(self):

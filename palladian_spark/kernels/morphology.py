@@ -150,8 +150,9 @@ def remove_word(word: str, text: str) -> str:
 
 
 class StopWordRemover:
-    """StopWordRemover.java:26-160; English and German word lists shipped
-    as data modules (kernels/stopwords_*.py), custom lists injectable."""
+    """StopWordRemover.java:26-160; English, German, French and Spanish
+    word lists shipped as data modules (kernels/stopwords_*.py), custom
+    lists injectable."""
 
     def __init__(self, stopwords=None, small: bool = False, language: str = "en"):
         if stopwords is not None:
@@ -162,6 +163,14 @@ class StopWordRemover:
             # the reference ships stopwords_de_small.txt too, but its small
             # list is a strict subset; one list suffices here
             self.stopwords = set(STOPWORDS_DE)
+        elif language == "fr":
+            from .stopwords_fr import STOPWORDS_FR
+
+            self.stopwords = set(STOPWORDS_FR)
+        elif language == "es":
+            from .stopwords_es import STOPWORDS_ES
+
+            self.stopwords = set(STOPWORDS_ES)
         elif language == "en":
             self.stopwords = set(STOPWORDS_EN_SMALL if small else STOPWORDS_EN)
         else:
@@ -456,11 +465,13 @@ class Stemmer:
     """API twin of extraction/feature/Stemmer.java:29-110 (callable,
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
-    German is the Snowball German algorithm (golden-tested against the
-    PostgreSQL snowball build)."""
+    German, French and Spanish are the Snowball algorithms (each
+    golden-tested word-for-word against the PostgreSQL snowball build —
+    the same upstream implementation the reference's tartarus
+    *Stemmer classes compile from)."""
 
     def __init__(self, language: str = "en"):
-        if language not in ("en", "de"):
+        if language not in ("en", "de", "fr", "es"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -470,6 +481,14 @@ class Stemmer:
     def stem(self, word: str) -> str:
         if self.language == "de":
             return german_stem(word.lower())
+        if self.language == "fr":
+            from .stem_romance import french_stem
+
+            return french_stem(word.lower())
+        if self.language == "es":
+            from .stem_romance import spanish_stem
+
+            return spanish_stem(word.lower())
         return porter_stem(word.lower())
 
 

@@ -171,3 +171,50 @@ def test_german_stopwords_and_feature_setting():
     terms = preprocess("aber die Versicherungen, nicht die Bedürfnisse", fs)
     assert "aber" not in terms and "nicht" not in terms
     assert "versicher" in terms
+
+
+def test_french_spanish_snowball_stemmer_goldens():
+    """French + Spanish Snowball stemmers vs goldens generated from the
+    official implementation in PostgreSQL 15 (dict_snowball; regenerate via
+    tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
+    to the same tartarus frenchStemmer/spanishStemmer
+    (extraction/feature/Stemmer.java:68-69,86-87). Word lists cross every
+    suffix in the algorithm tables with real stems, plus the full snowball
+    stopword lists and hard cases (He/Hi diaeresis marking, qu/gu guards,
+    attached pronouns)."""
+    import os
+
+    from palladian_spark.kernels.stem_romance import french_stem, spanish_stem
+
+    for lang, fn, floor in (("french", french_stem, 4900),
+                            ("spanish", spanish_stem, 3700)):
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            f"{lang}_stem_golden.tsv")
+        n = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                word, expected = line.rstrip("\n").split("\t")
+                assert fn(word) == expected, (lang, word)
+                n += 1
+        assert n > floor
+
+
+def test_french_spanish_wired_through_stemmer_and_stopwords():
+    from palladian_spark.kernels.classifier import FeatureSetting, preprocess
+    from palladian_spark.kernels.morphology import Stemmer, StopWordRemover
+
+    fr = Stemmer(language="fr")
+    assert fr("continuations") == "continu"
+    assert fr("Majestueusement") == "majestu"
+    es = Stemmer(language="es")
+    assert es("investigaciones") == "investig"
+    assert es("escribiéndole") == "escrib"
+    assert StopWordRemover(language="fr").is_stop_word("dans")
+    assert StopWordRemover(language="es").is_stop_word("porque")
+    # classifier path accepts the new languages end-to-end
+    fs = FeatureSetting("word", 1, 1, language="fr", remove_stopwords=True,
+                        stem=True)
+    grams = preprocess("les continuations rapides", fs)
+    assert "continu" in grams and "les" not in grams

@@ -1,0 +1,186 @@
+"""(Re)generate Snowball stemmer goldens from PostgreSQL's dict_snowball —
+the SAME upstream implementation (snowballstem.org) the reference
+dispatches to via org.tartarus.snowball.ext.*Stemmer
+(extraction/feature/Stemmer.java:53-100).
+
+Needs a local throwaway postgres (not available to pytest; the goldens are
+frozen into tests/fixtures/ and reviewed like code):
+
+  mkdir /tmp/pgstem && chown nobody /tmp/pgstem
+  su -s /bin/bash nobody -c "/usr/lib/postgresql/15/bin/initdb -D /tmp/pgstem -A trust -U postgres"
+  su -s /bin/bash nobody -c "/usr/lib/postgresql/15/bin/pg_ctl -D /tmp/pgstem \
+      -o '-k /tmp/pgstem -p 54329 -c listen_addresses=' -l /tmp/pgstem/log start"
+  python tools/gen_snowball_goldens.py french spanish
+
+The word lists are generated, not corpus-derived: every suffix in the
+algorithm's tables is crossed with a bank of real stems (so every rule and
+region boundary fires), plus the language's full stopword list (function
+words = the irregular short forms) and hand-picked hard cases (qu/gu
+guards, vowel-marking y/u/i, accent folding).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+FR_STEMS = [
+    "parl", "aim", "march", "mang", "chant", "fin", "dorm", "ven", "continu",
+    "nation", "libert", "déclar", "fort", "grand", "petit", "nouv", "command",
+    "travaill", "pens", "cherch", "trouv", "donn", "port", "form", "pass",
+    "logi", "rapid", "certain", "direct", "présent", "général", "héro",
+    "major", "automat", "informat", "tabl", "journ", "batt", "connaiss",
+]
+FR_SUFFIXES = [
+    # step 1
+    "ance", "ances", "ique", "iques", "isme", "ismes", "able", "ables",
+    "iste", "istes", "eux", "atrice", "atrices", "ateur", "ateurs", "ation",
+    "ations", "logie", "logies", "usion", "usions", "ution", "utions",
+    "ence", "ences", "ement", "ements", "ité", "ités", "if", "ive", "ifs",
+    "ives", "eaux", "aux", "euse", "euses", "issement", "issements",
+    "amment", "emment", "ment", "ments",
+    # step 2a (i-verbs)
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai", "iraient",
+    "irais", "irait", "iras", "irent", "irez", "iriez", "irions", "irons",
+    "iront", "is", "issaient", "issais", "issait", "issant", "issante",
+    "issantes", "issants", "isse", "issent", "isses", "issez", "issiez",
+    "issions", "issons", "it",
+    # step 2b (é/a-verbs)
+    "ions", "é", "ée", "ées", "és", "èrent", "er", "era", "erai", "eraient",
+    "erais", "erait", "eras", "erez", "eriez", "erions", "erons", "eront",
+    "ez", "iez", "âmes", "ât", "âtes", "a", "ai", "aient", "ais", "ait",
+    "ant", "ante", "antes", "ants", "as", "asse", "assent", "asses",
+    "assiez", "assions",
+    # step 4/5/6 residuals
+    "ion", "ier", "ière", "e", "s",
+]
+FR_HAND = [
+    "voyager", "voyageurs", "payiez", "essayions", "joyeux", "ennuyeuse",
+    "quelque", "quiconque", "quantité", "quartier", "guerre", "fatiguant",
+    "naviguer", "ambiguïté", "aiguë", "séquence", "question", "musique",
+    "majestueusement", "précieuses", "religieuses", "vieille", "famille",
+    "travailler", "meilleur", "œuvre", "cœur", "sœur", "août", "oignon",
+    "yeux", "ayant", "soyons", "fuyant", "croyons", "voyons", "moyen",
+    "royaume", "loyer", "doyen", "pays", "paysan", "abbaye", "baye",
+    "haïr", "naïve", "maïs", "égoïste", "coïncidence", "héroïne",
+    "absolument", "heureusement", "évidemment", "prudemment", "constamment",
+    "brillamment", "assurément", "profondément", "énormément", "précisément",
+    "multiplication", "multiplications", "communication", "nationalisation",
+    "internationalisation", "responsabilité", "irresponsabilité",
+    "constitutionnellement", "anticonstitutionnellement", "révolutionnaire",
+    "révolutionnaires", "extraordinaire", "extraordinairement",
+    "chevaux", "journaux", "travaux", "généraux", "beaux", "nouveaux",
+    "châteaux", "gâteaux", "niveaux", "cheveux", "heureux", "sérieux",
+    "continuations", "habitation", "habitations", "déshabiller",
+    "mangeaient", "commençâmes", "plaçât", "annonçons", "menaçant",
+    "créée", "créées", "agréable", "désagréable", "aéroport", "européen",
+    "entier", "entière", "premier", "première", "dernier", "dernière",
+    "monsieur", "messieurs", "bonjour", "bonsoir", "aujourd", "hui",
+    "être", "avoir", "faire", "aller", "venir", "pouvoir", "vouloir",
+    "savoir", "devoir", "falloir", "prendre", "mettre", "dire", "voir",
+    "suis", "es", "est", "sommes", "êtes", "sont", "étais", "était",
+    "serai", "seras", "sera", "serons", "serez", "seront", "fus", "fut",
+    "allé", "allée", "allés", "allées", "vais", "vas", "va", "vont",
+]
+
+ES_STEMS = [
+    "habl", "com", "viv", "cant", "trabaj", "entend", "escrib", "respond",
+    "nacion", "libert", "cert", "grand", "pequeñ", "nuev", "fuert",
+    "direct", "general", "president", "continu", "torc", "permit",
+    "analiz", "organiz", "util", "normal", "central", "capital", "leal",
+]
+ES_SUFFIXES = [
+    # step 1
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos", "able",
+    "ables", "ible", "ibles", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amiento", "amientos", "imiento", "imientos", "adora", "ador", "ación",
+    "adoras", "adores", "aciones", "ante", "antes", "ancia", "ancias",
+    "logía", "logías", "ución", "uciones", "encia", "encias", "amente",
+    "mente", "idad", "idades", "iva", "ivo", "ivas", "ivos",
+    # step 2a/2b verb suffixes
+    "ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó", "yas", "yes",
+    "yais", "yamos",
+    "en", "es", "éis", "emos", "íamos", "arían", "arías", "aríais",
+    "aríamos", "ieran", "iesen", "ieron", "iendo", "ieras", "ieses",
+    "abais", "arais", "aseis", "íais", "aban", "aran", "asen", "aron",
+    "ando", "abas", "adas", "idas", "aras", "ases", "ías", "ará", "aré",
+    "erá", "eré", "irá", "iré", "aba", "ada", "ida", "ara", "ase", "ía",
+    "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as", "ís", "ás",
+    "ado", "ido", "ando", "iendo", "ándose", "iéndose",
+    # step 3 residuals
+    "os", "a", "o", "á", "í", "ó", "e", "é",
+]
+ES_HAND = [
+    "dándoselo", "escribiéndole", "mandárselo", "cantándomela", "dámelo",
+    "quitárselas", "levantándose", "poniéndoselo", "diciéndonos", "vámonos",
+    "guerra", "guerrilla", "guiar", "águila", "lengua", "antiguo",
+    "vergüenza", "pingüino", "siguiente", "conseguir", "distinguir",
+    "dificilísimo", "grandísimas", "muchísimo", "rapidísima", "altísimos",
+    "torcedura", "añadidura", "envergadura", "investigación",
+    "investigaciones", "responsabilidad", "responsabilidades",
+    "constitucionalidad", "internacionalización", "comunicación",
+    "aproximadamente", "desafortunadamente", "evidentemente", "fácilmente",
+    "rápidamente", "difícilmente", "históricamente", "económicamente",
+    "año", "años", "niño", "niños", "señor", "señora", "mañana", "español",
+    "corazón", "corazones", "razón", "razones", "común", "comunes",
+    "jamón", "camión", "camiones", "acción", "acciones", "relación",
+    "ser", "estar", "haber", "tener", "hacer", "poder", "decir", "poner",
+    "soy", "eres", "es", "somos", "sois", "son", "era", "eras", "éramos",
+    "fui", "fuiste", "fue", "fuimos", "fueron", "seré", "serás", "será",
+    "estoy", "estás", "está", "estamos", "estáis", "están", "estuve",
+    "he", "has", "ha", "hemos", "habéis", "han", "había", "hube",
+    "leyendo", "cayendo", "oyendo", "huyendo", "construyendo", "creyeron",
+    "destruyó", "concluye", "incluyen", "atribuye", "sustituyan",
+]
+
+
+def words_for(lang: str) -> list[str]:
+    if lang == "french":
+        gen = [s + suf for s in FR_STEMS for suf in FR_SUFFIXES]
+        hand = FR_HAND
+        stop = "/usr/share/postgresql/15/tsearch_data/french.stop"
+    elif lang == "spanish":
+        gen = [s + suf for s in ES_STEMS for suf in ES_SUFFIXES]
+        hand = ES_HAND
+        stop = "/usr/share/postgresql/15/tsearch_data/spanish.stop"
+    else:
+        raise SystemExit(f"unknown language {lang}")
+    with open(stop, encoding="utf-8") as f:
+        stopwords = [w.strip() for w in f if w.strip()]
+    return sorted(set(gen + hand + stopwords))
+
+
+def main() -> int:
+    langs = sys.argv[1:] or ["french", "spanish"]
+    for lang in langs:
+        words = words_for(lang)
+        dict_name = f"{lang}_stem_nostop"
+        subprocess.run(
+            ["psql", "-h", "/tmp/pgstem", "-p", "54329", "-U", "postgres",
+             "-d", "postgres", "-qc",
+             f"CREATE TEXT SEARCH DICTIONARY {dict_name} "
+             f"(TEMPLATE = snowball, language = '{lang}')"],
+            capture_output=True,
+        )
+        sql = "\n".join(
+            "SELECT ts_lexize('%s', '%s');" % (dict_name, w.replace("'", "''"))
+            for w in words
+        )
+        out = subprocess.run(
+            ["psql", "-h", "/tmp/pgstem", "-p", "54329", "-U", "postgres",
+             "-d", "postgres", "-qtA"],
+            input=sql, capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        stems = [ln.strip().strip("{}") for ln in out if ln.strip()]
+        assert len(stems) == len(words), (len(stems), len(words))
+        path = f"tests/fixtures/{lang}_stem_golden.tsv"
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(f"# word<TAB>stem goldens from PostgreSQL 15 snowball {lang} stemmer\n")
+            for w, s in zip(words, stems):
+                f.write(f"{w}\t{s}\n")
+        print(f"{path}: {len(words)} goldens")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
