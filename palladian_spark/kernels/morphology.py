@@ -163,14 +163,13 @@ class StopWordRemover:
             # the reference ships stopwords_de_small.txt too, but its small
             # list is a strict subset; one list suffices here
             self.stopwords = set(STOPWORDS_DE)
-        elif language == "fr":
-            from .stopwords_fr import STOPWORDS_FR
+        elif language in ("fr", "es", "it", "pt", "da", "no", "sv"):
+            import importlib
 
-            self.stopwords = set(STOPWORDS_FR)
-        elif language == "es":
-            from .stopwords_es import STOPWORDS_ES
-
-            self.stopwords = set(STOPWORDS_ES)
+            mod = importlib.import_module(
+                f".stopwords_{language}", package=__package__
+            )
+            self.stopwords = set(getattr(mod, f"STOPWORDS_{language.upper()}"))
         elif language == "en":
             self.stopwords = set(STOPWORDS_EN_SMALL if small else STOPWORDS_EN)
         else:
@@ -465,13 +464,15 @@ class Stemmer:
     """API twin of extraction/feature/Stemmer.java:29-110 (callable,
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
-    German, French and Spanish are the Snowball algorithms (each
-    golden-tested word-for-word against the PostgreSQL snowball build —
-    the same upstream implementation the reference's tartarus
-    *Stemmer classes compile from)."""
+    German, French, Spanish, Italian, Portuguese, Danish, Norwegian and
+    Swedish are the Snowball algorithms (each golden-tested word-for-word
+    against the PostgreSQL snowball build — the same upstream
+    implementation the reference's tartarus *Stemmer classes compile
+    from; Stemmer.java:53-100 dispatches 15 languages, the 9 shipped
+    here cover its Germanic/Romance core)."""
 
     def __init__(self, language: str = "en"):
-        if language not in ("en", "de", "fr", "es"):
+        if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no", "sv"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -479,16 +480,28 @@ class Stemmer:
         return self.stem(word)
 
     def stem(self, word: str) -> str:
-        if self.language == "de":
+        lang = self.language
+        if lang == "de":
             return german_stem(word.lower())
-        if self.language == "fr":
-            from .stem_romance import french_stem
+        if lang in ("fr", "es", "it", "pt"):
+            from . import stem_romance
 
-            return french_stem(word.lower())
-        if self.language == "es":
-            from .stem_romance import spanish_stem
+            fn = {
+                "fr": stem_romance.french_stem,
+                "es": stem_romance.spanish_stem,
+                "it": stem_romance.italian_stem,
+                "pt": stem_romance.portuguese_stem,
+            }[lang]
+            return fn(word.lower())
+        if lang in ("da", "no", "sv"):
+            from . import stem_nordic
 
-            return spanish_stem(word.lower())
+            fn = {
+                "da": stem_nordic.danish_stem,
+                "no": stem_nordic.norwegian_stem,
+                "sv": stem_nordic.swedish_stem,
+            }[lang]
+            return fn(word.lower())
         return porter_stem(word.lower())
 
 

@@ -173,8 +173,8 @@ def test_german_stopwords_and_feature_setting():
     assert "versicher" in terms
 
 
-def test_french_spanish_snowball_stemmer_goldens():
-    """French + Spanish Snowball stemmers vs goldens generated from the
+def test_snowball_stemmer_goldens_seven_languages():
+    """FR/ES/IT/PT/DA/NO/SV Snowball stemmers vs goldens generated from the
     official implementation in PostgreSQL 15 (dict_snowball; regenerate via
     tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
     to the same tartarus frenchStemmer/spanishStemmer
@@ -184,10 +184,25 @@ def test_french_spanish_snowball_stemmer_goldens():
     attached pronouns)."""
     import os
 
-    from palladian_spark.kernels.stem_romance import french_stem, spanish_stem
+    from palladian_spark.kernels.stem_nordic import (
+        danish_stem,
+        norwegian_stem,
+        swedish_stem,
+    )
+    from palladian_spark.kernels.stem_romance import (
+        french_stem,
+        italian_stem,
+        portuguese_stem,
+        spanish_stem,
+    )
 
     for lang, fn, floor in (("french", french_stem, 4900),
-                            ("spanish", spanish_stem, 3700)):
+                            ("spanish", spanish_stem, 3700),
+                            ("italian", italian_stem, 4300),
+                            ("portuguese", portuguese_stem, 4600),
+                            ("danish", danish_stem, 900),
+                            ("norwegian", norwegian_stem, 1200),
+                            ("swedish", swedish_stem, 1100)):
         path = os.path.join(os.path.dirname(__file__), "fixtures",
                             f"{lang}_stem_golden.tsv")
         n = 0
@@ -201,7 +216,7 @@ def test_french_spanish_snowball_stemmer_goldens():
         assert n > floor
 
 
-def test_french_spanish_wired_through_stemmer_and_stopwords():
+def test_all_languages_wired_through_stemmer_and_stopwords():
     from palladian_spark.kernels.classifier import FeatureSetting, preprocess
     from palladian_spark.kernels.morphology import Stemmer, StopWordRemover
 
@@ -213,6 +228,15 @@ def test_french_spanish_wired_through_stemmer_and_stopwords():
     assert es("escribiéndole") == "escrib"
     assert StopWordRemover(language="fr").is_stop_word("dans")
     assert StopWordRemover(language="es").is_stop_word("porque")
+    # the rest of the 9-language surface, one spot-check each
+    assert Stemmer("it")("organizzazione") == "organizz"
+    assert Stemmer("pt")("investigação") == "investig"
+    assert Stemmer("da")("mulighederne") == "mulighed"
+    assert Stemmer("no")("mulighetene") == "mul"
+    assert Stemmer("sv")("möjligheterna") == "möj"
+    for lang, word in (("it", "questo"), ("pt", "isso"), ("da", "hvad"),
+                       ("no", "hvordan"), ("sv", "vilken")):
+        assert StopWordRemover(language=lang).is_stop_word(word), lang
     # classifier path accepts the new languages end-to-end
     fs = FeatureSetting("word", 1, 1, language="fr", remove_stopwords=True,
                         stem=True)

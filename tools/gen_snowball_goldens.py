@@ -134,17 +134,168 @@ ES_HAND = [
 ]
 
 
+IT_STEMS = [
+    "parl", "am", "cant", "lavor", "pens", "cerc", "trov", "form", "port",
+    "nazion", "libert", "cert", "grand", "piccol", "nuov", "fort", "var",
+    "direzz", "president", "continu", "organizz", "util", "normal",
+    "central", "capital", "leggi", "scrive", "fini", "dormi", "vend",
+]
+IT_SUFFIXES = [
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi", "ismo",
+    "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste", "isti",
+    "istà", "istè", "istì", "oso", "osi", "osa", "ose", "amento",
+    "amenti", "imento", "imenti", "azione", "azioni", "atore", "atori",
+    "logia", "logie", "uzione", "uzioni", "usione", "usioni", "enza",
+    "enze", "amente", "mente", "ità", "ivo", "ivi", "iva", "ive",
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo",
+    "ireste", "iresti", "iscano", "iscono", "issero", "arono", "avamo",
+    "avano", "avate", "eremo", "erete", "erono", "evamo", "evano",
+    "evate", "iremo", "irete", "irono", "ivamo", "ivano", "ivate",
+    "ammo", "ando", "asse", "assi", "emmo", "enda", "ende", "endi",
+    "endo", "erai", "erei", "yamo", "iamo", "immo", "irai", "irei",
+    "isca", "isce", "isci", "isco", "ano", "are", "ata", "ate", "ati",
+    "ato", "ava", "avi", "avo", "erà", "ere", "erò", "ete", "eva", "evi",
+    "evo", "irà", "ire", "irò", "ita", "ite", "iti", "ito", "iva", "ivi",
+    "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir", "o", "i", "a",
+    "e",
+]
+IT_HAND = [
+    "mangiandolo", "portandoselo", "dandoglielo", "vendendogliela",
+    "parlarci", "scriverle", "dirglielo", "farmene", "andarsene",
+    "quello", "quanto", "quasi", "acqua", "cinque", "qualche",
+    "città", "università", "società", "libertà", "qualità", "verità",
+    "perché", "più", "però", "già", "giù", "ciò", "può",
+    "ragione", "stagione", "nazione", "internazionale", "organizzazione",
+    "bellissimo", "grandissima", "facilissimo", "rapidamente",
+    "evidentemente", "assolutamente", "probabilmente", "finalmente",
+    "vecchio", "occhi", "ghiaccio", "luoghi", "laghi", "funghi",
+    "leggi", "oggi", "viaggio", "maggio", "raggio", "passeggiata",
+]
+
+PT_STEMS = [
+    "fal", "com", "viv", "cant", "trabalh", "entend", "escrev", "respond",
+    "nacion", "liberd", "cert", "grand", "pequen", "nov", "fort",
+    "direit", "president", "continu", "organiz", "util", "normal",
+    "central", "capital", "leal", "log",
+]
+PT_SUFFIXES = [
+    "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos", "ável",
+    "ível", "ista", "istas", "oso", "osa", "osos", "osas", "amento",
+    "amentos", "imento", "imentos", "adora", "ador", "ação", "adoras",
+    "adores", "ações", "ante", "antes", "ância", "logia", "logias",
+    "ução", "uções", "ência", "ências", "amente", "mente", "idade",
+    "idades", "iva", "ivo", "ivas", "ivos", "ira", "iras", "eira",
+    "eiras",
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis", "áramos",
+    "éramos", "íramos", "ávamos", "aremos", "eremos", "iremos", "ariam",
+    "eriam", "iriam", "assem", "essem", "issem", "arão", "erão", "irão",
+    "arias", "erias", "irias", "ardes", "erdes", "irdes", "asses",
+    "esses", "isses", "astes", "estes", "istes", "áreis", "areis",
+    "éreis", "ereis", "íreis", "ireis", "áveis", "íamos", "armos",
+    "ermos", "irmos", "aria", "eria", "iria", "asse", "esse", "isse",
+    "aste", "este", "iste", "arei", "erei", "irei", "aram", "eram",
+    "iram", "avam", "arem", "erem", "irem", "ando", "endo", "indo",
+    "adas", "idas", "arás", "aras", "erás", "eras", "irás", "avas",
+    "ares", "eres", "ires", "íeis", "ados", "idos", "ámos", "amos",
+    "emos", "imos", "iras", "ada", "ida", "ará", "ara", "erá", "era",
+    "irá", "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ies",
+    "ira", "ia", "ei", "am", "em", "ar", "er", "ir", "as", "es", "is",
+    "eu", "iu", "ou", "ão", "os", "a", "i", "o", "á", "í", "ó", "e",
+    "é", "ê",
+]
+PT_HAND = [
+    "coração", "corações", "nação", "nações", "irmão", "irmãos",
+    "alemão", "alemães", "cão", "cães", "pão", "pães", "mão", "mãos",
+    "educação", "comunicação", "investigação", "administração",
+    "responsabilidade", "responsabilidades", "universidade",
+    "felizmente", "rapidamente", "provavelmente", "aproximadamente",
+    "guerra", "água", "língua", "antigo", "seguinte", "conseguir",
+    "distinguir", "português", "inglês", "francês", "japonês",
+    "cidadão", "cidadãos", "opinião", "opiniões", "região", "regiões",
+    "proporcionalidade", "constitucionalíssimo", "belíssima",
+    "dificílimo", "facilmente", "finalmente", "atenção", "direção",
+]
+
+DA_STEMS = [
+    "arbejd", "køb", "spis", "læs", "skriv", "spill", "bo", "hus",
+    "hund", "kat", "bil", "venlig", "hurtig", "lang", "stor", "lille",
+    "dansk", "kærlighed", "frihed", "sikker", "følg", "betal",
+]
+DA_SUFFIXES = [
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "en", "er", "es", "et", "e", "s", "igst", "elig",
+    "lig", "els", "ig", "løst",
+]
+DA_HAND = [
+    "venligst", "hurtigst", "kærligst", "følgelig", "endelig",
+    "sandsynligvis", "muligheder", "mulighederne", "virksomhederne",
+    "arbejdsløshed", "arbejdsløsheden", "kærlighedens", "frihedens",
+    "bedst", "størst", "mindst", "flest", "løst", "fastlåst",
+    "hallen", "ballet", "bakken", "kommunen", "kommunerne", "mændene",
+    "kvinderne", "børnene", "øjnene", "hænderne", "tænderne",
+    # R1-boundary discriminators for the cluster/undouble conventions
+    "bygd", "katt", "husgd", "huskt", "fedt", "godt", "husett",
+]
+
+NO_STEMS = DA_STEMS + ["norsk", "vakk", "trygg"]
+NO_SUFFIXES = [
+    "hetenes", "hetene", "hetens", "heter", "heten", "endes", "andes",
+    "enes", "edes", "erte", "ede", "ande", "ende", "ane", "ene", "hets",
+    "ers", "ets", "het", "ast", "ert", "en", "ar", "er", "as", "es",
+    "et", "a", "e", "s", "eleg", "leg", "elig", "lig", "eig", "ig",
+    "els", "lov", "elov", "slov", "hetslov",
+]
+NO_HAND = [
+    "kjærlighetens", "mulighetene", "samfunnet", "regjeringen",
+    "arbeidsledigheten", "vanskeligst", "hyggelig", "vennligst",
+    "farlig", "ærlig", "kjapt", "godt", "sterkt", "nytt", "blått",
+    "blidt", "husdt", "husvt", "snilt",
+]
+
+SV_STEMS = [
+    "arbet", "köp", "läs", "skriv", "spel", "bo", "hus", "hund", "katt",
+    "bil", "vänlig", "snabb", "lång", "stor", "liten", "svensk",
+    "kärlek", "frihet", "säker", "följ", "betal", "flick", "gosse",
+]
+SV_SUFFIXES = [
+    "heterna", "hetens", "arnas", "ernas", "ornas", "heter", "heten",
+    "anden", "andes", "andet", "arens", "arna", "erna", "orna", "ande",
+    "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern", "ens",
+    "het", "ast", "ad", "en", "ar", "er", "or", "as", "es", "at", "e",
+    "s", "a", "lig", "ig", "els", "löst", "fullt",
+]
+SV_HAND = [
+    "flickorna", "pojkarna", "böckerna", "händerna", "männens",
+    "möjligheterna", "verksamheterna", "arbetslösheten", "kärlekens",
+    "vänligast", "snabbast", "vackrast", "enklast", "tryggt", "snabbt",
+    "nytt", "fullt", "löst", "kallt", "varmt", "byggd", "byggt",
+    "hoppa", "hoppade", "hoppat", "kastade", "läste", "skrivit",
+    "husdd", "husgd", "husnn", "husdt", "husgt", "huskt", "hustt",
+    "räddningen", "bredd", "breddgrad", "blixtsnabbt",
+]
+
+
+_LANGS = {
+    "french": (FR_STEMS, FR_SUFFIXES, FR_HAND, "french.stop"),
+    "spanish": (ES_STEMS, ES_SUFFIXES, ES_HAND, "spanish.stop"),
+    "italian": (IT_STEMS, IT_SUFFIXES, IT_HAND, "italian.stop"),
+    "portuguese": (PT_STEMS, PT_SUFFIXES, PT_HAND, "portuguese.stop"),
+    "danish": (DA_STEMS, DA_SUFFIXES, DA_HAND, "danish.stop"),
+    "norwegian": (NO_STEMS, NO_SUFFIXES, NO_HAND, "norwegian.stop"),
+    "swedish": (SV_STEMS, SV_SUFFIXES, SV_HAND, "swedish.stop"),
+}
+
+
 def words_for(lang: str) -> list[str]:
-    if lang == "french":
-        gen = [s + suf for s in FR_STEMS for suf in FR_SUFFIXES]
-        hand = FR_HAND
-        stop = "/usr/share/postgresql/15/tsearch_data/french.stop"
-    elif lang == "spanish":
-        gen = [s + suf for s in ES_STEMS for suf in ES_SUFFIXES]
-        hand = ES_HAND
-        stop = "/usr/share/postgresql/15/tsearch_data/spanish.stop"
-    else:
+    if lang not in _LANGS:
         raise SystemExit(f"unknown language {lang}")
+    stems, suffixes, hand, stopfile = _LANGS[lang]
+    gen = [s + suf for s in stems for suf in suffixes]
+    stop = f"/usr/share/postgresql/15/tsearch_data/{stopfile}"
     with open(stop, encoding="utf-8") as f:
         stopwords = [w.strip() for w in f if w.strip()]
     return sorted(set(gen + hand + stopwords))
