@@ -163,7 +163,7 @@ class StopWordRemover:
             # the reference ships stopwords_de_small.txt too, but its small
             # list is a strict subset; one list suffices here
             self.stopwords = set(STOPWORDS_DE)
-        elif language in ("fr", "es", "it", "pt", "da", "no", "sv"):
+        elif language in ("fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru"):
             import importlib
 
             mod = importlib.import_module(
@@ -464,15 +464,17 @@ class Stemmer:
     """API twin of extraction/feature/Stemmer.java:29-110 (callable,
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
-    German, French, Spanish, Italian, Portuguese, Danish, Norwegian and
-    Swedish are the Snowball algorithms (each golden-tested word-for-word
-    against the PostgreSQL snowball build — the same upstream
-    implementation the reference's tartarus *Stemmer classes compile
-    from; Stemmer.java:53-100 dispatches 15 languages, the 9 shipped
-    here cover its Germanic/Romance core)."""
+    German, French, Spanish, Italian, Portuguese, Danish, Norwegian,
+    Swedish, Dutch and Russian are the Snowball algorithms (each
+    golden-tested word-for-word against the PostgreSQL snowball build —
+    the same upstream implementation the reference's tartarus *Stemmer
+    classes compile from; Stemmer.java:53-100 dispatches 15 languages,
+    the 11 shipped here cover all but the agglutinative tail
+    FI/HU/RO/TR)."""
 
     def __init__(self, language: str = "en"):
-        if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no", "sv"):
+        if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no",
+                            "sv", "nl", "ru"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -502,6 +504,14 @@ class Stemmer:
                 "sv": stem_nordic.swedish_stem,
             }[lang]
             return fn(word.lower())
+        if lang == "nl":
+            from .stem_dutch import dutch_stem
+
+            return dutch_stem(word.lower())
+        if lang == "ru":
+            from .stem_russian import russian_stem
+
+            return russian_stem(word.lower())
         return porter_stem(word.lower())
 
 

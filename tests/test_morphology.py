@@ -173,8 +173,8 @@ def test_german_stopwords_and_feature_setting():
     assert "versicher" in terms
 
 
-def test_snowball_stemmer_goldens_seven_languages():
-    """FR/ES/IT/PT/DA/NO/SV Snowball stemmers vs goldens generated from the
+def test_snowball_stemmer_goldens_nine_languages():
+    """FR/ES/IT/PT/DA/NO/SV/NL/RU Snowball stemmers vs goldens generated from the
     official implementation in PostgreSQL 15 (dict_snowball; regenerate via
     tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
     to the same tartarus frenchStemmer/spanishStemmer
@@ -196,13 +196,18 @@ def test_snowball_stemmer_goldens_seven_languages():
         spanish_stem,
     )
 
+    from palladian_spark.kernels.stem_dutch import dutch_stem
+    from palladian_spark.kernels.stem_russian import russian_stem
+
     for lang, fn, floor in (("french", french_stem, 4900),
                             ("spanish", spanish_stem, 3700),
                             ("italian", italian_stem, 4300),
                             ("portuguese", portuguese_stem, 4600),
                             ("danish", danish_stem, 900),
                             ("norwegian", norwegian_stem, 1200),
-                            ("swedish", swedish_stem, 1100)):
+                            ("swedish", swedish_stem, 1100),
+                            ("dutch", dutch_stem, 900),
+                            ("russian", russian_stem, 2300)):
         path = os.path.join(os.path.dirname(__file__), "fixtures",
                             f"{lang}_stem_golden.tsv")
         n = 0
@@ -234,9 +239,32 @@ def test_all_languages_wired_through_stemmer_and_stopwords():
     assert Stemmer("da")("mulighederne") == "mulighed"
     assert Stemmer("no")("mulighetene") == "mul"
     assert Stemmer("sv")("möjligheterna") == "möj"
+    assert Stemmer("nl")("mogelijkheden") == dutch_golden("mogelijkheden")
+    assert Stemmer("ru")("государственного") == russian_golden("государственного")
     for lang, word in (("it", "questo"), ("pt", "isso"), ("da", "hvad"),
-                       ("no", "hvordan"), ("sv", "vilken")):
+                       ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"),
+                       ("ru", "когда")):
         assert StopWordRemover(language=lang).is_stop_word(word), lang
+
+
+def dutch_golden(word):
+    return _golden("dutch", word)
+
+
+def russian_golden(word):
+    return _golden("russian", word)
+
+
+def _golden(lang, word):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        f"{lang}_stem_golden.tsv")
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith(word + "\t"):
+                return line.rstrip("\n").split("\t")[1]
+    raise AssertionError(f"{word} not in {lang} goldens")
     # classifier path accepts the new languages end-to-end
     fs = FeatureSetting("word", 1, 1, language="fr", remove_stopwords=True,
                         stem=True)

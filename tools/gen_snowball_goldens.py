@@ -279,6 +279,64 @@ SV_HAND = [
 ]
 
 
+NL_STEMS = [
+    "werk", "lop", "loop", "spel", "lez", "lees", "schrijv", "schrijf",
+    "woon", "huiz", "huis", "hond", "katt", "kat", "auto", "vriendelijk",
+    "snel", "lang", "groot", "klein", "nederland", "vrijheid", "zeker",
+    "volg", "betal", "gemeen", "bijzonder",
+]
+NL_SUFFIXES = [
+    "heden", "ene", "en", "se", "s", "e", "heid", "end", "ing", "ig",
+    "lijk", "baar", "bar", "ingen", "igen", "ende", "ersen", "eren",
+    "eringen", "erij", "elijk", "elijke", "elijken", "achtig",
+    "achtige", "baarheid", "igheid", "igheden", "endje",
+]
+NL_HAND = [
+    "lichamelijk", "lichamelijke", "lichamelijkheden", "mogelijkheden",
+    "mogelijkheid", "werkelijkheid", "gemeenschappelijk", "belangrijk",
+    "belangrijke", "gemeente", "gemeenten", "koninklijke", "nederlandse",
+    "verantwoordelijkheid", "waarschijnlijk", "natuurlijk", "eigenlijk",
+    "bomen", "boom", "bommen", "bom", "apen", "aap", "appen", "app",
+    "groter", "grootste", "kleiner", "kleinste", "mooiste", "mooier",
+    "huizen", "prijzen", "prijs", "bewijzen", "bewijs", "reizen",
+    "ogenblik", "aangezien", "waarbij", "daarbij", "hierbij",
+    "politie", "politieke", "organisatie", "organisaties", "situatie",
+    "daadwerkelijk", "uiteindelijk", "aanvankelijk", "gedeeltelijk",
+    "ontwikkeling", "ontwikkelingen", "opleiding", "opleidingen",
+    "vergadering", "bedoeling", "regering", "bevolking", "aanbieding",
+]
+
+RU_STEMS = [
+    "работ", "говор", "дел", "чита", "писа", "люб", "нов", "стар",
+    "красив", "быстр", "росси", "государств", "национальн", "общественн",
+    "информаци", "следова", "организаци", "управлен", "развит",
+]
+RU_SUFFIXES = [
+    "вшись", "вши", "в", "ивши", "ившись", "ив", "ывши", "ывшись", "ыв",
+    "ся", "сь", "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый",
+    "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому", "их",
+    "ых", "ую", "юю", "ая", "яя", "ою", "ею", "ла", "на", "ете", "йте",
+    "ли", "й", "л", "н", "ло", "но", "ет", "ют", "ны", "ть", "ешь",
+    "нно", "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено",
+    "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую",
+    "ю", "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи",
+    "ии", "и", "ией", "ием", "ам", "ом", "о", "у", "ах", "иях", "ях",
+    "ы", "ь", "ию", "ью", "ия", "ья", "я", "ость", "ост", "ейш",
+    "ейше", "нн", "вш", "ющ", "щ", "ующ",
+]
+RU_HAND = [
+    "важность", "важностью", "возможности", "возможностей",
+    "государственный", "государственного", "правительство",
+    "правительства", "деятельность", "деятельности", "нравственный",
+    "прекраснейший", "красивейшее", "сильнейших", "длиннейший",
+    "собранный", "собранные", "современный", "современными",
+    "читавшийся", "написавшись", "работавшая", "говорившие",
+    "останавливаться", "останавливается", "развивающийся",
+    "образование", "образования", "исследование", "исследований",
+    "люблю", "любить", "любившие", "любовь", "любви",
+]
+
 _LANGS = {
     "french": (FR_STEMS, FR_SUFFIXES, FR_HAND, "french.stop"),
     "spanish": (ES_STEMS, ES_SUFFIXES, ES_HAND, "spanish.stop"),
@@ -287,6 +345,8 @@ _LANGS = {
     "danish": (DA_STEMS, DA_SUFFIXES, DA_HAND, "danish.stop"),
     "norwegian": (NO_STEMS, NO_SUFFIXES, NO_HAND, "norwegian.stop"),
     "swedish": (SV_STEMS, SV_SUFFIXES, SV_HAND, "swedish.stop"),
+    "dutch": (NL_STEMS, NL_SUFFIXES, NL_HAND, "dutch.stop"),
+    "russian": (RU_STEMS, RU_SUFFIXES, RU_HAND, "russian.stop"),
 }
 
 
