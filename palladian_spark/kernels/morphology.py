@@ -464,17 +464,17 @@ class Stemmer:
     """API twin of extraction/feature/Stemmer.java:29-110 (callable,
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
-    German, French, Spanish, Italian, Portuguese, Danish, Norwegian,
-    Swedish, Dutch and Russian are the Snowball algorithms (each
-    golden-tested word-for-word against the PostgreSQL snowball build —
-    the same upstream implementation the reference's tartarus *Stemmer
-    classes compile from; Stemmer.java:53-100 dispatches 15 languages,
-    the 11 shipped here cover all but the agglutinative tail
-    FI/HU/RO/TR)."""
+    German, French, Spanish, Italian, Portuguese, Romanian, Danish,
+    Norwegian, Swedish, Dutch and Russian are the Snowball algorithms
+    (each golden-tested word-for-word against the PostgreSQL snowball
+    build — the same upstream implementation the reference's tartarus
+    *Stemmer classes compile from; Stemmer.java:53-100 dispatches 15
+    languages, the 12 shipped here cover all but the agglutinative tail
+    FI/HU/TR)."""
 
     def __init__(self, language: str = "en"):
         if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no",
-                            "sv", "nl", "ru"):
+                            "sv", "nl", "ru", "ro"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -512,6 +512,10 @@ class Stemmer:
             from .stem_russian import russian_stem
 
             return russian_stem(word.lower())
+        if lang == "ro":
+            from .stem_romanian import romanian_stem
+
+            return romanian_stem(word.lower())
         return porter_stem(word.lower())
 
 

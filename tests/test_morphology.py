@@ -173,8 +173,8 @@ def test_german_stopwords_and_feature_setting():
     assert "versicher" in terms
 
 
-def test_snowball_stemmer_goldens_nine_languages():
-    """FR/ES/IT/PT/DA/NO/SV/NL/RU Snowball stemmers vs goldens generated from the
+def test_snowball_stemmer_goldens_ten_languages():
+    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU Snowball stemmers vs goldens generated from the
     official implementation in PostgreSQL 15 (dict_snowball; regenerate via
     tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
     to the same tartarus frenchStemmer/spanishStemmer
@@ -197,6 +197,7 @@ def test_snowball_stemmer_goldens_nine_languages():
     )
 
     from palladian_spark.kernels.stem_dutch import dutch_stem
+    from palladian_spark.kernels.stem_romanian import romanian_stem
     from palladian_spark.kernels.stem_russian import russian_stem
 
     for lang, fn, floor in (("french", french_stem, 4900),
@@ -207,7 +208,8 @@ def test_snowball_stemmer_goldens_nine_languages():
                             ("norwegian", norwegian_stem, 1200),
                             ("swedish", swedish_stem, 1100),
                             ("dutch", dutch_stem, 900),
-                            ("russian", russian_stem, 2300)):
+                            ("russian", russian_stem, 2300),
+                            ("romanian", romanian_stem, 5000)):
         path = os.path.join(os.path.dirname(__file__), "fixtures",
                             f"{lang}_stem_golden.tsv")
         n = 0
@@ -241,6 +243,7 @@ def test_all_languages_wired_through_stemmer_and_stopwords():
     assert Stemmer("sv")("möjligheterna") == "möj"
     assert Stemmer("nl")("mogelijkheden") == dutch_golden("mogelijkheden")
     assert Stemmer("ru")("государственного") == russian_golden("государственного")
+    assert Stemmer("ro")("lucrurile") == _golden("romanian", "lucrurile")
     for lang, word in (("it", "questo"), ("pt", "isso"), ("da", "hvad"),
                        ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"),
                        ("ru", "когда")):

@@ -21,6 +21,7 @@ guards, vowel-marking y/u/i, accent folding).
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -337,6 +338,59 @@ RU_HAND = [
     "люблю", "любить", "любившие", "любовь", "любви",
 ]
 
+RO_STEMS = [
+    "lucr", "cânt", "vorb", "citi", "scri", "iubi", "nou", "vech",
+    "frumos", "rapid", "român", "naţion", "libert", "cert", "mar",
+    "mic", "preşedint", "continu", "organiz", "util", "normal",
+    "central", "capital", "muncit", "înţeleg",
+]
+RO_SUFFIXES = [
+    # step 0: plural/article
+    "ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua", "iei",
+    "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia",
+    # step 1: combining suffixes
+    "abilitate", "abilitati", "abilităţi", "ibilitate", "ivitate",
+    "ivitati", "ivităţi", "icitate", "icitati", "icităţi", "icator",
+    "icatori", "iciv", "iciva", "icive", "icivi", "icivă", "ical",
+    "icala", "icale", "icali", "icală", "ativ", "ativa", "ative",
+    "ativi", "ativă", "aţiune", "atoare", "ator", "atori", "ătoare",
+    "ător", "ători", "itiv", "itiva", "itive", "itivi", "itivă",
+    "iţiune", "itoare", "itor", "itori",
+    # step 2: standard suffixes
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă", "ibil", "ibila",
+    "ibile", "ibili", "ibilă", "oasa", "oasă", "oase", "os", "osi",
+    "oşi", "ant", "anta", "ante", "anti", "antă", "itate", "itati",
+    "ităţi", "iv", "iva", "ive", "ivi", "ivă", "iune", "iuni", "ţiune",
+    "ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti",
+    # step 3: verb suffixes
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
+    "ăşte", "am", "ai", "au", "eam", "eai", "eau", "iam", "iai", "iau",
+    "ui", "aşi", "arăm", "arăţi", "ară", "uşi", "urăm", "urăţi", "ură",
+    "işi", "irăm", "irăţi", "iră", "âi", "âşi", "ârăm", "ârăţi",
+    "âră", "asem", "aseşi", "ase", "aserăm", "aserăţi", "aseră",
+    "isem", "iseşi", "ise", "iserăm", "iserăţi", "iseră", "âsem",
+    "âseşi", "âse", "âserăm", "âserăţi", "âseră", "usem", "useşi",
+    "use", "userăm", "userăţi", "useră", "ăm", "aţi", "em", "eţi",
+    "im", "iţi", "âm", "âţi", "seşi",
+    # step 4: final vowel
+    "a", "e", "i", "ie", "ă",
+]
+RO_HAND = [
+    "lucrurile", "lucrurilor", "copiii", "copiilor", "fetele",
+    "fetelor", "băiatul", "băiatului", "oamenii", "oamenilor",
+    "românească", "româneşti", "naţionale", "internaţionale",
+    "responsabilitate", "responsabilităţi", "posibilitate",
+    "posibilităţi", "activitate", "activităţi", "universitate",
+    "comunicaţie", "informaţia", "informaţiei", "organizaţiile",
+    "guvernul", "guvernului", "preşedintele", "preşedintelui",
+    "frumoasă", "frumoase", "frumoşi", "importantă", "importante",
+    "lucrează", "lucrând", "vorbeşte", "vorbesc", "citeşte", "citesc",
+    "iubească", "iubind", "cântaseră", "munciseră", "văzuseră",
+]
+
 _LANGS = {
     "french": (FR_STEMS, FR_SUFFIXES, FR_HAND, "french.stop"),
     "spanish": (ES_STEMS, ES_SUFFIXES, ES_HAND, "spanish.stop"),
@@ -347,6 +401,7 @@ _LANGS = {
     "swedish": (SV_STEMS, SV_SUFFIXES, SV_HAND, "swedish.stop"),
     "dutch": (NL_STEMS, NL_SUFFIXES, NL_HAND, "dutch.stop"),
     "russian": (RU_STEMS, RU_SUFFIXES, RU_HAND, "russian.stop"),
+    "romanian": (RO_STEMS, RO_SUFFIXES, RO_HAND, "romanian.stop"),
 }
 
 
@@ -356,8 +411,10 @@ def words_for(lang: str) -> list[str]:
     stems, suffixes, hand, stopfile = _LANGS[lang]
     gen = [s + suf for s in stems for suf in suffixes]
     stop = f"/usr/share/postgresql/15/tsearch_data/{stopfile}"
-    with open(stop, encoding="utf-8") as f:
-        stopwords = [w.strip() for w in f if w.strip()]
+    stopwords: list[str] = []
+    if os.path.exists(stop):  # postgres ships no romanian.stop
+        with open(stop, encoding="utf-8") as f:
+            stopwords = [w.strip() for w in f if w.strip()]
     return sorted(set(gen + hand + stopwords))
 
 
