@@ -163,7 +163,8 @@ class StopWordRemover:
             # the reference ships stopwords_de_small.txt too, but its small
             # list is a strict subset; one list suffices here
             self.stopwords = set(STOPWORDS_DE)
-        elif language in ("fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru"):
+        elif language in ("fr", "es", "it", "pt", "da", "no", "sv", "nl",
+                          "ru", "fi"):
             import importlib
 
             mod = importlib.import_module(
@@ -465,16 +466,16 @@ class Stemmer:
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
     German, French, Spanish, Italian, Portuguese, Romanian, Danish,
-    Norwegian, Swedish, Dutch and Russian are the Snowball algorithms
-    (each golden-tested word-for-word against the PostgreSQL snowball
-    build — the same upstream implementation the reference's tartarus
-    *Stemmer classes compile from; Stemmer.java:53-100 dispatches 15
-    languages, the 12 shipped here cover all but the agglutinative tail
-    FI/HU/TR)."""
+    Norwegian, Swedish, Dutch, Russian and Finnish are the Snowball
+    algorithms (each golden-tested word-for-word against the PostgreSQL
+    snowball build — the same upstream implementation the reference's
+    tartarus *Stemmer classes compile from; Stemmer.java:53-100
+    dispatches 15 languages, the 13 shipped here cover all but
+    Hungarian and Turkish)."""
 
     def __init__(self, language: str = "en"):
         if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no",
-                            "sv", "nl", "ru", "ro"):
+                            "sv", "nl", "ru", "ro", "fi"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -516,6 +517,10 @@ class Stemmer:
             from .stem_romanian import romanian_stem
 
             return romanian_stem(word.lower())
+        if lang == "fi":
+            from .stem_finnish import finnish_stem
+
+            return finnish_stem(word.lower())
         return porter_stem(word.lower())
 
 

@@ -173,8 +173,8 @@ def test_german_stopwords_and_feature_setting():
     assert "versicher" in terms
 
 
-def test_snowball_stemmer_goldens_ten_languages():
-    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU Snowball stemmers vs goldens generated from the
+def test_snowball_stemmer_goldens_eleven_languages():
+    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU/FI Snowball stemmers vs goldens generated from the
     official implementation in PostgreSQL 15 (dict_snowball; regenerate via
     tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
     to the same tartarus frenchStemmer/spanishStemmer
@@ -197,6 +197,7 @@ def test_snowball_stemmer_goldens_ten_languages():
     )
 
     from palladian_spark.kernels.stem_dutch import dutch_stem
+    from palladian_spark.kernels.stem_finnish import finnish_stem
     from palladian_spark.kernels.stem_romanian import romanian_stem
     from palladian_spark.kernels.stem_russian import russian_stem
 
@@ -209,7 +210,8 @@ def test_snowball_stemmer_goldens_ten_languages():
                             ("swedish", swedish_stem, 1100),
                             ("dutch", dutch_stem, 900),
                             ("russian", russian_stem, 2300),
-                            ("romanian", romanian_stem, 5000)):
+                            ("romanian", romanian_stem, 5000),
+                            ("finnish", finnish_stem, 4400)):
         path = os.path.join(os.path.dirname(__file__), "fixtures",
                             f"{lang}_stem_golden.tsv")
         n = 0
@@ -244,8 +246,9 @@ def test_all_languages_wired_through_stemmer_and_stopwords():
     assert Stemmer("nl")("mogelijkheden") == dutch_golden("mogelijkheden")
     assert Stemmer("ru")("государственного") == russian_golden("государственного")
     assert Stemmer("ro")("lucrurile") == _golden("romanian", "lucrurile")
+    assert Stemmer("fi")("mahdollisuuksien") == _golden("finnish", "mahdollisuuksien")
     for lang, word in (("it", "questo"), ("pt", "isso"), ("da", "hvad"),
-                       ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"),
+                       ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"), ("fi", "mutta"),
                        ("ru", "когда")):
         assert StopWordRemover(language=lang).is_stop_word(word), lang
 

@@ -391,6 +391,59 @@ RO_HAND = [
     "iubească", "iubind", "cântaseră", "munciseră", "văzuseră",
 ]
 
+FI_STEMS = [
+    "talo", "kirja", "auto", "katu", "tie", "käsi", "vesi", "maa",
+    "suomi", "kaupunki", "ihminen", "lapsi", "koulu", "työ", "päivä",
+    "vuosi", "aika", "asia", "paikka", "nainen", "mies", "perhe",
+    "valtio", "hallitus", "kansa", "kieli", "nopea", "suuri", "pieni",
+    "uusi", "vanha", "kaunis", "opettaja", "oppilas", "ystävä",
+]
+FI_SUFFIXES = [
+    # step 1: particles
+    "kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä", "sti",
+    # step 2: possessives
+    "si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en",
+    # step 3: cases
+    "hansa", "hen", "hin", "hon", "hun", "hyn", "hön", "seen", "siin",
+    "den", "tten", "tta", "ttä", "ta", "tä", "ssa", "ssä", "sta",
+    "stä", "lla", "llä", "lta", "ltä", "lle", "na", "nä", "ksi",
+    "ine", "a", "ä", "n",
+    # step 4: comparatives
+    "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "impi", "impa", "impä",
+    "immi", "imma", "immä", "eja", "ejä",
+    # plural / combined shapes
+    "t", "i", "j", "issa", "issä", "ista", "istä", "illa", "illä",
+    "ilta", "iltä", "ille", "ien", "jen", "iden", "itten", "ia", "iä",
+    "ja", "jä", "immat", "immät", "isiin", "aisiin", "oihin",
+    "äisiin", "eihin", "iin", "aan", "een", "uun", "yyn", "ään",
+    "öön", "onsa", "ansa", "änsä", "ossa", "ossaan", "issaan",
+    "illaan", "altaan", "allaan", "alleen", "akseen", "äkseen",
+    "amme", "ämme", "anne", "änne", "ako", "äkö", "ttain", "ttäin",
+]
+FI_HAND = [
+    "taloissakin", "taloissammekin", "kirjoissansa", "autoissaan",
+    "kaupungeissa", "kaupungeissakin", "ihmisille", "ihmisillekin",
+    "lapsillemme", "kouluissamme", "työpaikoissa", "vuosittain",
+    "nopeasti", "suuresti", "kauniisti", "todellakin", "tietenkin",
+    "kuitenkaan", "mitenkään", "minkäänlaista", "jonkinlainen",
+    "suurempi", "pienempi", "uudempi", "vanhempi", "suurimmat",
+    "pienimmät", "kauneimmat", "tärkeimmät", "parhaimmat",
+    "kirjoittaminen", "lukeminen", "opettaminen", "oppiminen",
+    "hallituksen", "hallitukselle", "hallituksessa", "valtioiden",
+    "kansainvälinen", "kansainvälisen", "suomalainen", "suomalaisen",
+    "helsinkiläinen", "yliopistossa", "yliopistoon", "talohon",
+    "maahan", "tiehen", "puuhun", "työhön", "syyhyn", "kotiin",
+    "kaupunkiin", "perheeseen", "huoneeseen", "vapaaseen",
+    "taloja", "kirjoja", "autoja", "katuja", "teitä", "käsiä",
+    "vesiä", "maita", "vuosia", "aikoja", "asioita", "paikkoja",
+    "edustajien", "puolueiden", "presidentinvaalit", "äänestäneet",
+    "suomalaisten", "järjestelmässä", "mahdollisuuksien",
+    "taloudellisesti", "kehityksen", "ympäristöstä", "koulutukseen",
+    "tutkimuksessa", "yhteiskunnalle", "lentokentälle",
+    "rautatieasemalla", "kirjastoissa", "sairaalassa",
+    "jalkapalloilija", "tietokoneella", "puhelimessa",
+]
+
 _LANGS = {
     "french": (FR_STEMS, FR_SUFFIXES, FR_HAND, "french.stop"),
     "spanish": (ES_STEMS, ES_SUFFIXES, ES_HAND, "spanish.stop"),
@@ -402,6 +455,7 @@ _LANGS = {
     "dutch": (NL_STEMS, NL_SUFFIXES, NL_HAND, "dutch.stop"),
     "russian": (RU_STEMS, RU_SUFFIXES, RU_HAND, "russian.stop"),
     "romanian": (RO_STEMS, RO_SUFFIXES, RO_HAND, "romanian.stop"),
+    "finnish": (FI_STEMS, FI_SUFFIXES, FI_HAND, "finnish.stop"),
 }
 
 
