@@ -150,9 +150,10 @@ def remove_word(word: str, text: str) -> str:
 
 
 class StopWordRemover:
-    """StopWordRemover.java:26-160; English, German, French and Spanish
-    word lists shipped as data modules (kernels/stopwords_*.py), custom
-    lists injectable."""
+    """StopWordRemover.java:26-160; snowball word lists for 12 languages
+    shipped as data modules (kernels/stopwords_*.py), custom lists
+    injectable. Romanian has a stemmer but no snowball stop list (none
+    is distributed), so it falls to the empty-set default branch."""
 
     def __init__(self, stopwords=None, small: bool = False, language: str = "en"):
         if stopwords is not None:
@@ -164,7 +165,7 @@ class StopWordRemover:
             # list is a strict subset; one list suffices here
             self.stopwords = set(STOPWORDS_DE)
         elif language in ("fr", "es", "it", "pt", "da", "no", "sv", "nl",
-                          "ru", "fi"):
+                          "ru", "fi", "hu"):
             import importlib
 
             mod = importlib.import_module(
@@ -466,16 +467,16 @@ class Stemmer:
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
     German, French, Spanish, Italian, Portuguese, Romanian, Danish,
-    Norwegian, Swedish, Dutch, Russian and Finnish are the Snowball
+    Norwegian, Swedish, Dutch, Russian, Finnish and Hungarian are the Snowball
     algorithms (each golden-tested word-for-word against the PostgreSQL
     snowball build — the same upstream implementation the reference's
     tartarus *Stemmer classes compile from; Stemmer.java:53-100
-    dispatches 15 languages, the 13 shipped here cover all but
-    Hungarian and Turkish)."""
+    dispatches 15 languages, the 14 shipped here (incl. Hungarian)
+    cover all but Turkish)."""
 
     def __init__(self, language: str = "en"):
         if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no",
-                            "sv", "nl", "ru", "ro", "fi"):
+                            "sv", "nl", "ru", "ro", "fi", "hu"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -521,6 +522,10 @@ class Stemmer:
             from .stem_finnish import finnish_stem
 
             return finnish_stem(word.lower())
+        if lang == "hu":
+            from .stem_hungarian import hungarian_stem
+
+            return hungarian_stem(word.lower())
         return porter_stem(word.lower())
 
 

@@ -173,8 +173,8 @@ def test_german_stopwords_and_feature_setting():
     assert "versicher" in terms
 
 
-def test_snowball_stemmer_goldens_eleven_languages():
-    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU/FI Snowball stemmers vs goldens generated from the
+def test_snowball_stemmer_goldens_twelve_languages():
+    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU/FI/HU Snowball stemmers vs goldens generated from the
     official implementation in PostgreSQL 15 (dict_snowball; regenerate via
     tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
     to the same tartarus frenchStemmer/spanishStemmer
@@ -198,6 +198,7 @@ def test_snowball_stemmer_goldens_eleven_languages():
 
     from palladian_spark.kernels.stem_dutch import dutch_stem
     from palladian_spark.kernels.stem_finnish import finnish_stem
+    from palladian_spark.kernels.stem_hungarian import hungarian_stem
     from palladian_spark.kernels.stem_romanian import romanian_stem
     from palladian_spark.kernels.stem_russian import russian_stem
 
@@ -211,7 +212,8 @@ def test_snowball_stemmer_goldens_eleven_languages():
                             ("dutch", dutch_stem, 900),
                             ("russian", russian_stem, 2300),
                             ("romanian", romanian_stem, 5000),
-                            ("finnish", finnish_stem, 4400)):
+                            ("finnish", finnish_stem, 4400),
+                            ("hungarian", hungarian_stem, 4300)):
         path = os.path.join(os.path.dirname(__file__), "fixtures",
                             f"{lang}_stem_golden.tsv")
         n = 0
@@ -247,8 +249,9 @@ def test_all_languages_wired_through_stemmer_and_stopwords():
     assert Stemmer("ru")("государственного") == russian_golden("государственного")
     assert Stemmer("ro")("lucrurile") == _golden("romanian", "lucrurile")
     assert Stemmer("fi")("mahdollisuuksien") == _golden("finnish", "mahdollisuuksien")
+    assert Stemmer("hu")("lehetőségeket") == _golden("hungarian", "lehetőségeket")
     for lang, word in (("it", "questo"), ("pt", "isso"), ("da", "hvad"),
-                       ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"), ("fi", "mutta"),
+                       ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"), ("fi", "mutta"), ("hu", "azonban"),
                        ("ru", "когда")):
         assert StopWordRemover(language=lang).is_stop_word(word), lang
 

@@ -444,6 +444,61 @@ FI_HAND = [
     "jalkapalloilija", "tietokoneella", "puhelimessa",
 ]
 
+HU_STEMS = [
+    "ház", "kert", "asztal", "ember", "gyerek", "város", "ország",
+    "kormány", "lehetőség", "munka", "iskola", "tanár", "diák",
+    "barát", "család", "könyv", "autó", "utca", "épület", "nagy",
+    "kicsi", "piros", "magyar", "fiú", "lány", "kéz", "láb", "szem",
+]
+HU_SUFFIXES = [
+    # instrumental + doubled variants are covered via hand words
+    "al", "el", "val", "vel",
+    # case endings
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "tól", "től",
+    "ról", "ről", "ból", "ből", "hoz", "hez", "höz", "nál", "nél",
+    "ig", "at", "et", "ot", "öt", "ért", "képp", "képpen", "kor",
+    "ul", "ül", "vá", "vé", "onként", "enként", "anként", "ként",
+    "en", "on", "an", "ön", "n", "t",
+    # case special / other
+    "án", "én", "ánként", "astul", "estül", "stul", "stül", "ástul",
+    "éstül",
+    # owned / possessive singular
+    "oké", "öké", "aké", "eké", "ké", "éi", "é", "áké", "ééi",
+    "ünk", "unk", "nk", "juk", "jük", "uk", "ük", "em", "om", "am",
+    "m", "od", "ed", "ad", "öd", "d", "ja", "je", "a", "e", "o",
+    "á", "é", "ánk", "énk", "juk", "ám", "ém", "ád", "éd",
+    # plural owner
+    "jaim", "jeim", "aim", "eim", "im", "jaid", "jeid", "aid", "eid",
+    "id", "jai", "jei", "ai", "ei", "i", "jaink", "jeink", "eink",
+    "aink", "ink", "jaitok", "jeitek", "aitok", "eitek", "itek",
+    "jeik", "jaik", "aik", "eik", "ik", "áim", "éim", "áid", "éid",
+    "ái", "éi", "áink", "éink", "áitok", "éitek", "áik", "éik",
+    # plural
+    "ák", "ék", "ök", "ok", "ek", "ak", "k", "ákat", "éket", "öket",
+    "okat", "eket", "akat", "kat", "ket",
+]
+HU_HAND = [
+    "házakkal", "könyvekkel", "emberekkel", "gyerekekkel", "fákkal",
+    "kezekkel", "autókkal", "barátokkal", "munkákkal", "szemekkel",
+    "házzal", "vízzel", "tollal", "képpel", "busszal", "pénzzel",
+    "kormányzati", "lehetőségeket", "lehetőségek", "fejlesztési",
+    "nemzetközi", "magyarországi", "egyetemen", "egyetemek",
+    "tanárok", "diákok", "városok", "országok", "családok",
+    "épületek", "utcák", "iskolák", "munkák", "könyvek",
+    "házam", "házad", "háza", "házunk", "házatok", "házuk",
+    "házaim", "házaid", "házai", "házaink", "házaitok", "házaik",
+    "kertem", "kerted", "kertje", "kertünk", "kertetek", "kertjük",
+    "kertjeim", "kertjeid", "kertjei", "kertjeink", "kertjeitek",
+    "kertjeik", "barátomé", "barátaié", "tanáráé", "gyerekeké",
+    "legnagyobb", "legkisebb", "legjobb", "szebb", "nagyobb",
+    "kisebb", "jobban", "gyorsabban", "legszebb", "leggyorsabb",
+    "kormányának", "fejlesztésének", "miniszterelnök", "választásokon",
+    "gazdaságban", "történelmében", "együttműködés", "nemzetközileg",
+    "rendszerváltás", "szabadságharc", "megállapodást", "köztársasági",
+    "egészségügyi", "önkormányzatok", "tudományos", "felsőoktatásban",
+    "környezetvédelem", "munkavállalók", "jövedelmükből", "biztonságát",
+]
+
 _LANGS = {
     "french": (FR_STEMS, FR_SUFFIXES, FR_HAND, "french.stop"),
     "spanish": (ES_STEMS, ES_SUFFIXES, ES_HAND, "spanish.stop"),
@@ -456,6 +511,7 @@ _LANGS = {
     "russian": (RU_STEMS, RU_SUFFIXES, RU_HAND, "russian.stop"),
     "romanian": (RO_STEMS, RO_SUFFIXES, RO_HAND, "romanian.stop"),
     "finnish": (FI_STEMS, FI_SUFFIXES, FI_HAND, "finnish.stop"),
+    "hungarian": (HU_STEMS, HU_SUFFIXES, HU_HAND, "hungarian.stop"),
 }
 
 
