@@ -6,12 +6,13 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Each query maps to an operator from SURVEY.md §2. Every query carries an
-oracle: SQL-expressible ops get real DuckDB reformulations;
+oracle: SQL-expressible ops get real DuckDB reformulations (the SRP-LSH
+family is made expressible by deriving integer planes from md5 and
+projecting in fixed-point — _srp_buckets_sql); the remaining
 non-SQL-expressible deterministic ops (lookaround regex kernels,
-iterative connected components, splitmix64 LSH planes) are pinned by
-determinism-checked frozen fixtures (tools/freeze_fixtures.py) whose
-semantics are separately gated by reference goldens / parity / recall
-tests in pytest.
+iterative connected components) are pinned by determinism-checked frozen
+fixtures (tools/freeze_fixtures.py) whose semantics are separately gated
+by reference goldens / parity / recall tests in pytest.
 
 All oracle-verified outputs are integers/strings (or exact decimals as
 integer cents) so the value-hash never depends on float summation order
@@ -390,8 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SRP-LSH bucketed top-k — the corpus-vs-corpus scale path; recall
         # vs the exact baseline is gated in pytest
         # (tests/test_spark_operators.py::test_lsh_topk_recall_vs_brute_force).
-        # The splitmix64 hyperplane family is not SQL-expressible, so the
-        # oracle is a determinism-checked frozen fixture.
+        # The md5-derived integer plane family + fixed-point projection is
+        # fully SQL-expressible, so the oracle recomputes the whole operator
+        # independently (see _srp_buckets_sql).
         from palladian_spark.operators.similarity_search import lsh_topk
 
         emb = _read(spark, sf_dir, "embeddings").withColumn(
@@ -788,6 +790,46 @@ _FIXTURE_ORACLE_DIR = os.path.join(
 _SIMHASH_BITS = 60
 
 
+def _srp_buckets_sql(n_planes: int, n_tables: int, seed: int = 42) -> str:
+    """CTE chain recomputing the integer-SRP bucket family of
+    similarity_search._make_buckets_udf from scratch: md5-derived int64
+    plane weights (DuckDB md5_number_lower == little-endian bytes 8..16 of
+    the digest, the exact function the Spark UDF evaluates), fixed-point
+    vector quantization floor(v * 2^20 + 0.5), integer dot products — so
+    bucket ids are bit-identical across engines by construction (no float
+    summation order anywhere). Ends with `buckets(vec_id, t, bucket)`;
+    `ev(vec_id, v)` holds the modal-dim float vectors for rescoring.
+    """
+    total = n_planes * n_tables
+    return f"""
+        e as (select vec_id, embedding::DOUBLE[] as v from embeddings
+              where embedding is not null and len(embedding) > 0),
+        -- table-global modal dim: rows of any other length cannot
+        -- participate (mirrors _stack_valid's global-dim mask)
+        dim as (select d from (select len(v) as d, count(*) as c
+                               from e group by 1 order by c desc, d limit 1)),
+        ev as (select vec_id, v from e, dim where len(v) = dim.d),
+        iq as (select vec_id,
+                      list_transform(v, x -> cast(floor(x * 1048576.0 + 0.5) as bigint)) as q
+               from ev),
+        planes as (
+          select p.p, d.d,
+                 (md5_number_lower('srp:{seed}:' || p.p || ':' || d.d)
+                  % 2097152)::bigint - 1048576 as w
+          from (select unnest(range({total})) as p) p,
+               (select unnest(range((select d from dim))) as d) d),
+        proj as (select iq.vec_id,
+                        pl.p // {n_planes} as t, pl.p % {n_planes} as i,
+                        sum(iq.q[pl.d + 1] * pl.w)::bigint as s
+                 from iq, planes pl
+                 group by 1, 2, 3),
+        buckets as (select vec_id, t,
+                           sum(case when s >= 0 then (1::bigint << i)
+                               else 0 end)::bigint as bucket
+                    from proj group by 1, 2)
+    """
+
+
 def _simhash_sig_sql() -> str:
     """60-bit portable SimHash CTE body (matches simhash_signatures with
     portable_token_hash): md5-derived token hash, per-bit +-1 votes,
@@ -990,20 +1032,55 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"""
             select * from '{_FIXTURE_ORACLE_DIR}/kg_triples_sf001.parquet'
         """,
-        # Fixture-pinned deterministic ops whose candidate generation is
-        # not SQL-expressible (iterative CC / splitmix64 LSH planes):
-        # semantics pinned by JW census goldens + local/distributed parity
-        # (canonicalize), the recall-vs-exact gate (lsh topk), and scope
-        # semantics tests (near-dups); the fixture adds full row/value
-        # regression granularity (tools/freeze_fixtures.py).
+        # Fixture-pinned deterministic op whose candidate generation is
+        # not SQL-expressible (iterative connected components): semantics
+        # pinned by JW census goldens + local/distributed parity tests;
+        # the fixture adds full row/value regression granularity
+        # (tools/freeze_fixtures.py).
         "canonicalize_mentions": f"""
             select * from '{_FIXTURE_ORACLE_DIR}/canonicalize_mentions_sf001.parquet'
         """,
+        # Full independent SRP-LSH recomputation (md5-derived integer
+        # planes + fixed-point projection, see _srp_buckets_sql): candidate
+        # = any shared (table, bucket), then the same round-6 cosine
+        # rescoring formulation as ann_topk.
         "ann_lsh_topk": f"""
-            select * from '{_FIXTURE_ORACLE_DIR}/ann_lsh_topk_sf001.parquet'
+            with {_srp_buckets_sql(n_planes=3, n_tables=16)},
+            qb as (select vec_id as query_id, t, bucket from buckets
+                   where vec_id < 3),
+            cand as (select distinct qb.query_id, b.vec_id
+                     from buckets b join qb using (t, bucket)),
+            s as (select cand.query_id, cand.vec_id,
+                         round(list_dot_product(e.v, q.v) /
+                               coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
+                                               * sqrt(list_dot_product(q.v, q.v)), 0), 1),
+                               6) as cos
+                  from cand
+                  join ev e on e.vec_id = cand.vec_id
+                  join ev q on q.vec_id = cand.query_id),
+            r as (select query_id, vec_id,
+                         row_number() over (partition by query_id
+                                            order by cos desc, vec_id) as rnk
+                  from s)
+            select query_id, vec_id, rnk from r where rnk <= 5
         """,
         "embedding_near_dups": f"""
-            select * from '{_FIXTURE_ORACLE_DIR}/embedding_near_dups_sf001.parquet'
+            with {_srp_buckets_sql(n_planes=10, n_tables=4)},
+            cand as (select distinct l.vec_id as id_a, r.vec_id as id_b
+                     from buckets l join buckets r using (t, bucket)
+                     where l.vec_id < r.vec_id),
+            s as (select cand.id_a, cand.id_b,
+                         round(list_dot_product(a.v, b.v) /
+                               coalesce(nullif(sqrt(list_dot_product(a.v, a.v))
+                                               * sqrt(list_dot_product(b.v, b.v)), 0), 1),
+                               6) as cos
+                  from cand
+                  join ev a on a.vec_id = cand.id_a
+                  join ev b on b.vec_id = cand.id_b)
+            -- trunc, not ::bigint: Spark's long cast truncates toward zero
+            -- while DuckDB's cast rounds
+            select id_a, id_b, cast(trunc(cos * 1000000) as bigint) as cosine_ppm
+            from s where cos >= 0.3
         """,
         "doc_pos_tags": f"""
             select * from '{_FIXTURE_ORACLE_DIR}/doc_pos_tags_sf001.parquet'
@@ -1088,8 +1165,14 @@ def oracle_sql() -> dict[str, str]:
         # and probe tie-break `order by cos desc, c_id` == the UDF's stable
         # argsort over ids-ascending centroids.
         "ann_ivf_topk": """
-            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings
-                       where embedding is not null and len(embedding) > 0),
+            with e0 as (select vec_id, embedding::DOUBLE[] as v from embeddings
+                        where embedding is not null and len(embedding) > 0),
+            -- modal-dim filter mirrors _centroid_matrix/_stack_valid: a
+            -- dim-corrupt row must neither enter the codebook nor diverge
+            -- the two engines (DuckDB list_dot_product errors on ragged)
+            dim as (select d from (select len(v) as d, count(*) as c
+                                   from e0 group by 1 order by c desc, d limit 1)),
+            e as (select vec_id, v from e0, dim where len(v) = dim.d),
             c as (select vec_id as c_id, v as cv from e order by vec_id limit 16),
             ac as (select e.vec_id, c.c_id,
                           round(list_dot_product(e.v, c.cv) /

@@ -149,11 +149,18 @@ def score_pairs(pairs: DataFrame, threshold: float = 0.9) -> DataFrame:
     (l <= 4) gives jw <= 0.4 + 0.6*jaro = 0.8 + 0.2*(l1/l2), so any pair
     whose trimmed length ratio is below (threshold - 0.8)/0.2 can never
     reach the threshold. Only active for threshold > 0.8 (bound <= 0
-    otherwise); a 1e-9 slack keeps boundary-exact pairs."""
+    otherwise); a 1e-9 slack keeps boundary-exact pairs.
+
+    The trim must strip the SAME whitespace set as the JW kernel's
+    str.strip() (F.trim strips ASCII spaces only — a value padded with
+    tabs/newlines would get a too-long prefilter length and could be
+    wrongly dropped), so the regex class below enumerates Python's
+    whitespace set explicitly."""
     if threshold > 0.8:
         bound = (threshold - 0.8) / 0.2 - 1e-9
-        la = F.length(F.trim("left_value"))
-        lb = F.length(F.trim("right_value"))
+        ws = "[\\s\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+        la = F.length(F.regexp_replace("left_value", f"^{ws}|{ws}$", ""))
+        lb = F.length(F.regexp_replace("right_value", f"^{ws}|{ws}$", ""))
         pairs = pairs.where(F.least(la, lb) >= bound * F.greatest(la, lb))
     return pairs.withColumn("sim", _jw_udf("left_value", "right_value")).where(
         F.col("sim") >= threshold
@@ -329,6 +336,11 @@ def _local_canonicalize(
 
         def _may_reach(x: str, y: str) -> bool:
             ux, uy = upper[x], upper[y]
+            # kernel early-equality: equal-after-strip+upper scores 1.0
+            # (including two whitespace-only values), so it must survive
+            # the zero-length check below
+            if ux == uy:
+                return True
             lx, ly = len(ux), len(uy)
             if lx == 0 or ly == 0:
                 return False

@@ -10,14 +10,16 @@ All vector math runs in numpy inside pandas UDFs: Catalyst higher-order
 functions (zip_with/aggregate lambdas) are interpreted per element with no
 whole-stage codegen, and a per-hyperplane nested-lambda expression
 additionally costs seconds of analysis time per query (PLANS.md bans the
-pattern; this module previously violated it). Hyperplanes are a
-deterministic function of (dim, n_planes, seed) and are derived lazily
-INSIDE the UDF from the batch's own vector width — no driver-side
-``.first()`` probe in operator construction.
+pattern; this module previously violated it). SRP hyperplanes are integer
+weights derived cell-by-cell from md5 (a pure function of (dim, n_planes,
+seed)) and the projection runs in fixed-point int64, so a DuckDB oracle
+recomputes bit-identical buckets — the ``ann_ivf_topk`` seeded-determinism
+pattern applied to the SRP family.
 """
 
 from __future__ import annotations
 
+import hashlib
 from functools import lru_cache
 
 import numpy as np
@@ -132,43 +134,51 @@ def brute_force_topk(
     )
 
 
-def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (splitmix64-seeded)."""
-    planes = []
-    state = seed & 0xFFFFFFFFFFFFFFFF
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = state
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            z = z ^ (z >> 31)
-            row.append((z / 2**64) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
+# SRP fixed-point grain: embeddings quantize to floor(v * 2^20 + 0.5).
+# 2^20 keeps the quantization error (~1e-6 relative) far below any angle
+# the sketch can resolve while leaving int64 headroom: |dot| <=
+# dim * |v| * 2^40, exact for |v| * dim < 2^23.
+_SRP_SCALE = 1 << 20
 
 
-@lru_cache(maxsize=16)
-def _planes_matrix(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    return np.array(_random_hyperplanes(dim, n_planes, seed), dtype=np.float64)
+@lru_cache(maxsize=32)
+def _srp_plane_ints(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Integer SRP hyperplane weights, (n_planes, dim) int64 in
+    [-2^20, 2^20): w[p][d] = md5_lower64('srp:{seed}:{p}:{d}') mod 2^21
+    - 2^20, where md5_lower64 = little-endian int of md5 digest bytes
+    8..16 — exactly DuckDB's ``md5_number_lower``, so an oracle SQL can
+    regenerate the identical plane family. Combined with the fixed-point
+    vector quantization the whole projection is int64 arithmetic: no
+    float-summation-order drift between engines, ever."""
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"srp:{seed}:{p}:{d}".encode()).digest()
+            out[p, d] = int.from_bytes(h[8:16], "little") % (1 << 21) - (1 << 20)
+    return out
 
 
-def _make_buckets_udf(n_planes: int, n_tables: int, seed: int = 42):
+def _make_buckets_udf(n_planes: int, n_tables: int, seed: int = 42, dim: int | None = None):
     """SRP bucket ids per row, one per hash table (OR-amplification): the
-    plane family is one (n_tables * n_planes, dim) matrix, sliced per table;
-    bit i of table t's bucket = sign(vec . plane_{t*n_planes+i}). One matrix
-    multiply per Arrow batch; the plane matrix is derived from the batch's
-    own vector width and cached per process."""
+    plane family is one (n_tables * n_planes, dim) int64 matrix, sliced per
+    table; bit i of table t's bucket = sign(iq(vec) . plane_{t*n_planes+i})
+    with iq = floor(v * 2^20 + 0.5). One integer matmul per Arrow batch.
+
+    ``dim`` is the table-global vector width (callers derive it once via
+    _table_dim); rows of any other length mask to null buckets. Only when
+    dim is None does the batch's modal length decide — per-batch inference
+    can mis-mask a batch where identically-corrupt rows outnumber valid
+    ones."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
         lists = vecs.tolist()
-        mat, ok = _stack_valid(lists)
+        mat, ok = _stack_valid(lists, dim)
         out: list = [None] * len(lists)
         if mat.shape[0]:
-            planes = _planes_matrix(mat.shape[1], n_planes * n_tables, seed)
-            bits = (mat @ planes.T) >= 0  # (rows, n_tables*n_planes)
+            planes = _srp_plane_ints(mat.shape[1], n_planes * n_tables, seed)
+            iq = np.floor(mat * _SRP_SCALE + 0.5).astype(np.int64)
+            bits = (iq @ planes.T) >= 0  # (rows, n_tables*n_planes)
             bits = bits.reshape(mat.shape[0], n_tables, n_planes)
             weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
             buckets = (bits @ weights).astype(np.int64)  # (rows, n_tables)
@@ -179,6 +189,23 @@ def _make_buckets_udf(n_planes: int, n_tables: int, seed: int = 42):
         return pd.Series(out, dtype="object")
 
     return _buckets
+
+
+def _table_dim(df: DataFrame, vec_col: str, sample: int = 1000) -> int | None:
+    """Table-global embedding width: the modal length over the first
+    ``sample`` non-null vectors. Bounded work (limit before the agg, so the
+    scan stops early regardless of table size); modal, not first-row, so a
+    corrupt row that happens to lead the table cannot define the dim."""
+    row = (
+        _non_null_vectors(df, vec_col)
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .limit(sample)
+        .groupBy("d")
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .first()
+    )
+    return int(row["d"]) if row else None
 
 
 def _explode_tables(df: DataFrame, bucket_udf, vec_col: str) -> DataFrame:
@@ -223,7 +250,9 @@ def lsh_topk(
     cosine hop; cross-table duplicate candidates are deduped on the
     (query, id) pair BEFORE scoring.
     """
-    bucket_udf = _make_buckets_udf(n_planes, n_tables)
+    bucket_udf = _make_buckets_udf(
+        n_planes, n_tables, dim=_table_dim(embeddings, vec_col)
+    )
     # corpus side only (the query side is broadcast — spreading it would
     # just add a shuffle in front of a tiny table)
     emb_b = _explode_tables(
@@ -251,7 +280,11 @@ def lsh_topk(
 
 
 def _centroid_matrix(
-    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic coarse-quantizer codebook: the ``n_centroids`` non-null
     vectors with the smallest ids. A bounded collect (codebook size is a
@@ -261,9 +294,15 @@ def _centroid_matrix(
     Lloyd-refine these seeds (pure groupBy-mean iterations over the same
     assignment join), which changes centroid VALUES but none of the
     partition/probe plumbing measured here."""
+    # with a known table dim, keep only conforming rows BEFORE the limit
+    # (the codebook is "the n lowest-id conforming vectors" — the same set
+    # the DuckDB oracle's modal-dim-filtered `limit n` selects); without
+    # one, fall back to masking the collected rows to their modal length
+    pool = _non_null_vectors(embeddings, vec_col)
+    if dim is not None:
+        pool = pool.where(F.size(F.col(vec_col)) == F.lit(dim))
     rows = (
-        _non_null_vectors(embeddings, vec_col)
-        .select(id_col, vec_col)
+        pool.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(n_centroids)
         .collect()
@@ -387,7 +426,10 @@ def ivf_topk(
     Approximate by design: a true neighbor assigned to an unprobed cell is
     missed; recall vs the exact baseline is pytest-gated.
     """
-    cent_ids, cent_vecs = _centroid_matrix(embeddings, n_centroids, id_col, vec_col)
+    cent_ids, cent_vecs = _centroid_matrix(
+        embeddings, n_centroids, id_col, vec_col,
+        dim=_table_dim(embeddings, vec_col),
+    )
     if lloyd_iters and cent_ids.size:
         cent_vecs = refine_centroids(
             embeddings, cent_ids, cent_vecs, iters=lloyd_iters,
@@ -482,7 +524,9 @@ def embedding_near_duplicates(
     cosine filter). At threshold 0.95 a true pair collides per table with
     p^10 ~ 0.35, so 4 tables put recall near 0.82; raise n_tables for more.
     """
-    bucket_udf = _make_buckets_udf(n_planes, n_tables)
+    bucket_udf = _make_buckets_udf(
+        n_planes, n_tables, dim=_table_dim(embeddings, vec_col)
+    )
     b = _explode_tables(
         spread(_non_null_vectors(embeddings, vec_col).select(F.col(id_col), F.col(vec_col))),
         bucket_udf,

@@ -202,7 +202,7 @@ def test_canonicalize_fixture_mapping_invariants(db):
 
 
 def test_ann_lsh_fixture_rank_order(db):
-    """LSH top-k is approximate (candidate set depends on the splitmix64
+    """LSH top-k is approximate (candidate set depends on the md5-integer
     planes) but its RANKING is exact cosine: recompute each (query,
     result) cosine in DuckDB and demand non-increasing order by rnk,
     dense ranks 1..5, and valid vec_ids."""
@@ -243,7 +243,7 @@ def test_embedding_near_dups_fixture_cosines(db):
             join embeddings a on a.vec_id = f.id_a
             join embeddings b on b.vec_id = f.id_b"""
     ).fetchall()
-    assert len(rows) == 27  # every pair joined to real embeddings
+    assert len(rows) == 34  # every pair joined to real embeddings
     for id_a, id_b, got, ref in rows:
         assert id_a < id_b
         assert abs(got - ref) <= 2, (id_a, id_b, got, ref)

@@ -120,6 +120,45 @@ def test_canonicalize(spark):
     assert out["Berlin"] == "Berlin"
 
 
+def test_canonicalize_whitespace_padding_parity(spark):
+    """Tab/newline-padded values must survive both prefilters (the JW
+    kernel scores them after str.strip(), so 'ab\\n\\n\\n\\n' vs 'ab' is
+    1.0): the distributed score_pairs length-ratio prefilter and the
+    local _may_reach bound both have to strip the same whitespace set
+    as the kernel, and equal-after-strip pairs score 1.0 regardless of
+    raw lengths."""
+    from palladian_spark.operators.canonicalize import (
+        canonicalize_values,
+        score_pairs,
+    )
+
+    # distributed prefilter: raw lengths 2 vs 6 would fail the 0.95-ratio
+    # bound if the padding were not stripped before measuring
+    pairs = spark.createDataFrame(
+        [("ab", "ab\n\n\n\n"), ("ab", "ab\t\t \t"), ("ab", "xy\n\n\n\n")],
+        ["left_value", "right_value"],
+    )
+    kept = {
+        (r["left_value"], r["right_value"])
+        for r in score_pairs(pairs, threshold=0.95).collect()
+    }
+    assert ("ab", "ab\n\n\n\n") in kept
+    assert ("ab", "ab\t\t \t") in kept
+    assert ("ab", "xy\n\n\n\n") not in kept
+
+    # local path end-to-end: the padded twin must canonicalize onto the
+    # frequent clean form (equal after strip+upper -> similarity 1.0)
+    values = spark.createDataFrame(
+        [("ab",), ("ab",), ("ab\n\n\n\n",), ("Berlin",)], ["value"]
+    )
+    out = {
+        r["value"]: r["canonical"]
+        for r in canonicalize_values(values, threshold=0.95).collect()
+    }
+    assert out["ab\n\n\n\n"] == "ab"
+    assert out["Berlin"] == "Berlin"
+
+
 def test_connected_components_chain(spark):
     from palladian_spark.operators.canonicalize import connected_components
 
@@ -188,6 +227,57 @@ def test_similarity_search(spark):
 
     lsh = lsh_topk(emb, q, k=2).orderBy("rank").collect()
     assert lsh[0]["vec_id"] == 1  # exact match always shares the bucket
+
+
+def test_srp_planes_match_duckdb_md5():
+    """The integer SRP plane family must be reproducible by the DuckDB
+    expression the oracle uses (md5_number_lower % 2^21 - 2^20) — this is
+    what makes ann_lsh_topk/embedding_near_dups fully SQL-oracled: if the
+    md5-slice convention drifts, buckets silently diverge cross-engine."""
+    import duckdb
+
+    from palladian_spark.operators.similarity_search import _srp_plane_ints
+
+    planes = _srp_plane_ints(5, 7, seed=42)
+    con = duckdb.connect()
+    for p in range(7):
+        for d in range(5):
+            want = con.execute(
+                "select (md5_number_lower('srp:42:' || ? || ':' || ?) "
+                "% 2097152)::bigint - 1048576",
+                [str(p), str(d)],
+            ).fetchone()[0]
+            assert planes[p, d] == want, (p, d)
+    assert planes.min() >= -(1 << 20) and planes.max() < (1 << 20)
+
+
+def test_bucket_udf_global_dim_beats_corrupt_majority(spark):
+    """A batch where identically-sized corrupt rows OUTNUMBER valid rows
+    must still bucket the valid rows: the table-global dim (derived once
+    by _table_dim) decides, not the batch's modal length."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.similarity_search import lsh_topk
+
+    # partition 1 (low ids): 3 valid dim-4 rows OUTNUMBERED by 8 corrupt
+    # dim-2 rows — per-batch modal inference would mask the valid rows;
+    # partition 2 (high ids): enough valid rows that the TABLE dim is 4
+    rows = [(i, [1.0 * i, 2.0, 3.0, 4.0]) for i in range(3)]
+    rows += [(50 + i, [9.0, 9.0]) for i in range(8)]
+    rows += [(200 + i, [0.5 * i, 1.0, 1.0, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartitionByRange(
+        2, "vec_id"
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(df, q, k=25, n_planes=1, n_tables=4).collect()
+    found = {r["vec_id"] for r in got}
+    # rows 1,2 are near-parallel to the query (same signs on any plane):
+    # they MUST surface despite being a minority in their batch; corrupt
+    # rows never do
+    assert {0, 1, 2}.issubset(found)
+    assert not any(50 <= v < 100 for v in found)
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):

@@ -40,6 +40,9 @@ SECOND_SUFFIX = "_sf0001"
 # by JW census goldens + local/distributed parity tests, ann_lsh_topk by
 # the recall-vs-exact gate, embedding_near_dups by the scope semantics
 # tests. The fixture adds full row/value regression granularity on top.
+# ann_lsh_topk and embedding_near_dups now ALSO have full independent
+# DuckDB oracles at sf0.01 (md5-integer SRP planes, _srp_buckets_sql);
+# their freezes here only drive the second-sf pin + hardening tests.
 FROZEN = [
     "string_tagger_candidates",
     "kg_triples",
