@@ -150,7 +150,7 @@ def remove_word(word: str, text: str) -> str:
 
 
 class StopWordRemover:
-    """StopWordRemover.java:26-160; snowball word lists for 12 languages
+    """StopWordRemover.java:26-160; snowball word lists for 13 languages
     shipped as data modules (kernels/stopwords_*.py), custom lists
     injectable. Romanian has a stemmer but no snowball stop list (none
     is distributed), so it falls to the empty-set default branch."""
@@ -165,7 +165,7 @@ class StopWordRemover:
             # list is a strict subset; one list suffices here
             self.stopwords = set(STOPWORDS_DE)
         elif language in ("fr", "es", "it", "pt", "da", "no", "sv", "nl",
-                          "ru", "fi", "hu"):
+                          "ru", "fi", "hu", "tr"):
             import importlib
 
             mod = importlib.import_module(
@@ -467,16 +467,16 @@ class Stemmer:
     per-language dispatch like createStemmer). English is the classic
     Porter variant — see module docstring for the Snowball deviation;
     German, French, Spanish, Italian, Portuguese, Romanian, Danish,
-    Norwegian, Swedish, Dutch, Russian, Finnish and Hungarian are the Snowball
-    algorithms (each golden-tested word-for-word against the PostgreSQL
-    snowball build — the same upstream implementation the reference's
-    tartarus *Stemmer classes compile from; Stemmer.java:53-100
-    dispatches 15 languages, the 14 shipped here (incl. Hungarian)
-    cover all but Turkish)."""
+    Norwegian, Swedish, Dutch, Russian, Finnish, Hungarian and Turkish
+    are the Snowball algorithms (each golden-tested word-for-word
+    against the PostgreSQL snowball build — the same upstream
+    implementation the reference's tartarus *Stemmer classes compile
+    from; Stemmer.java:53-100 dispatches 15 languages, ALL 15 shipped
+    here)."""
 
     def __init__(self, language: str = "en"):
         if language not in ("en", "de", "fr", "es", "it", "pt", "da", "no",
-                            "sv", "nl", "ru", "ro", "fi", "hu"):
+                            "sv", "nl", "ru", "ro", "fi", "hu", "tr"):
             raise ValueError(f"no stemmer for language {language!r}")
         self.language = language
 
@@ -526,6 +526,10 @@ class Stemmer:
             from .stem_hungarian import hungarian_stem
 
             return hungarian_stem(word.lower())
+        if lang == "tr":
+            from .stem_turkish import turkish_stem
+
+            return turkish_stem(word.lower())
         return porter_stem(word.lower())
 
 

@@ -1,0 +1,13 @@
+"""Turkish stop-word list (public Snowball data, snowballstem.org —
+the same turkish.stop the reference's multi-language StopWordRemover
+resources derive from; copied from the PostgreSQL 15 tsearch
+distribution)."""
+
+STOPWORDS_TR = frozenset((
+    'acaba', 'ama', 'aslında', 'az', 'bazı', 'belki', 'biri', 'birkaç',
+    'birşey', 'biz', 'bu', 'da', 'daha', 'de', 'defa', 'diye', 'en',
+    'eğer', 'gibi', 'hem', 'hep', 'hepsi', 'her', 'hiç', 'ile', 'ise',
+    'için', 'kez', 'ki', 'kim', 'mu', 'mü', 'mı', 'nasıl', 'ne', 'neden',
+    'nerde', 'nerede', 'nereye', 'niye', 'niçin', 'o', 'sanki', 'siz',
+    'tüm', 've', 'veya', 'ya', 'yani', 'çok', 'çünkü', 'şey', 'şu',
+))

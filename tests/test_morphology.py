@@ -174,7 +174,7 @@ def test_german_stopwords_and_feature_setting():
 
 
 def test_snowball_stemmer_goldens_twelve_languages():
-    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU/FI/HU Snowball stemmers vs goldens generated from the
+    """FR/ES/IT/PT/RO/DA/NO/SV/NL/RU/FI/HU/TR Snowball stemmers vs goldens generated from the
     official implementation in PostgreSQL 15 (dict_snowball; regenerate via
     tools/gen_snowball_goldens.py). The reference dispatches FRENCH/SPANISH
     to the same tartarus frenchStemmer/spanishStemmer
@@ -201,6 +201,7 @@ def test_snowball_stemmer_goldens_twelve_languages():
     from palladian_spark.kernels.stem_hungarian import hungarian_stem
     from palladian_spark.kernels.stem_romanian import romanian_stem
     from palladian_spark.kernels.stem_russian import russian_stem
+    from palladian_spark.kernels.stem_turkish import turkish_stem
 
     for lang, fn, floor in (("french", french_stem, 4900),
                             ("spanish", spanish_stem, 3700),
@@ -213,7 +214,8 @@ def test_snowball_stemmer_goldens_twelve_languages():
                             ("russian", russian_stem, 2300),
                             ("romanian", romanian_stem, 5000),
                             ("finnish", finnish_stem, 4400),
-                            ("hungarian", hungarian_stem, 4300)):
+                            ("hungarian", hungarian_stem, 4300),
+                            ("turkish", turkish_stem, 12000)):
         path = os.path.join(os.path.dirname(__file__), "fixtures",
                             f"{lang}_stem_golden.tsv")
         n = 0
@@ -250,9 +252,11 @@ def test_all_languages_wired_through_stemmer_and_stopwords():
     assert Stemmer("ro")("lucrurile") == _golden("romanian", "lucrurile")
     assert Stemmer("fi")("mahdollisuuksien") == _golden("finnish", "mahdollisuuksien")
     assert Stemmer("hu")("lehetőségeket") == _golden("hungarian", "lehetőségeket")
+    assert Stemmer("tr")("kitaplarımızdan") == _golden("turkish", "kitaplarımızdan")
+    assert Stemmer("tr")("güzelliği") == "güzellik"   # final-consonant ğ->k
     for lang, word in (("it", "questo"), ("pt", "isso"), ("da", "hvad"),
                        ("no", "hvordan"), ("sv", "vilken"), ("nl", "omdat"), ("fi", "mutta"), ("hu", "azonban"),
-                       ("ru", "когда")):
+                       ("ru", "когда"), ("tr", "belki")):
         assert StopWordRemover(language=lang).is_stop_word(word), lang
 
 

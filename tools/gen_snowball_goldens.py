@@ -499,6 +499,71 @@ HU_HAND = [
     "környezetvédelem", "munkavállalók", "jövedelmükből", "biztonságát",
 ]
 
+TR_STEMS = [
+    # all four vowel-harmony classes; finals that de-voice (p/ç/t/k and
+    # their soft forms), vowel-final stems, single-syllable stems (the
+    # more-than-one-syllable guard), and longer compounds
+    "kitap", "kitab", "ev", "göz", "okul", "araba", "şehir", "güzel",
+    "çocuk", "çocuğ", "ağaç", "ağac", "kapı", "köpek", "köpeğ", "kuş",
+    "gün", "yol", "deniz", "arkadaş", "öğretmen", "bilgisayar", "türk",
+    "müzik", "renk", "reng", "kalp", "kalb", "uçak", "uçağ", "çiçek",
+    "sokak", "yemek", "su", "ay", "dil", "el", "baş", "iş", "gönül",
+    "sevgi", "ülke", "devlet", "hükümet", "üniversite", "öğrenci",
+    "sabah", "gece", "yüz", "ses", "kuzu", "ordu", "ütü", "korku",
+]
+TR_SUFFIXES = [
+    # noun case / possessive (all harmony variants + buffer consonants)
+    "lar", "ler", "ları", "leri", "ı", "i", "u", "ü", "yı", "yi", "yu",
+    "yü", "sı", "si", "su", "sü", "ın", "in", "un", "ün", "nın", "nin",
+    "nun", "nün", "a", "e", "ya", "ye", "na", "ne", "nı", "ni", "da",
+    "de", "ta", "te", "nda", "nde", "dan", "den", "tan", "ten", "ndan",
+    "nden", "la", "le", "yla", "yle", "ki", "daki", "deki", "taki",
+    "teki", "ndaki", "ım", "im", "um", "üm", "m", "ımız", "imiz",
+    "umuz", "ümüz", "mız", "miz", "muz", "müz", "ınız", "iniz", "unuz",
+    "ünüz", "nız", "niz", "nuz", "nüz", "n", "yn",
+    # derivational kept/stripped boundaries
+    "sız", "siz", "suz", "süz", "lı", "li", "lu", "lü", "lık", "lik",
+    "luk", "lük", "cı", "ci", "cu", "cü", "çı", "çi", "çu", "çü",
+    "cılık", "cilik", "culuk", "cülük",
+    # nominal verb suffixes
+    "dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür", "dı", "di",
+    "du", "dü", "tı", "ti", "tu", "tü", "ydı", "ydi", "ydu", "ydü",
+    "mış", "miş", "muş", "müş", "ymış", "ymiş", "ymuş", "ymüş", "sa",
+    "se", "ysa", "yse", "ken", "yken", "casına", "cesine", "sın", "sin",
+    "sun", "sün", "sınız", "siniz", "sunuz", "sünüz", "yım", "yim",
+    "yum", "yüm", "yız", "yiz", "yuz", "yüz", "ız", "iz", "uz", "üz",
+    "dur", "dür", "ydür", "ydur",
+    # chained suffix sequences (the algorithm strips chains)
+    "larından", "lerinden", "larımızdan", "lerimizden", "ındaki",
+    "indeki", "undaki", "ündeki", "lardaki", "lerdeki", "larının",
+    "lerinin", "sındaki", "sindeki", "larıyla", "leriyle", "sıyla",
+    "siyle", "larda", "lerde", "lardan", "lerden", "lara", "lere",
+    "ların", "lerin", "ıdır", "idir", "udur", "üdür", "sıdır", "sidir",
+    "sudur", "südür", "lıdır", "lidir", "ludur", "lüdür", "mıştır",
+    "miştir", "muştur", "müştür", "dığı", "diği", "duğu", "düğü",
+    "acak", "ecek", "acağı", "eceği", "yacak", "yecek", "malı", "meli",
+    "ması", "mesi", "mak", "mek", "mamış", "memiş", "iyor", "ıyor",
+    "uyor", "üyor", "sini", "sını", "sunu", "sünü", "sına", "sine",
+    "larına", "lerine", "ndalar", "ndeler", "dalar", "deler",
+]
+TR_HAND = [
+    "kitaplarımızdan", "evlerinizden", "gözlerimin", "güzelliği",
+    "öğrencilerimizin", "çocuklarının", "arabasındayım", "evdekiler",
+    "akşamki", "yarınki", "onunki", "onunkiler", "bendeki", "sabahki",
+    "kitabı", "ağacı", "rengi", "kalbi", "uçağı", "kebabı", "dolabı",
+    "geliyorum", "gidiyoruz", "yapacağız", "gelmişti", "olacaktır",
+    "türkiye", "türkçe", "istanbulda", "ankarada", "anlamadım",
+    "konuşuyorlardı", "bekliyorsunuz", "at", "et", "ot", "üç", "beş",
+    "ad", "öd", "yurt", "kent", "sırt", "alt", "üst", "ön", "arka",
+    "gelecek", "geçmiş", "şimdiki", "buradaki", "oradakiler",
+    "milletvekili", "cumhurbaşkanı", "başbakanın", "bakanlığı",
+    "belediyesi", "üniversitesinde", "fakültesinden", "hastanesine",
+    "yüzyılda", "yüzyıldaki", "sayısında", "oranında", "düzeyinde",
+    "kapsamında", "çerçevesinde", "doğrultusunda", "sonucunda",
+    "tarafından", "aracılığıyla", "dolayısıyla", "nedeniyle",
+    "boyunca", "süresince", "öncesinde", "sonrasında", "sırasında",
+]
+
 _LANGS = {
     "french": (FR_STEMS, FR_SUFFIXES, FR_HAND, "french.stop"),
     "spanish": (ES_STEMS, ES_SUFFIXES, ES_HAND, "spanish.stop"),
@@ -512,6 +577,7 @@ _LANGS = {
     "romanian": (RO_STEMS, RO_SUFFIXES, RO_HAND, "romanian.stop"),
     "finnish": (FI_STEMS, FI_SUFFIXES, FI_HAND, "finnish.stop"),
     "hungarian": (HU_STEMS, HU_SUFFIXES, HU_HAND, "hungarian.stop"),
+    "turkish": (TR_STEMS, TR_SUFFIXES, TR_HAND, "turkish.stop"),
 }
 
 
