@@ -211,6 +211,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return simhash_pairs(sigs, max_hamming=3, bits=60)
 
+    def doc_simhash_wide_pairs(spark, sf_dir):
+        # 120-bit signature (two portable 60-bit md5-slice halves): the
+        # scale-safe variant — 4 bands x 30 bits give bucket capacity 2^30
+        # vs the 60-bit path's 2^15, so the within-bucket verify stays
+        # linear to ~10^9 docs per band value. Oracled against the exact
+        # all-pairs two-long hamming filter.
+        from palladian_spark.operators.dedup import (
+            simhash_pairs_wide,
+            simhash_signatures_wide,
+        )
+
+        sigs = simhash_signatures_wide(_read(spark, sf_dir, "documents"))
+        return simhash_pairs_wide(sigs, max_hamming=3)
+
     # ---- mention detection (SURVEY §2.2) ----
     def dict_mentions(spark, sf_dir):
         return (
@@ -682,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_minhash_pairs=doc_minhash_pairs,
         doc_simhash=doc_simhash,
         doc_simhash_pairs=doc_simhash_pairs,
+        doc_simhash_wide_pairs=doc_simhash_wide_pairs,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
         ner_reference_agreement=ner_reference_agreement,
@@ -850,6 +865,41 @@ def _simhash_sig_sql() -> str:
                 from documents)),
         votes as (select doc, {sums} from toks group by doc)
         select doc, ({sig})::bigint as simhash from votes
+    """
+
+
+def _simhash_wide_sig_sql() -> str:
+    """120-bit portable SimHash CTE body (matches simhash_signatures_wide):
+    two 60-bit halves from md5 hex chars 1..15 and 16..30 of each token,
+    per-bit +-1 votes, signature bit = sign of vote."""
+    sums = ", ".join(
+        f"sum(case when (h_lo>>{i})&1=1 then 1 else -1 end) as lo{i}"
+        for i in range(60)
+    ) + ", " + ", ".join(
+        f"sum(case when (h_hi>>{i})&1=1 then 1 else -1 end) as hi{i}"
+        for i in range(60)
+    )
+    sig_lo = " + ".join(
+        f"case when lo{i}>0 then (1::bigint<<{i}) else 0::bigint end"
+        for i in range(60)
+    )
+    sig_hi = " + ".join(
+        f"case when hi{i}>0 then (1::bigint<<{i}) else 0::bigint end"
+        for i in range(60)
+    )
+    return f"""
+        with toks as (
+          select doc,
+                 ('0x' || substr(m,1,15))::bigint as h_lo,
+                 ('0x' || substr(m,16,15))::bigint as h_hi
+          from (select doc_id as doc, md5(t) as m
+                from (select doc_id,
+                             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as t
+                      from documents))),
+        votes as (select doc, {sums} from toks group by doc)
+        select doc, ({sig_lo})::bigint as simhash_lo,
+                    ({sig_hi})::bigint as simhash_hi
+        from votes
     """
 
 
@@ -1099,6 +1149,15 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::int as hamming
             from sig a join sig b on a.doc < b.doc
             where bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "doc_simhash_wide_pairs": f"""
+            with sig as ({_simhash_wide_sig_sql()})
+            select a.doc as doc_a, b.doc as doc_b,
+                   (bit_count(xor(a.simhash_lo, b.simhash_lo))
+                    + bit_count(xor(a.simhash_hi, b.simhash_hi)))::int as hamming
+            from sig a join sig b on a.doc < b.doc
+            where bit_count(xor(a.simhash_lo, b.simhash_lo))
+                  + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
         """,
         "dict_mentions": f"""
             with hits as ({_gazetteer_union_sql()})

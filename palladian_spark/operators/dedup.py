@@ -330,6 +330,124 @@ def simhash_signatures(
     return votes.select("doc", sig.alias("simhash"))
 
 
+def portable_token_hash_hi(col) -> "F.Column":
+    """Second independent 60-bit portable token hash: hex chars 16..30 of
+    the same md5 digest. Pairs with :func:`portable_token_hash` to form a
+    120-bit SimHash signature (see :func:`simhash_signatures_wide`)."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
+def simhash_signatures_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits_per_half: int = 60,
+) -> DataFrame:
+    """120-bit SimHash per document as two 60-bit longs (simhash_lo,
+    simhash_hi), both halves portable (md5 slices) so DuckDB recomputes
+    them bit-identically.
+
+    Why wide: a 60-bit signature at hamming<=3 forces 4 bands x 15 bits,
+    so band buckets hold ~n/2^15 docs — linear only while n << 32k per
+    bucket (~10^9 docs total). Two 60-bit halves give 4 bands x 30 bits
+    (bucket capacity ~2^30), lifting the ceiling by a factor of 2^15 with
+    identical h<=3 semantics. One md5 per token feeds both halves.
+    """
+    df = spread(df)  # single-split inputs would tokenize on one core
+    tokens = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+            ).alias("token"),
+        )
+        .withColumn("_md5", F.md5(F.col("token")))
+        .select(
+            "doc",
+            F.conv(F.substring("_md5", 1, 15), 16, 10).cast("long").alias("h_lo"),
+            F.conv(F.substring("_md5", 16, 15), 16, 10).cast("long").alias("h_hi"),
+        )
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.expr(f"(h_lo >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"lo{i}")
+        for i in range(bits_per_half)
+    ] + [
+        F.sum(
+            F.when(F.expr(f"(h_hi >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"hi{i}")
+        for i in range(bits_per_half)
+    ]
+    votes = tokens.groupBy("doc").agg(*bit_votes)
+    sig_lo = F.lit(0).cast("long")
+    sig_hi = F.lit(0).cast("long")
+    for i in range(bits_per_half):
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        sig_lo = sig_lo + F.when(F.col(f"lo{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        sig_hi = sig_hi + F.when(F.col(f"hi{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc", sig_lo.alias("simhash_lo"), sig_hi.alias("simhash_hi"))
+
+
+def simhash_pairs_wide(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    bits_per_half: int = 60,
+    id_col: str = "doc",
+    lo_col: str = "simhash_lo",
+    hi_col: str = "simhash_hi",
+) -> DataFrame:
+    """Banded hamming join over a two-long (120-bit) SimHash signature.
+
+    Pigeonhole over the CONCATENATED signature: max_hamming+1 contiguous
+    bands; a pair within the radius matches exactly on >=1 band, so the
+    (band_id, band_value) equi-join has recall 1.0. Each band must lie
+    entirely inside one half (bands_per_half = (max_hamming+1)/2), which
+    holds for the standard h=3 / 60-bit halves (4 bands x 30 bits, bucket
+    capacity 2^30 — the scale regime the 60-bit single-long variant lacks,
+    see simhash_pairs). Verification: popcount(xor lo) + popcount(xor hi).
+    """
+    n_bands = max_hamming + 1
+    if n_bands % 2 != 0:
+        raise ValueError("wide banding needs an even band count (max_hamming odd)")
+    per_half = n_bands // 2
+    if bits_per_half % per_half != 0:
+        raise ValueError("band width must divide bits_per_half")
+    width = bits_per_half // per_half
+    mask = (1 << width) - 1
+    signatures = signatures.localCheckpoint(eager=False)  # both join sides
+    band_vals = []
+    for col in (lo_col, hi_col):
+        for b in range(per_half):
+            band_vals.append(F.expr(f"({col} >> {b * width}) & {mask}L").cast("long"))
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.col(lo_col).alias("slo"),
+        F.col(hi_col).alias("shi"),
+        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            (
+                F.bit_count(F.expr("x.slo ^ y.slo"))
+                + F.bit_count(F.expr("x.shi ^ y.shi"))
+            ).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(
     signatures: DataFrame,
     max_hamming: int = 3,

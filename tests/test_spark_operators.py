@@ -85,6 +85,34 @@ def test_simhash_pairs_complete(docs):
         assert got == want, f"max_hamming={k}"
 
 
+def test_simhash_wide_pairs_complete(docs):
+    """120-bit (two-long) banded hamming join must find EXACTLY the pairs
+    the brute-force two-long hamming filter finds — recall 1.0 by design —
+    and each half must stay inside its 60-bit range."""
+    from palladian_spark.operators.dedup import (
+        simhash_pairs_wide,
+        simhash_signatures_wide,
+    )
+
+    sigs = simhash_signatures_wide(docs)
+    rows = {r["doc"]: (r["simhash_lo"], r["simhash_hi"]) for r in sigs.collect()}
+    for lo, hi in rows.values():
+        assert 0 <= lo < (1 << 60) and 0 <= hi < (1 << 60)
+    assert rows[1] == rows[2]  # identical docs -> identical signature
+    for k in (3, 11, 59):  # band count must divide evenly into the halves
+        got = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_pairs_wide(sigs, max_hamming=k).collect()}
+        want = set()
+        for a in rows:
+            for b in rows:
+                if a < b:
+                    hd = (bin(rows[a][0] ^ rows[b][0]).count("1")
+                          + bin(rows[a][1] ^ rows[b][1]).count("1"))
+                    if hd <= k:
+                        want.add((a, b, hd))
+        assert got == want, f"max_hamming={k}"
+
+
 def test_textstats(docs):
     from palladian_spark.operators.textstats import (
         fingerprints,
