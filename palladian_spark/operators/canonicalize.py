@@ -287,7 +287,7 @@ def _local_canonicalize(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     spark=None,
-    parallel_score_over: int = 20_000,
+    parallel_score_over: int = 100_000,
 ) -> list[tuple[str, str]]:
     """Driver-local block -> score -> union-find -> canonical pick.
 
@@ -303,7 +303,15 @@ def _local_canonicalize(
     a ``spark`` handle, pair sets above ``parallel_score_over`` are scored
     through the SAME _jw_udf the distributed path uses — identical kernel
     per element, just executed on all cores — and only the surviving edges
-    return to the driver union-find."""
+    return to the driver union-find.
+
+    Gate tuning (measured, sf0.1 32-core): serial JW runs ~28 us/pair, so
+    28k pairs score in 0.8 s while the parallel round trip costs 1.3 s
+    WARM (createDataFrame + repartition + UDF jobs + collect) and several
+    seconds cold — break-even is ~50k pairs warm, higher cold. 100k keeps
+    the serial path (< ~3 s worst case) for every corpus the local gate
+    admits, and only genuinely hot buckets (the 10x-bench case: 9 s
+    serial) pay the parallel fixed costs."""
     from collections import defaultdict
 
     a, b = _banding_params(num_hashes)
@@ -416,10 +424,16 @@ def canonicalize_values(
         .agg(F.count("*").alias("freq"))
         .persist()
     )
-    # one job decides the path AND fetches the local-path input: collect at
-    # most small_values+1 rows — if we got them all, canonicalize locally
-    probe = freq.limit(small_values + 1).collect()
-    if len(probe) <= small_values:
+    # count first, then collect: a limit(k).collect() probe would run
+    # Spark's incremental CollectLimit (1 partition, then 4x more, ...) —
+    # measured as FIVE escalating jobs at 1/4/16/... task parallelism,
+    # each recomputing expensive upstream partitions nearly serially
+    # (~7.5 s of a cold kg_triples run). count() materializes the persisted
+    # aggregate in ONE fully-parallel job; the collect then reads cached
+    # rows. The count is also exactly the gate decision.
+    n_distinct = freq.count()
+    if n_distinct <= small_values:
+        probe = freq.collect()
         freq.unpersist()
         spark = values.sparkSession
         freq_rows = [(r[0], r[1]) for r in probe]
