@@ -90,6 +90,17 @@ def scale_table(spark, src: str, name: str, factor: int):
                 )
             ),
         )
+        # rotations repeat after dim replicas (r and r+dim give the SAME
+        # vector — an artificial exact-dup explosion at --factor > dim);
+        # negating every second wrap keeps directions distinct (and norms
+        # unchanged) for up to 2*dim replicas
+        out = out.withColumn(
+            "embedding",
+            F.when(
+                F.expr("pmod(floor(_r / size(embedding)), 2) = 1"),
+                F.expr("transform(embedding, x -> -x)"),
+            ).otherwise(F.col("embedding")),
+        )
     return out.drop("_r")
 
 
