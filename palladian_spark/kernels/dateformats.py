@@ -345,6 +345,25 @@ def find_dates(text: str, formats=None) -> list[str]:
     return result
 
 
+def find_dates_with_format(text: str, formats=None) -> list[tuple[str, str]]:
+    """find_dates, but keeps WHICH format matched each date string —
+    the input the normalization stage (kernels.dateparse.parse_date)
+    needs, mirroring how the reference's DateParser.findDates builds an
+    ExtractedDate per (match, format) pair (DateParser.java:196-218).
+    Same ordered masking loop as find_dates."""
+    if formats is None:
+        formats = ALL_DATE_FORMATS
+    result = []
+    for fmt in formats:
+        for date_string in _find_dates_one(text, fmt):
+            try:
+                text = regex.sub(date_string, "x" * len(date_string), text, count=1)
+            except regex.error:
+                pass  # date string not a valid regex — Java would throw too
+            result.append((date_string, fmt.format))
+    return result
+
+
 def date_time_tag_full(text: str, formats=None):
     """DateAndTimeTagger.getAnnotations (DateAndTimeTagger.java:42-59):
     every literal occurrence index of every found date string becomes a

@@ -1,0 +1,456 @@
+"""Date normalization: the reference's DateParserLogic ported to Python.
+
+Semantics from palladian-commons/.../helper/date/DateParserLogic.java
+(per-format dispatch, lines 66-283; helpers 339-690) and
+DateParser.java:79-96 (exception-swallowing partial parse). Dispatch is
+by format NAME, exactly like the reference (DateFormat.equals compares
+only the format string, DateFormat.java:84-98), so e.g. the ISO and
+separator variants of "YYYY-MM-DD" share one logic branch.
+
+Every branch is golden-pinned against the ACTUAL compiled reference
+(tools/reference_harness/DateGoldenDriver.java -> tests/fixtures/
+date_parse_golden.tsv, regenerate with build_and_run_dates.sh): 173
+probes covering 2-digit/apostrophe years, ordinal days, German and
+dotted month names, am/pm, UTC offsets (incl. day rollover), timezone
+acronyms, fractional seconds, and ISO week / day-of-year boundaries.
+
+Faithful quirks kept on purpose:
+- get4DigitYear uses the CURRENT year as context (DateParserLogic.java:
+  583-592): 2-digit years above (currentYear-2000) become 19xx.
+- the lenient GregorianCalendar: out-of-range fields roll over (Feb 31
+  -> Mar 3; +14h UTC diff crosses midnight; week 53 of a 52-week year
+  rolls into January).
+- unknown format names raise (DateParserLogic.java:281) and the caller
+  keeps the partial state (DateParser.java:88-94), so e.g. the
+  YD_T format, which the reference tags but cannot parse, yields an
+  all-None date rather than an error.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import regex
+
+from .dateformats import TIMEZONE
+
+_TZ_PATTERN = regex.compile(TIMEZONE, regex.IGNORECASE)
+
+_MONTHS = {
+    1: ("january", "januar", "jan"),
+    2: ("february", "februar", "feb"),
+    3: ("march", "märz", "mär", "mar"),
+    4: ("april", "apr"),
+    5: ("may", "mai"),
+    6: ("june", "juni", "jun"),
+    7: ("july", "juli", "jul"),
+    8: ("august", "aug"),
+    9: ("september", "sep", "sept"),
+    10: ("october", "oktober", "oct", "okt"),
+    11: ("november", "nov"),
+    12: ("december", "dezember", "dec", "dez"),
+}
+_MONTH_TO_NUMBER = {name: n for n, names in _MONTHS.items() for name in names}
+
+
+def month_name_to_number(month_name: str) -> int:
+    """DateHelper.monthNameToNumber (DateHelper.java:116-148)."""
+    month = month_name.replace(",", "").replace(".", "").replace(" ", "").lower()
+    return _MONTH_TO_NUMBER.get(month, -1)
+
+
+def _remove_no_digits(s: str) -> str:
+    """DateParserLogic.removeNoDigits (DateParserLogic.java:604-637):
+    apostrophe years ('99), trailing comma/dot, ordinal suffixes, and
+    anything after a line break."""
+    result = s
+    idx = result.find("'")
+    if idx != -1:
+        result = result[idx + 1 :]
+    idx = result.find(",")
+    if idx != -1:
+        result = result[:idx]
+    idx = result.find(".")
+    if idx != -1:
+        result = result[:idx]
+    idx = -1
+    for suffix in ("th", "st", "nd", "rd"):
+        idx = result.find(suffix)
+        if idx != -1:
+            break
+    if idx != -1:
+        result = result[:idx]
+    return regex.sub(r"\n.*", "", result)
+
+
+def get_4digit_year(year: int) -> int:
+    """DateParserLogic.get4DigitYear: current year is the pivot."""
+    if year > 100:
+        return year
+    current_year = _dt.date.today().year
+    if year > current_year - 2000:
+        return year + 1900
+    return year + 2000
+
+
+def _normalize_year(s: str) -> int:
+    return get_4digit_year(_jint(_remove_no_digits(s)))
+
+
+def _get_separator(s: str) -> str | None:
+    """DateParserLogic.getSeparatorRegEx: first of . / _ - present."""
+    for sep, pat in ((".", r"\."), ("/", "/"), ("_", "_"), ("-", "-")):
+        if sep in s:
+            return pat
+    return None
+
+
+def _jsplit(s: str, pat: str) -> list[str]:
+    """Java String.split: trailing empty strings are dropped."""
+    parts = regex.split(pat, s)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+
+def _jint(s: str) -> int:
+    """Java Integer.parseInt: digits with optional sign ONLY (Python's
+    int() accepts PEP-515 underscores — '07_02' parses as 702 where Java
+    throws, which the URL_SPLIT fallback branch depends on)."""
+    if not regex.fullmatch(r"[+-]?\d+", s):
+        raise ValueError(s)
+    return int(s)
+
+def _lenient(year: int, month: int, day: int, hours: int = 0, minutes: int = 0) -> _dt.datetime:
+    """Lenient GregorianCalendar arithmetic: out-of-range month/day/hour
+    values roll over instead of raising."""
+    y = year + (month - 1) // 12
+    m = (month - 1) % 12 + 1
+    return _dt.datetime(y, m, 1) + _dt.timedelta(days=day - 1, hours=hours, minutes=minutes)
+
+
+class _ParseState:
+    """Mutable y/m/d/h/min/s/tz state, mirroring DateParserLogic fields."""
+
+    __slots__ = ("year", "month", "day", "hour", "minute", "second", "timezone")
+
+    def __init__(self):
+        self.year = -1
+        self.month = -1
+        self.day = -1
+        self.hour = -1
+        self.minute = -1
+        self.second = -1
+        self.timezone: str | None = None
+
+    # -- helpers (names follow the Java methods) --
+
+    def set_date_values(self, parts: list[str], year_pos: int, month_pos: int, day_pos: int):
+        if year_pos != -1:
+            self.year = _normalize_year(parts[year_pos])
+        if month_pos != -1:
+            month_string = parts[month_pos].replace(" ", "")
+            if regex.fullmatch(r"\d+", month_string):
+                self.month = _jint(month_string)
+            else:
+                self.month = month_name_to_number(month_string)
+        if day_pos != -1:
+            self.day = _jint(_remove_no_digits(parts[day_pos]))
+
+    def set_actual_time_values(self, time_string: str):
+        if time_string == "" or ":" in time_string:
+            time_parts = time_string.strip().split(":")
+            if time_parts and time_parts[0] != "":
+                self.hour = _jint(time_parts[0])
+                if len(time_parts) > 1:
+                    self.minute = _jint(time_parts[1])
+                    if len(time_parts) > 2:
+                        self.second = _jint(time_parts[2])
+        else:
+            self.hour = _jint(time_string)
+
+    def set_time_diff(self, time: str, sign: str):
+        if self.year == -1 or self.month == -1 or self.day == -1 or self.hour == -1:
+            return
+        temp_minute = 0
+        if ":" in time:
+            tp = time.split(":")
+            temp_hour = _jint(tp[0])
+            temp_minute = _jint(tp[1])
+        elif len(time) == 4:
+            temp_hour = _jint(time[0:2])
+            temp_minute = _jint(time[2:4])
+        else:
+            temp_hour = _jint(time)
+        temp_minute2 = self.minute if self.minute != -1 else 0
+        if sign == "-":
+            cal = _lenient(self.year, self.month, self.day,
+                           self.hour + temp_hour, temp_minute2 + temp_minute)
+        else:
+            cal = _lenient(self.year, self.month, self.day,
+                           self.hour - temp_hour, temp_minute2 - temp_minute)
+        self.year, self.month, self.day, self.hour = cal.year, cal.month, cal.day, cal.hour
+        if self.minute != -1 or temp_minute != 0:
+            self.minute = cal.minute
+
+    def set_time_values(self, time_string: str):
+        actual_time = time_string
+        if "." in actual_time:
+            actual_time = regex.sub(r"\.(\d)*", "", actual_time)
+        separator = None
+        if "Z" in time_string:
+            separator = "Z"
+        elif "+" in time_string:
+            separator = r"\+"
+        elif "-" in time_string:
+            separator = "-"
+        cleaned_time = actual_time
+        diff_to_utc = None
+        if separator is not None:
+            split = regex.split(separator, actual_time)
+            cleaned_time = split[0]
+            if separator != "Z":
+                diff_to_utc = split[1]
+        self.set_actual_time_values(cleaned_time)
+        if diff_to_utc is not None:
+            self.set_time_diff(diff_to_utc, "-" if separator == "-" else "+")
+
+    def set_date_by_week_of_year(self, date_string: str, with_day: bool, with_separator: bool):
+        if with_separator:
+            parts = date_string.split("-")
+        else:
+            parts = [date_string[0:4], date_string[4:7],
+                     date_string[7:8] if with_day else ""]
+        year = _jint(parts[0])
+        week = _jint(parts[1][1:])
+        if with_day:
+            java_dow = _jint(parts[2])  # Calendar.DAY_OF_WEEK: 1=Sun..7=Sat
+            iso_day = 7 if java_dow == 1 else java_dow - 1
+        else:
+            iso_day = 1  # Monday
+        # lenient week rollover: W53 of a 52-week year rolls into January
+        d = _dt.date.fromisocalendar(year, 1, iso_day) + _dt.timedelta(weeks=week - 1)
+        self.year, self.month = d.year, d.month
+        if with_day:
+            self.day = d.day
+
+    def set_date_by_day_of_year(self, date_string: str, with_separator: bool):
+        if with_separator:
+            parts = date_string.split("-")
+            year, doy = _jint(parts[0]), _jint(parts[1])
+        else:
+            year, doy = _jint(date_string[0:4]), _jint(date_string[4:])
+        d = _dt.date(year, 1, 1) + _dt.timedelta(days=doy - 1)
+        self.year, self.month, self.day = d.year, d.month, d.day
+
+    def set_24h(self, meridiem: str | None):
+        if self.hour == -1 or meridiem is None:
+            return
+        if meridiem.lower() == "pm" and 0 < self.hour < 12:
+            self.hour += 12
+        elif meridiem.lower() == "am" and self.hour == 12:
+            self.hour = 0
+
+
+def _has_am_pm(s: str) -> str | None:
+    for m in ("am", "AM", "pm", "PM"):
+        if m in s:
+            return m
+    return None
+
+
+def _remove_am_pm(s: str, meridiem: str) -> str:
+    return s.replace(meridiem, "").replace("  ", " ")
+
+
+def _split_timezone(date_string: str) -> tuple[str, str] | None:
+    m = _TZ_PATTERN.search(date_string)
+    if m:
+        tz = m.group().strip()
+        time_part = _TZ_PATTERN.sub(" ", date_string).replace("  ", " ")
+        return time_part, tz
+    return None
+
+
+def _time_tail(parts: list[str], start: int) -> str:
+    """Concatenate time tokens, skipping the '/' time separator."""
+    return "".join(p for p in parts[start:] if "/" not in p)
+
+
+def parse_date(date_string: str, format_name: str) -> dict:
+    """DateParser.parseDate(String, DateFormat): parse with the named
+    format's logic; exceptions keep the partial state (the reference
+    swallows them, DateParser.java:88-94). Returns a dict with year,
+    month, day, hour, minute, second (None where unset) and timezone."""
+    st = _ParseState()
+    try:
+        _parse_into(st, date_string, format_name)
+    except Exception:
+        pass
+    return {
+        "year": None if st.year == -1 else st.year,
+        "month": None if st.month == -1 else st.month,
+        "day": None if st.day == -1 else st.day,
+        "hour": None if st.hour == -1 else st.hour,
+        "minute": None if st.minute == -1 else st.minute,
+        "second": None if st.second == -1 else st.second,
+        "timezone": st.timezone,
+    }
+
+
+def _parse_into(st: _ParseState, date_string: str, fmt: str):
+    split = _split_timezone(date_string)
+    if split is not None:
+        date_string, st.timezone = split
+
+    if fmt == "YYYY-MM-DDTHH:MM:SS+HH:MM":
+        separator = "T" if "T" in date_string else " "
+        temp = date_string.split(separator)
+        st.set_date_values(_jsplit(temp[0], _get_separator(temp[0])), 0, 1, 2)
+        st.set_time_values(temp[1])
+    elif fmt == "YYYY-MM-DD":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), 0, 1, 2)
+    elif fmt == "YYYY-MM":
+        st.set_date_values(_jsplit(date_string, "-"), 0, 1, -1)
+    elif fmt == "YYYY-WW-D":
+        st.set_date_by_week_of_year(date_string, True, True)
+    elif fmt == "YYYY-WW-DTHH:MM:SS+HH:MM":
+        separator = "T" if "T" in date_string else " "
+        parts = date_string.split(separator)
+        st.set_date_by_week_of_year(parts[0], True, True)
+        st.set_time_values(parts[1])
+    elif fmt == "YYYY-WW":
+        st.set_date_by_week_of_year(date_string, False, True)
+    elif fmt == "YYYY-DDD":
+        st.set_date_by_day_of_year(date_string, True)
+    elif fmt == "YYYY_MM_DD":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), 0, 1, 2)
+    elif fmt == "YYYY_MMMM_DD_URL":
+        st.set_date_values(_jsplit(date_string, "/"), 0, 1, 2)
+    elif fmt == "YYYY.x.MM.DD":
+        parts = _jsplit(date_string, "/")
+        temp_month = 0
+        try:
+            st.year = _normalize_year(parts[0])
+            st.day = _jint(parts[-1])
+            temp_month = -1
+        except ValueError:
+            last = parts[-1]
+            tp = _jsplit(last, _get_separator(last))
+            st.month = _jint(tp[0])
+            st.day = _jint(tp[1])
+        if temp_month == -1:
+            st.month = _jint(parts[-2])
+    elif fmt == "YYYY_MM":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), 0, 1, -1)
+    elif fmt == "DD.MM.YYYY":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), 2, 1, 0)
+    elif fmt == "MM/DD/YYYY":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), 2, 0, 1)
+    elif fmt == "DD. MMMM YYYY":
+        ds = regex.sub(r"\.\s?", " ", date_string)
+        ds = ds.replace("-", " ")
+        st.set_date_values(_jsplit(ds, r"\s"), 2, 1, 0)
+    elif fmt == "MMMM DD, YYYY":
+        ds = regex.sub(r",\s|,|\s", " ", date_string)
+        parts = _jsplit(ds, r"\s")
+        if len(parts) == 2:
+            dot = parts[0].split(".")
+            parts = [dot[0], dot[1], parts[1]]
+        st.set_date_values(parts, 2, 0, 1)
+    elif fmt == "MMMM-DD-YYYY":
+        st.set_date_values(_jsplit(date_string, "-"), 2, 0, 1)
+    elif fmt == "MMMM YYYY":
+        st.set_date_values(_jsplit(date_string, r"\s"), 1, 0, -1)
+    elif fmt == "YYYY-MMM-D":
+        st.set_date_values(_jsplit(date_string, "-"), 0, 1, 2)
+    elif fmt == "MM.YYYY":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), 1, 0, -1)
+    elif fmt == "DD.MM.":
+        st.set_date_values(_jsplit(date_string, _get_separator(date_string)), -1, 1, 0)
+    elif fmt == "DD.MMMM":
+        ds = date_string.replace(".", "")
+        st.set_date_values(_jsplit(ds, r"\s"), -1, 1, 0)
+    elif fmt == "MM/DD":
+        st.set_date_values(_jsplit(date_string, "/"), -1, 0, 1)
+    elif fmt == "MMMM DD":
+        st.set_date_values(_jsplit(date_string, r"\s"), -1, 0, 1)
+    elif fmt == "MM/YYYY":
+        st.set_date_values(_jsplit(date_string, "/"), 1, 0, -1)
+    elif fmt == "WD MMM DD_1 HH:MM:SS YYYY":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 4, 1, 2)
+        st.set_time_values(parts[3])
+    elif fmt == "WD MMM DD_1 HH:MM:SS YYYY +UTC":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 4, 1, 2)
+        st.set_time_values(parts[3] + parts[5])
+    elif fmt == "WD, DD MMM YYYY HH:MM:SS TZ":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 3, 2, 1)
+        st.set_time_values(parts[4])
+    elif fmt == "WWD, DD-MMM-YY HH:MM:SS TZ":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts[1].split("-"), 2, 1, 0)
+        st.set_time_values(parts[2])
+    elif fmt == "YYYYMMDD":
+        st.year = _jint(date_string[0:4])
+        st.month = _jint(date_string[4:6])
+        st.day = _jint(date_string[6:8])
+    elif fmt == "YYYYWWD":
+        st.set_date_by_week_of_year(date_string, True, False)
+    elif fmt == "YYYYWW":
+        st.set_date_by_week_of_year(date_string, False, False)
+    elif fmt == "YYYYDDD":
+        st.set_date_by_day_of_year(date_string, False)
+    elif fmt == "WD, DD MMM YYYY HH:MM:SS +UTC":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 3, 2, 1)
+        st.set_time_values(parts[4] + parts[5])
+    elif fmt == "WWD, DD-MMM-YY HH:MM:SS +UTC":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts[1].split("-"), 2, 1, 0)
+        st.set_time_values(parts[2] + parts[3])
+    elif fmt == "DD.MM.YYYY HH:MM:SS +UTC":
+        meridiem = _has_am_pm(date_string)
+        if meridiem is not None:
+            date_string = _remove_am_pm(date_string, meridiem)
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(_jsplit(parts[0], _get_separator(parts[0])), 2, 1, 0)
+        st.set_time_values(_time_tail(parts, 1))
+        st.set_24h(meridiem)
+    elif fmt == "DD. MMMM YYYY HH:MM:SS +UTC":
+        meridiem = _has_am_pm(date_string)
+        if meridiem is not None:
+            date_string = _remove_am_pm(date_string, meridiem)
+        if "-" in date_string:
+            date_string = date_string.replace("-", " ")
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 2, 1, 0)
+        st.set_time_values(_time_tail(parts, 3))
+        st.set_24h(meridiem)
+    elif fmt == "MM/DD/YYYY HH:MM:SS +UTC":
+        meridiem = _has_am_pm(date_string)
+        if meridiem is not None:
+            date_string = _remove_am_pm(date_string, meridiem)
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(_jsplit(parts[0], _get_separator(parts[0])), 2, 0, 1)
+        st.set_time_values(_time_tail(parts, 1))
+        st.set_24h(meridiem)
+    elif fmt == "MMMM DD, YYYY YYYY HH:MM:SS +UTC":
+        meridiem = _has_am_pm(date_string)
+        if meridiem is not None:
+            date_string = _remove_am_pm(date_string, meridiem)
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 2, 0, 1)
+        st.set_time_values(_time_tail(parts, 3))
+        st.set_24h(meridiem)
+    elif fmt == "YYYY":
+        st.year = _jint(date_string)
+    elif fmt == "MMM DD HH:MM:SS TZ YYYY":
+        parts = _jsplit(date_string, r"\s")
+        st.set_date_values(parts, 3, 0, 1)
+        st.set_time_values(parts[2])
+    else:
+        raise ValueError(f"No parse logic for format \"{fmt}\"")

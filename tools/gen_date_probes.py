@@ -1,0 +1,131 @@
+"""Generate (format-field, date-string) probes for the DateParserLogic
+golden driver (tools/reference_harness/DateGoldenDriver.java).
+
+Every probe is validated with fullmatch against OUR port of the format's
+regex (palladian_spark.kernels.dateformats) so the golden corpus only
+contains strings the tagger could actually emit for that format — the
+same inputs normalize_dates() will see in production. Probes cover the
+quirk surface: 2-digit / apostrophe years, ordinal days, German and
+dotted month names, am/pm, UTC offsets, timezone acronyms, fractional
+seconds, ISO week/day-of-year boundaries (incl. lenient-rollover cases).
+
+Usage: python tools/gen_date_probes.py > /tmp/date_probes.tsv
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from palladian_spark.kernels import dateformats as D
+
+PROBES: dict[str, list[str]] = {
+    "DATE_ISO8601_YMD_T": [
+        "2010-07-02T19:07:49", "2010-07-02 19:07:49", "2010-07-02T19:07",
+        "2010-07-02T19", "2010-07-02T19:07:49Z", "2010-07-02T19:07:49+02:00",
+        "2010-07-02T19:07:49-05:30", "2010-07-02T19:07:49.123",
+        "2010-07-02T19:07:49 GMT+02:00", "'87-07-02T19:07:49",
+        "2010-07-02T23:59:59+14", "2010-01-01T00:00:00Z",
+    ],
+    "DATE_ISO8601_YMD_SEPARATOR_T": [
+        "2010/07/02T19:07:49", "2010.07.02T19:07:49", "2010_07_02T19:07:49",
+        "2010/07/02 19:07", "2010.12.31T23:59:59Z",
+    ],
+    "DATE_ISO8601_YMD": ["2010-07-02", "2010-01-31", "'99-12-01", "87-06-05"],
+    "DATE_ISO8601_YMD_SEPARATOR": [
+        "2010/07/02", "2010.07.02", "2010_07_02", "99/01/02",
+    ],
+    "DATE_ISO8601_YM": ["2010-07", "1999-12", "2024-01"],
+    "DATE_ISO8601_YWD_T": [
+        "2010-W27-5T19:07:49", "2010-W01-1T00:00", "2023-W52-7 12:30:45",
+    ],
+    "DATE_ISO8601_YWD": ["2010-W27-5", "2010-W01-1", "2010-W01-7", "2015-W53-4"],
+    "DATE_ISO8601_YW": ["2010-W27", "2010-W01", "2015-W53"],
+    "DATE_ISO8601_YD_T": ["2010-183T19:07:49"],
+    "DATE_ISO8601_YD": ["2010-183", "2010-001", "2012-366", "2011-365"],
+    "DATE_ISO8601_YMD_NO": ["20100702", "19991231"],
+    "DATE_ISO8601_YWD_NO": ["2010W275", "2010W011", "2015W534"],
+    "DATE_ISO8601_YW_NO": ["2010W27", "2015W53"],
+    "DATE_ISO8601_YD_NO": ["2010183", "2012366", "2010001"],
+    "DATE_URL_D": [
+        "2010/07/02/", "2010_07_02", "2010.07.02", "2010-07-02", "'10/06/30/",
+    ],
+    "DATE_URL_MMMM_D": ["2010/July/02/", "2010/march/31/", "2010/Dez/05/"],
+    "DATE_URL": ["2010/07", "2010_07", "2010.07", "2010-07"],
+    "DATE_URL_SPLIT": ["2010/news/07/02", "2010/a/b/07_02", "2010/x/12.31"],
+    "DATE_EU_D_MM_Y": [
+        "02.07.2010", "2.7.2010", "02/07/2010", "02_07_2010", "02-07-2010",
+        "31.12.99", "1.1.2000", "15.03.'87",
+    ],
+    "DATE_EU_D_MM_Y_T": [
+        "02.07.2010 19:07:49", "02.07.2010 19:07", "2.7.10 5:03",
+        "02.07.2010 07:30 PM", "02.07.2010 12:01 AM", "02.07.2010 19:07:49 +01:00",
+        "02.07.2010 19:07:49 GMT+02:00", "31.12.2010 23:59 UTC",
+    ],
+    "DATE_EU_MM_Y": ["07.2010", "7/2010", "12-1999", "07_2010"],
+    "DATE_EU_D_MM": ["02.07.", "2.7.", "31.12."],
+    "DATE_EU_D_MMMM_Y": [
+        "2. July 2010", "2 July 2010", "02. Juli 2010", "2nd July 2010",
+        "3rd March 1999", "1st January '87", "21st Dec. 2012", "15. Dezember 2010",
+        "4-Aug-2011", "23rd April 2014",
+    ],
+    "DATE_EU_D_MMMM": ["2. July", "15. Dezember", "31 Dec"],
+    "DATE_EU_D_MMMM_Y_T": [
+        "2. July 2010 19:07:49", "2 July 2010 19:07", "15. Dez. 2010 12:30",
+        "2. July 2010 07:30 PM", "4-Aug-2011 06:15:20 +02:00",
+    ],
+    "DATE_USA_MM_D_Y": ["07/02/2010", "7/2/2010", "12/31/99", "1/1/2000"],
+    "DATE_USA_MM_D_Y_T": [
+        "07/02/2010 19:07:49", "7/2/2010 5:03", "07/02/2010 07:30 PM",
+        "07/02/2010 12:00 AM", "07/02/2010 19:07:49 +01:00",
+        "12/31/2010 23:59 UTC",
+    ],
+    "DATE_USA_MM_D_Y_SEPARATOR": ["07.02.2010", "07-02-2010", "07_02_2010"],
+    "DATE_USA_MM_D_Y_T_SEPARATOR": [
+        "07-02-2010 19:07:49", "07.02.2010 5:03", "07_02_2010 19:07 +01:00",
+    ],
+    "DATE_USA_MM_Y": ["07/2010", "12/1999", "7/99"],
+    "DATE_USA_MM_D": ["07/02", "7/2", "12/31"],
+    "DATE_USA_MMMM_D_Y": [
+        "July 2, 2010", "July 2nd, 2010", "March 31, 1999", "Dec. 25, 2012",
+        "December 25. 2012", "april 1, 2000", "JULY 4 1776", "Sept. 11, 2001",
+    ],
+    "DATE_USA_MMMM_D_Y_SEP": ["July-02-2010", "March-31-1999", "Dez-05-2010"],
+    "DATE_USA_MMMM_D_Y_T": [
+        "July 2nd, 2010 19:07:49", "March 31st, 2010 5:03",
+        "July 2nd, 2010 07:30 PM", "December 25th, 2012, 00:01",
+    ],
+    "DATE_USA_MMMM_D": ["July 2nd", "March 31", "Dec. 25", "September 1st"],
+    "DATE_EUSA_MMMM_Y": ["July 2010", "Dezember 1999", "march 2024"],
+    "DATE_EUSA_YYYY_MMM_D": ["2010-July-02", "1999-Dec-31", "2010-märz-5"],
+    "DATE_RFC_1123": ["Fri, 02 Jul 2010 19:07:49 GMT", "Mon, 31 Dec 2012 23:59:59 UTC"],
+    "DATE_RFC_1123_UTC": ["Fri, 02 Jul 2010 19:07:49 +0200", "Mon, 31 Dec 2012 23:59:59 GMT +01:30"],
+    "DATE_RFC_1036": ["Friday, 02-Jul-10 19:07:49 GMT", "Monday, 31-Dec-12 23:59:59 UTC"],
+    "DATE_RFC_1036_UTC": ["Friday, 02-Jul-10 19:07:49 +0200", "Monday, 31-Dec-12 23:59:59 -0130"],
+    "DATE_ANSI_C": ["Fri Jul 2 19:07:49 2010", "Mon Dec 31 23:59:59 2012"],
+    "DATE_ANSI_C_TZ": ["Fri Jul 2 19:07:49 2010 +0200", "Mon Dec 31 23:59:59 2012 -0130"],
+    "DATE_MMM_DD_HH_MM_SS_TZ_YYYY": ["Jul 02 19:07:49 UTC 2010", "Dec 31 23:59:59 GMT 2012"],
+    "DATE_CONTEXT_YYYY": ["2010", "1999", "2024"],
+}
+
+
+def main() -> int:
+    bad = []
+    for field, strings in PROBES.items():
+        fmt = getattr(D, field)
+        for s in strings:
+            if fmt.pattern.fullmatch(s) is None:
+                bad.append((field, s))
+            else:
+                print(f"{field}\t{s}")
+    if bad:
+        for field, s in bad:
+            print(f"NO MATCH {field}: {s!r}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,63 @@
+import java.io.FileOutputStream;
+import java.io.OutputStreamWriter;
+import java.io.PrintWriter;
+import java.lang.reflect.Field;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.Files;
+import java.nio.file.Paths;
+import java.util.LinkedHashMap;
+import java.util.List;
+import java.util.Map;
+
+import ws.palladian.helper.constants.DateFormat;
+import ws.palladian.helper.constants.RegExp;
+import ws.palladian.helper.date.DateParser;
+import ws.palladian.helper.date.ExtractedDate;
+
+/**
+ * Golden driver for DateParserLogic: reads (RegExp field name, date string)
+ * TSV lines, parses each with the actual reference DateParser, and dumps
+ * field \t format \t dateString \t year \t month \t day \t hour \t minute
+ * \t second \t timeZone. Parse exceptions print ERROR (the reference
+ * swallows them and returns the partial state, so ERROR never appears
+ * unless construction itself fails).
+ *
+ * Usage: java DateGoldenDriver probes.tsv out.tsv
+ */
+public class DateGoldenDriver {
+
+    public static void main(String[] args) throws Exception {
+        Map<String, DateFormat> byField = new LinkedHashMap<>();
+        for (Field f : RegExp.class.getFields()) {
+            if (f.getType() == DateFormat.class) {
+                byField.put(f.getName(), (DateFormat) f.get(null));
+            }
+        }
+        List<String> lines = Files.readAllLines(Paths.get(args[0]), StandardCharsets.UTF_8);
+        PrintWriter out = new PrintWriter(new OutputStreamWriter(new FileOutputStream(args[1]),
+                StandardCharsets.UTF_8));
+        for (String line : lines) {
+            if (line.isEmpty()) {
+                continue;
+            }
+            String[] parts = line.split("\t", 2);
+            DateFormat fmt = byField.get(parts[0]);
+            if (fmt == null) {
+                throw new IllegalArgumentException("unknown format field: " + parts[0]);
+            }
+            String ds = parts[1];
+            String result;
+            try {
+                ExtractedDate d = DateParser.parseDate(ds, fmt);
+                result = d.get(ExtractedDate.YEAR) + "\t" + d.get(ExtractedDate.MONTH) + "\t"
+                        + d.get(ExtractedDate.DAY) + "\t" + d.get(ExtractedDate.HOUR) + "\t"
+                        + d.get(ExtractedDate.MINUTE) + "\t" + d.get(ExtractedDate.SECOND) + "\t"
+                        + (d.getTimeZone() == null ? "" : d.getTimeZone());
+            } catch (Exception e) {
+                result = "ERROR\t" + e.getClass().getSimpleName() + "\t\t\t\t\t";
+            }
+            out.println(parts[0] + "\t" + fmt.getFormat() + "\t" + ds + "\t" + result);
+        }
+        out.close();
+    }
+}

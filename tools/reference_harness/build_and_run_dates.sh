@@ -1,0 +1,32 @@
+#!/bin/bash
+# Build and run the reference DateParser offline to (re)freeze its
+# normalization outputs as goldens (tests/fixtures/date_parse_golden.tsv).
+# Only needs palladian-commons sources (DateParser / DateParserLogic /
+# ExtractedDate / RegExp) + slf4j; no stubs or overlays required.
+#
+# Usage: bash tools/reference_harness/build_and_run_dates.sh
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF=/root/reference
+BUILD=/tmp/refharness_dates
+SLF4J=$(find /root/.cache/coursier -name "slf4j-api-*.jar" | head -1)
+OUT="$HERE/../../tests/fixtures"
+
+rm -rf "$BUILD"
+mkdir -p "$BUILD/classes" "$BUILD/overlay/ws/palladian/helper/functional"
+
+# same diamond-inference patch the NER harness applies (build_and_run.sh)
+sed -e 's/return new AndFilter<>(new LinkedHashSet<>(Arrays.asList(filters)));/return new AndFilter<T>(new LinkedHashSet<Predicate<? super T>>(Arrays.asList(filters)));/' \
+    -e 's/return new OrFilter<>(new LinkedHashSet<>(Arrays.asList(filters)));/return new OrFilter<T>(new LinkedHashSet<Predicate<? super T>>(Arrays.asList(filters)));/' \
+    "$REF/palladian-commons/src/main/java/ws/palladian/helper/functional/Predicates.java" \
+    > "$BUILD/overlay/ws/palladian/helper/functional/Predicates.java"
+
+javac -nowarn -encoding UTF-8 --release 8 -d "$BUILD/classes" -cp "$SLF4J" \
+    -sourcepath "$BUILD/overlay:$REF/palladian-commons/src/main/java:$HERE/stubs" \
+    "$HERE/DateGoldenDriver.java"
+
+python "$HERE/../gen_date_probes.py" > "$BUILD/date_probes.tsv"
+java -cp "$BUILD/classes:$SLF4J" DateGoldenDriver \
+    "$BUILD/date_probes.tsv" "$OUT/date_parse_golden.tsv"
+wc -l "$OUT/date_parse_golden.tsv"
