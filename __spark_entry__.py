@@ -381,6 +381,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_triples(source, model=None, canonicalize=True)
 
+    def doc_dates_normalized(spark, sf_dir):
+        # date normalization (reference extraction/date DateParserLogic
+        # semantics, golden-pinned kernel): a deterministic date-bearing
+        # corpus derived from doc_id runs through the FULL ordered
+        # find-and-mask tagger loop + per-format normalization; the
+        # DuckDB oracle re-derives the same strings arithmetically and
+        # normalizes them INDEPENDENTLY via strptime. Days are kept in
+        # 13..28 so the EU/USA/ISO family attribution is unambiguous.
+        from palladian_spark.operators.dates import normalize_dates
+
+        docs = _read(spark, sf_dir, "documents")
+        months = F.array(*[F.lit(m) for m in [
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November", "December",
+        ]])
+        dd = (F.col("doc_id") % 16 + 13).cast("int")
+        mm = (F.col("doc_id") % 12 + 1).cast("int")
+        h = (F.col("doc_id") % 10).cast("int")
+        d4 = (F.col("doc_id") % 7 + 13).cast("int")
+        cyr = (F.col("doc_id") % 200 + 1900).cast("int")
+        derived = docs.select(
+            "doc_id",
+            F.format_string(
+                "released 2021-03-%02dT0%d:1%d:2%d then %02d/%02d/2022 "
+                "also %02d.%02d.1999 and %s %dth, 2005 in %d",
+                dd, h, h, h, mm, dd, dd, mm, F.element_at(months, mm), d4, cyr,
+            ).alias("content"),
+        )
+        out = normalize_dates(derived, text_col="content", keep_cols=["doc_id"])
+        return out.select(
+            "doc_id", "value", "fmt", "year", "month", "day",
+            "hour", "minute", "second", "ts",
+        )
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -697,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_simhash=doc_simhash,
         doc_simhash_pairs=doc_simhash_pairs,
         doc_simhash_wide_pairs=doc_simhash_wide_pairs,
+        doc_dates_normalized=doc_dates_normalized,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
         ner_reference_agreement=ner_reference_agreement,
@@ -1149,6 +1184,57 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::int as hamming
             from sig a join sig b on a.doc < b.doc
             where bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "doc_dates_normalized": """
+            with d as (
+              select doc_id,
+                     (13 + doc_id % 16)::int as dd,
+                     (1 + doc_id % 12)::int as mm,
+                     (doc_id % 10)::int as h,
+                     (13 + doc_id % 7)::int as d4,
+                     (1900 + doc_id % 200)::int as cyr,
+                     case (1 + doc_id % 12)
+                       when 1 then 'January' when 2 then 'February'
+                       when 3 then 'March' when 4 then 'April'
+                       when 5 then 'May' when 6 then 'June'
+                       when 7 then 'July' when 8 then 'August'
+                       when 9 then 'September' when 10 then 'October'
+                       when 11 then 'November' else 'December' end as mname
+              from documents),
+            parsed as (
+              select doc_id, printf('2021-03-%02dT0%d:1%d:2%d', dd, h, h, h) as value,
+                     'YYYY-MM-DDTHH:MM:SS+HH:MM' as fmt, true as has_time,
+                     strptime(printf('2021-03-%02dT0%d:1%d:2%d', dd, h, h, h),
+                              '%Y-%m-%dT%H:%M:%S') as t
+              from d
+              union all
+              select doc_id, printf('%02d/%02d/2022', mm, dd),
+                     'MM/DD/YYYY', false,
+                     strptime(printf('%02d/%02d/2022', mm, dd), '%m/%d/%Y')
+              from d
+              union all
+              select doc_id, printf('%02d.%02d.1999', dd, mm),
+                     'DD.MM.YYYY', false,
+                     strptime(printf('%02d.%02d.1999', dd, mm), '%d.%m.%Y')
+              from d
+              union all
+              select doc_id, printf('%s %dth, 2005', mname, d4),
+                     'MMMM DD, YYYY', false,
+                     strptime(printf('%s %dth, 2005', mname, d4), '%B %dth, %Y')
+              from d)
+            select doc_id, value, fmt,
+                   year(t)::int as year, month(t)::int as month, day(t)::int as day,
+                   case when has_time then hour(t)::int end as hour,
+                   case when has_time then minute(t)::int end as minute,
+                   case when has_time then second(t)::int end as second,
+                   strftime(t, '%Y-%m-%d %H:%M:%S') as ts
+            from parsed
+            union all
+            select doc_id, cyr::varchar as value, 'YYYY' as fmt,
+                   cyr as year, null::int as month, null::int as day,
+                   null::int as hour, null::int as minute, null::int as second,
+                   null::varchar as ts
+            from d
         """,
         "doc_simhash_wide_pairs": f"""
             with sig as ({_simhash_wide_sig_sql()})
