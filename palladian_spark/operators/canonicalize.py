@@ -68,9 +68,12 @@ def _minhash_bands(
 
     udf = _make_band_udf(num_hashes, band_size, shingle_n)
     values = spread(values)  # single-split value tables: one-core band UDF
+    # posexplode_outer + null-guard: inner posexplode would double-evaluate
+    # the band UDF via InferFiltersFromGenerate (see operators/mentions.py);
+    # the UDF always returns a fixed-size band array, so no real row drops
     return values.select(
-        value_col, F.posexplode(udf(F.col(value_col))).alias("band_id", "band_hash")
-    )
+        value_col, F.posexplode_outer(udf(F.col(value_col))).alias("band_id", "band_hash")
+    ).where(F.col("band_hash").isNotNull())
 
 
 @F.pandas_udf(DoubleType())

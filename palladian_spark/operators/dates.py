@@ -84,7 +84,11 @@ def normalize_dates(
     exploded = (
         spread(df)
         .select(*keep_cols, udf(F.col(text_col)).alias("_dates"))
-        .select(*keep_cols, F.explode("_dates").alias("_d"))
+        # explode_outer + null-guard: an inner explode would
+        # double-evaluate the UDF via InferFiltersFromGenerate (see
+        # operators/mentions.py detect_mentions)
+        .select(*keep_cols, F.explode_outer("_dates").alias("_d"))
+        .where(F.col("_d").isNotNull())
         .select(
             *keep_cols,
             "_d.value", "_d.fmt", "_d.year", "_d.month", "_d.day",

@@ -101,9 +101,11 @@ def ngram_jaccard_pairs(
     Jaccard computed from shared-shingle counts + per-doc shingle counts —
     a join + two aggregates, fully relational (DuckDB-verifiable).
     """
+    # explode_outer + null-guard: an inner explode would double-evaluate
+    # the shingle UDF via InferFiltersFromGenerate (see operators/mentions.py)
     shingled = _word_shingles(df, text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode("_shingles").alias("shingle")
-    )
+        F.col(id_col).alias("doc"), F.explode_outer("_shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -142,8 +144,8 @@ def ngram_jaccard_pairs_exact(
     threshold filter (den*shared >= num*union), so the DuckDB oracle
     compares exact integers with no float rounding in play."""
     shingled = _word_shingles(df, text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode("_shingles").alias("shingle")
-    )
+        F.col(id_col).alias("doc"), F.explode_outer("_shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -228,9 +230,12 @@ def minhash_lsh_pairs(
     # recompute. For production stage boundaries use StageStore
     # (sources/checkpoint.py) — reliable parquet materialization with
     # resume; the local cuts here only dedupe work INSIDE one job
+    # posexplode_outer + null-guard: inner posexplode would double-evaluate
+    # the band UDF (InferFiltersFromGenerate); sigs is already size>0 filtered
+    # so the guard never drops a real row
     bands = sigs.select(
-        "doc", F.posexplode(_doc_bands(F.col("_shingles"))).alias("band_id", "band_hash")
-    ).localCheckpoint(eager=False)
+        "doc", F.posexplode_outer(_doc_bands(F.col("_shingles"))).alias("band_id", "band_hash")
+    ).where(F.col("band_hash").isNotNull()).localCheckpoint(eager=False)
 
     cand = (
         bands.alias("x")

@@ -73,9 +73,19 @@ def detect_mentions(
     keep_cols = keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
     udf = _make_tagger_udf(tagger)
     df = spread(df)
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns an inner
+    # generate over a UDF column into `Filter size(udf(..)) > 0` +
+    # `Generate udf(..)` and pushes the filter below the spread()
+    # repartition — the tagger UDF then runs TWICE, once of them on the
+    # SINGLE-partition pre-shuffle side (measured: the whole corpus
+    # serially). The outer variant infers no filter; the null-guard above
+    # the generate drops the empty-array rows the inner explode would
+    # have dropped, JVM-side. (Same pattern as similarity_search.
+    # _explode_tables.)
     exploded = (
         df.select(*keep_cols, udf(F.col(text_col)).alias("_anns"))
-        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        .select(*keep_cols, F.explode_outer("_anns").alias("_a"))
+        .where(F.col("_a").isNotNull())
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )
     return exploded
@@ -123,6 +133,9 @@ def dictionary_mentions(
 
     return (
         spread(df).select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
-        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        # explode_outer + null-guard: see detect_mentions — an inner
+        # explode would double-evaluate the UDF via InferFiltersFromGenerate
+        .select(*keep_cols, F.explode_outer("_anns").alias("_a"))
+        .where(F.col("_a").isNotNull())
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )

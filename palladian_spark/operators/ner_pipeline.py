@@ -302,9 +302,12 @@ def train_ner(
     entity_dictionary.prune_min_count(min_count)
 
     # --- annotation dictionary: padded 5-gram counts (:335-346)
+    # explode_outer + null-guard here and below: inner explode over a UDF
+    # column double-evaluates the UDF via InferFiltersFromGenerate (see
+    # operators/mentions.py detect_mentions)
     ann_grams = ann.select(
-        "tag", F.explode(_annotation_grams("value", "tag")).alias("g")
-    ).select(F.col("g.term").alias("term"), F.col("g.tag").alias("tag"))
+        "tag", F.explode_outer(_annotation_grams("value", "tag")).alias("g")
+    ).where(F.col("g").isNotNull()).select(F.col("g.term").alias("term"), F.col("g.tag").alias("tag"))
     entries, term_counts = _collect_gram_dictionary(ann_grams, ANNOTATION_FEATURE_SETTING)
     annotation_dictionary = _dictionary_from_rows(
         entries, ann_per_tag, term_counts, ANNOTATION_FEATURE_SETTING
@@ -314,8 +317,8 @@ def train_ner(
     # --- context dictionary: unpadded 5-grams of ±40-char windows (:894-906)
     ctx = ann.withColumn("ctx", _char_context("text", "start", "value"))
     ctx_grams = ctx.select(
-        "tag", F.explode(_context_grams("ctx", "tag")).alias("g")
-    ).select(F.col("g.term").alias("term"), F.col("g.tag").alias("tag"))
+        "tag", F.explode_outer(_context_grams("ctx", "tag")).alias("g")
+    ).where(F.col("g").isNotNull()).select(F.col("g.term").alias("term"), F.col("g.tag").alias("tag"))
     entries, term_counts = _collect_gram_dictionary(ctx_grams, CONTEXT_FEATURE_SETTING)
     context_dictionary = _dictionary_from_rows(
         entries, ann_per_tag, term_counts, CONTEXT_FEATURE_SETTING
@@ -324,7 +327,8 @@ def train_ner(
 
     # --- case dictionary: mean lowercase ratio per token (:191-222)
     case_rows = (
-        gold_df.select(F.explode(_case_tokens("text")).alias("t"))
+        gold_df.select(F.explode_outer(_case_tokens("text")).alias("t"))
+        .where(F.col("t").isNotNull())
         .select(F.col("t.token").alias("token"), F.col("t.sig").alias("sig"))
         .groupBy("token")
         .agg(
@@ -339,12 +343,14 @@ def train_ner(
 
     # --- left contexts: outside vs inside counts (:860-892)
     outside = (
-        gold_df.select(F.explode(_left_context_tokens("text", "annotations")).alias("ctx"))
+        gold_df.select(F.explode_outer(_left_context_tokens("text", "annotations")).alias("ctx"))
+        .where(F.col("ctx").isNotNull())
         .groupBy("ctx")
         .agg(F.count("*").alias("outside"))
     )
     inside = (
-        ann.select(F.explode(_inside_parts("value")).alias("ctx"))
+        ann.select(F.explode_outer(_inside_parts("value")).alias("ctx"))
+        .where(F.col("ctx").isNotNull())
         .groupBy("ctx")
         .agg(F.count("*").alias("inside"))
     )
@@ -394,8 +400,8 @@ def train_ner(
                 [(a.value, a.tag) for a in negatives], ["value", "tag"]
             )
             neg_grams = neg_df.select(
-                "tag", F.explode(_annotation_grams("value", "tag")).alias("g")
-            ).select(F.col("g.term").alias("term"), F.col("g.tag").alias("tag"))
+                "tag", F.explode_outer(_annotation_grams("value", "tag")).alias("g")
+            ).where(F.col("g").isNotNull()).select(F.col("g.term").alias("term"), F.col("g.tag").alias("tag"))
             for r in neg_grams.groupBy("term", "tag").agg(F.count("*").alias("cnt")).collect():
                 cats = model.annotation_dictionary.entries.setdefault(r["term"], {})
                 cats[r["tag"]] = cats.get(r["tag"], 0) + r["cnt"]
@@ -442,7 +448,9 @@ def tag_documents(
 
     return (
         spread(df).select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
-        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        # explode_outer + null-guard: see operators/mentions.py detect_mentions
+        .select(*keep_cols, F.explode_outer("_anns").alias("_a"))
+        .where(F.col("_a").isNotNull())
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )
 

@@ -77,7 +77,9 @@ def apply_rule_engine(
     return (
         spread(df)
         .select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
-        .select(*keep_cols, F.explode("_anns").alias("_a"))
+        # explode_outer + null-guard: see operators/mentions.py detect_mentions
+        .select(*keep_cols, F.explode_outer("_anns").alias("_a"))
+        .where(F.col("_a").isNotNull())
         .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
     )
 
@@ -298,6 +300,8 @@ def wiktionary_triples(
     return (
         spread(pages)
         .select(_parse(F.col(title_col), F.col(text_col)).alias("_t"))
-        .select(F.explode("_t").alias("t"))
+        # explode_outer + null-guard: see operators/mentions.py detect_mentions
+        .select(F.explode_outer("_t").alias("t"))
+        .where(F.col("t").isNotNull())
         .select("t.subj", "t.pred", "t.obj")
     )

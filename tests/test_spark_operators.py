@@ -85,6 +85,25 @@ def test_simhash_pairs_complete(docs):
         assert got == want, f"max_hamming={k}"
 
 
+def test_no_double_udf_evaluation_in_plans(spark):
+    """InferFiltersFromGenerate turns `explode(udf(col))` into
+    `Filter size(udf(col)) > 0` + `Generate udf(col)` and pushes the
+    filter below the spread() repartition — evaluating every tagger /
+    shingle / band UDF TWICE, once of them on the single-partition
+    pre-shuffle side (measured: the whole corpus serially). All
+    UDF-feeding generates now use *_outer + a null-guard; this pins the
+    physical plans free of the telltale inferred size-filter."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+    for name in ["string_tagger_candidates", "dict_mentions",
+                 "doc_dates_normalized", "doc_ngram_jaccard",
+                 "doc_cooccur_sentence"]:
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "size(pythonUDF" not in plan, name
+
+
 def test_simhash_wide_pairs_complete(docs):
     """120-bit (two-long) banded hamming join must find EXACTLY the pairs
     the brute-force two-long hamming filter finds — recall 1.0 by design —
