@@ -41,6 +41,8 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_exact_dedup",
     "doc_simhash_pairs",
+    "doc_simhash_wide_pairs",
+    "doc_dates_normalized",
     "doc_pos_tags",
     "doc_cooccur_window",
     "media_features",
