@@ -415,6 +415,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hour", "minute", "second", "ts",
         )
 
+    def doc_dup_clusters(spark, sf_dir):
+        # duplicate clusters = connected components over exact-Jaccard
+        # near-dup pairs. Deliberately runs the DISTRIBUTED iterative
+        # hash-min + pointer-jumping loop (small_graph_edges=0), so the
+        # at-scale CC path itself is hash-verified against an independent
+        # DuckDB recursive-CTE transitive closure (min reachable node).
+        # doc ids are zero-padded to width 12 before CC so the operator's
+        # lexicographic min equals numeric min.
+        from palladian_spark.operators.canonicalize import connected_components
+        from palladian_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+        pairs = ngram_jaccard_pairs_exact(
+            _read(spark, sf_dir, "documents"), n=3, threshold_num=1, threshold_den=5
+        )
+        edges = pairs.select(
+            F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("left_value"),
+            F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("right_value"),
+        )
+        comp = connected_components(edges, small_graph_edges=0)
+        return comp.select(
+            F.col("value").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("cluster"),
+        )
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -727,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_split=doc_split,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
+        doc_dup_clusters=doc_dup_clusters,
         doc_minhash_pairs=doc_minhash_pairs,
         doc_simhash=doc_simhash,
         doc_simhash_pairs=doc_simhash_pairs,
@@ -1063,6 +1088,36 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on doc_a = sa.doc
             join sizes sb on doc_b = sb.doc
             where 5 * shared >= 1 * (sa.n_shingles + sb.n_shingles - shared)
+        """,
+        "doc_dup_clusters": """
+            with recursive sh as (
+              select doc_id as doc,
+                     list_distinct(list_transform(
+                        list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                    (x, i) -> i <= len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+                        (x, i) -> x || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) as shingles
+              from documents),
+            tok as (select doc, unnest(shingles) as shingle from sh),
+            sizes as (select doc, count(*) as n_shingles from tok group by doc),
+            shared as (
+              select a.doc as doc_a, b.doc as doc_b, count(*) as shared
+              from tok a join tok b on a.shingle = b.shingle and a.doc < b.doc
+              group by 1, 2),
+            pairs as (
+              select doc_a, doc_b from shared
+              join sizes sa on doc_a = sa.doc
+              join sizes sb on doc_b = sb.doc
+              where 5 * shared >= 1 * (sa.n_shingles + sb.n_shingles - shared)),
+            nodes as (select doc_a as doc from pairs union select doc_b from pairs),
+            edges as (select doc_a as src, doc_b as dst from pairs
+                      union select doc_b, doc_a from pairs),
+            reach(a, b) as (
+              select doc, doc from nodes
+              union
+              select r.a, e.dst from reach r join edges e on r.b = e.src)
+            select a as doc_id, min(b) as cluster from reach group by a
         """,
         "doc_minhash_pairs": """
             with sh as (
