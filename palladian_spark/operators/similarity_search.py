@@ -511,6 +511,21 @@ def quantize_embeddings(
     )
 
 
+def recommended_srp_planes(n_vectors: int, floor: int = 10) -> int:
+    """SRP plane count that keeps the bucket self-join linear: random
+    (cosine ~0) pairs collide per table at 0.5^planes, so the expected
+    candidate count is ~C(n,2) * tables * 0.5^planes — planes must grow
+    with log2(n) or the join goes quadratic. ceil(log2 n) + 2 keeps
+    expected random collisions per table at ~n/8 pairs. Measured at the
+    100x probe (BENCH.md): 200k vectors at 10 planes -> ~8x10^7
+    candidates (GC-bound); at 18 planes (this formula) -> bounded,
+    124 s end to end. Raise n_tables alongside to hold recall
+    (per-table recall is p^planes for match probability p)."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n_vectors, 2))) + 2)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -523,6 +538,10 @@ def embedding_near_duplicates(
     OR-amplified across ``n_tables`` tables (pairs deduped before the
     cosine filter). At threshold 0.95 a true pair collides per table with
     p^10 ~ 0.35, so 4 tables put recall near 0.82; raise n_tables for more.
+
+    The defaults fit ~<=10^5 vectors; at larger corpora size ``n_planes``
+    with :func:`recommended_srp_planes` (the bucket join's candidate count
+    is what scales, not the verify) and raise ``n_tables`` to hold recall.
     """
     bucket_udf = _make_buckets_udf(
         n_planes, n_tables, dim=_table_dim(embeddings, vec_col)

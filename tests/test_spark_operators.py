@@ -85,6 +85,19 @@ def test_simhash_pairs_complete(docs):
         assert got == want, f"max_hamming={k}"
 
 
+def test_recommended_srp_planes():
+    from palladian_spark.operators.similarity_search import recommended_srp_planes
+
+    assert recommended_srp_planes(1_000) == 12
+    assert recommended_srp_planes(200_000) == 20  # ceil(log2 200k)=18
+    assert recommended_srp_planes(10) == 10  # floor
+    # expected random candidates per table stay ~n/8 as n grows
+    for n in (10_000, 1_000_000, 10**9):
+        p = recommended_srp_planes(n)
+        expected = n * (n - 1) / 2 * 0.5**p
+        assert expected <= n / 4
+
+
 def test_no_double_udf_evaluation_in_plans(spark):
     """InferFiltersFromGenerate turns `explode(udf(col))` into
     `Filter size(udf(col)) > 0` + `Generate udf(col)` and pushes the
