@@ -439,6 +439,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("component").cast("long").alias("cluster"),
         )
 
+    def doc_stratified_sample(spark, sf_dir):
+        from palladian_spark.operators.curation import stratified_sample
+
+        return stratified_sample(
+            _read(spark, sf_dir, "documents"), strata_col="source", k=10
+        )
+
+    def doc_dedup_near(spark, sf_dir):
+        # the actual curation ACTION over doc_dup_clusters' output: keep
+        # the cluster-min representative + every unclustered doc. Uses the
+        # default size-gated (driver-local union-find) CC path, so between
+        # this query and doc_dup_clusters BOTH physical CC strategies are
+        # value-verified against independent SQL.
+        from palladian_spark.operators.canonicalize import connected_components
+        from palladian_spark.operators.curation import remove_near_duplicates
+        from palladian_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs_exact(docs, n=3, threshold_num=1, threshold_den=5)
+        edges = pairs.select(
+            F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("left_value"),
+            F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("right_value"),
+        )
+        clusters = connected_components(edges).select(
+            F.col("value").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("cluster"),
+        )
+        kept = remove_near_duplicates(docs.select("doc_id"), clusters)
+        return kept.select("doc_id")
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -752,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
         doc_dup_clusters=doc_dup_clusters,
+        doc_dedup_near=doc_dedup_near,
+        doc_stratified_sample=doc_stratified_sample,
         doc_minhash_pairs=doc_minhash_pairs,
         doc_simhash=doc_simhash,
         doc_simhash_pairs=doc_simhash_pairs,
@@ -1118,6 +1150,47 @@ def oracle_sql() -> dict[str, str]:
               union
               select r.a, e.dst from reach r join edges e on r.b = e.src)
             select a as doc_id, min(b) as cluster from reach group by a
+        """,
+        "doc_stratified_sample": """
+            select doc_id, source from (
+              select doc_id, source,
+                     row_number() over (partition by source
+                                        order by md5(doc_id::varchar), doc_id) as rn
+              from documents) t
+            where rn <= 10
+        """,
+        "doc_dedup_near": """
+            with recursive sh as (
+              select doc_id as doc,
+                     list_distinct(list_transform(
+                        list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                    (x, i) -> i <= len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+                        (x, i) -> x || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                                  regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) as shingles
+              from documents),
+            tok as (select doc, unnest(shingles) as shingle from sh),
+            sizes as (select doc, count(*) as n_shingles from tok group by doc),
+            shared as (
+              select a.doc as doc_a, b.doc as doc_b, count(*) as shared
+              from tok a join tok b on a.shingle = b.shingle and a.doc < b.doc
+              group by 1, 2),
+            pairs as (
+              select doc_a, doc_b from shared
+              join sizes sa on doc_a = sa.doc
+              join sizes sb on doc_b = sb.doc
+              where 5 * shared >= 1 * (sa.n_shingles + sb.n_shingles - shared)),
+            nodes as (select doc_a as doc from pairs union select doc_b from pairs),
+            edges as (select doc_a as src, doc_b as dst from pairs
+                      union select doc_b, doc_a from pairs),
+            reach(a, b) as (
+              select doc, doc from nodes
+              union
+              select r.a, e.dst from reach r join edges e on r.b = e.src),
+            cc as (select a as doc_id, min(b) as cluster from reach group by a)
+            select d.doc_id from documents d
+            left join cc on d.doc_id = cc.doc_id
+            where cc.cluster is null or cc.cluster = d.doc_id
         """,
         "doc_minhash_pairs": """
             with sh as (

@@ -106,3 +106,57 @@ def dataset_split(
     for name, cut in reversed(_SPLIT_CUTS):
         split = F.when(prefix < F.lit(cut), F.lit(name)).otherwise(split)
     return df.select(F.col(id_col), split.alias("split"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-k sample per stratum, ordered by md5(id).
+
+    The curation counterpart of random stratified sampling: hashing the id
+    gives a uniform-but-reproducible order inside each stratum, so the
+    sample is stable across runs/engines (and DuckDB-oracle-able), while
+    exact per-stratum counts hold by construction — `sample(fraction)`
+    guarantees neither. One hash-partitioned window per stratum; nothing
+    wider than (id, stratum) shuffles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(id_col, strata_col)
+    )
+
+
+def remove_near_duplicates(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_clusters: bool = True,
+) -> DataFrame:
+    """Keep one representative per near-dup cluster: drop every doc whose
+    cluster label differs from its own id (the representative is the
+    cluster-min id), keep all unclustered docs. clusters: (doc_id, cluster)
+    as produced by connected components over near-dup pairs. The removal
+    costs one (id, id) join — the corpus text never shuffles. Broadcast by
+    default (the cluster map holds only docs that HAD a near-dup pair);
+    pass broadcast_clusters=False on corpora whose duplicate-pair set
+    itself exceeds executor memory and let AQE pick the join."""
+    c = clusters.select(
+        F.col(id_col).alias("_cid"), F.col("cluster").alias("_cluster")
+    )
+    if broadcast_clusters:
+        c = F.broadcast(c)
+    return (
+        df.join(c, df[id_col] == F.col("_cid"), "left")
+        .where(F.col("_cluster").isNull() | (F.col("_cluster") == F.col(id_col)))
+        .drop("_cid", "_cluster")
+    )
