@@ -160,11 +160,32 @@ def run_once(cores: int, repl: int) -> dict:
 
     cpu0 = _proc_tree_cpu_seconds()
     host0 = _host_busy_cpu_seconds()
+
+    # periodic max-sampler: the job tree's CPU counters vanish when a
+    # process exits (cutime only captures DIRECT reaped children, so a
+    # Python worker reaped by the JVM mid-run, or an end-of-window exit,
+    # silently drops CPU from a single final sample — observed as a
+    # 778 s 2-core run reporting 260 CPU-s). A daemon thread samples
+    # every 2 s and the running max is the window's floor.
+    import threading
+
+    peak = {"cpu": cpu0}
+    stop_evt = threading.Event()
+
+    def _sampler():
+        while not stop_evt.wait(2.0):
+            peak["cpu"] = max(peak["cpu"], _proc_tree_cpu_seconds())
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
+
     t0 = time.perf_counter()
     triples = extract_triples(source, model=None, canonicalize=True)
     n_triples = triples.count()
     secs = time.perf_counter() - t0
-    job_cpu = _proc_tree_cpu_seconds() - cpu0
+    stop_evt.set()
+    th.join(timeout=5)
+    job_cpu = max(peak["cpu"], _proc_tree_cpu_seconds()) - cpu0
     host_cpu = _host_busy_cpu_seconds() - host0
 
     out = {
