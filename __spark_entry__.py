@@ -417,7 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_dup_clusters(spark, sf_dir):
         # duplicate clusters = connected components over exact-Jaccard
-        # near-dup pairs. Deliberately runs the DISTRIBUTED iterative
+        # near-dup pairs (exact pairs here for full SQL oracle-ability; at
+        # 100 TB feed minhash_lsh_pairs as the edge list — CC is agnostic
+        # to the pair generator). Deliberately runs the DISTRIBUTED iterative
         # hash-min + pointer-jumping loop (small_graph_edges=0), so the
         # at-scale CC path itself is hash-verified against an independent
         # DuckDB recursive-CTE transitive closure (min reachable node).
