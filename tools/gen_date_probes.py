@@ -110,6 +110,45 @@ PROBES: dict[str, list[str]] = {
     "DATE_CONTEXT_YYYY": ["2010", "1999", "2024"],
 }
 
+# rare-branch probes (round 4 second pass): the MMMM DD, YYYY two-part
+# dot branch, URL_SPLIT fallbacks, '/ ' time separators, noon/midnight
+# meridiem, GMT-prefixed UTC diffs, lenient rollovers (Feb 31), and
+# apostrophe years in more families.
+EXTRA = {
+    "DATE_ISO8601_YMD_T": [
+        "2010-02-31T10:00:00", "2010-07-02T24:00",
+        "2010-07-02T19:07:49.9Z", "2010-07-02T19:07:49+0230",
+    ],
+    "DATE_ISO8601_YMD": ["2010-02-31"],
+    "DATE_ISO8601_YWD": ["2010-W53-1"],
+    "DATE_ISO8601_YD": ["2011-366"],
+    "DATE_URL_SPLIT": ["2010/section/sub/12_25"],
+    "DATE_URL_D": ["2010-12-31", "'87.06.05"],
+    "DATE_EU_D_MM_Y_T": [
+        "02.07.2010 / 19:07", "02.07.2010 12:00 PM", "02.07.2010 12:30 AM",
+        "2.7.2010 19:07:49 -01:30",
+    ],
+    "DATE_USA_MM_D_Y_T": [
+        "07/02/2010 / 5:03", "07/02/2010 12:01 PM", "7/2/10 11:59 PM",
+    ],
+    "DATE_EU_D_MMMM_Y": ["31. Dezember '99", "2.July 2010"],
+    "DATE_EU_D_MMMM_Y_T": ["2. July 2010 / 19:07", "15 Dez. 2010 11:59 PM"],
+    "DATE_USA_MMMM_D_Y": ["Dec. 25. 2012", "May 1, '87"],
+    "DATE_USA_MMMM_D_Y_T": ["July 2nd, 2010, 12:00 AM", "March 31st, 2010 / 5:03"],
+    "DATE_EUSA_MMMM_Y": ["Okt. 1999", "SEPTEMBER 2001"],
+    "DATE_EUSA_YYYY_MMM_D": ["2010-Sept-30"],
+    "DATE_RFC_1123": ["Sat, 01 Jan 2000 00:00:00 CET"],
+    "DATE_RFC_1036": ["Saturday, 01-Jan-00 00:00:00 MEZ"],
+    "DATE_ANSI_C": ["Sat Jan 1 00:00:00 2000"],
+    "DATE_MMM_DD_HH_MM_SS_TZ_YYYY": ["Sept 05 01:02:03 BST 1987"],
+    "DATE_USA_MM_D": ["2/29"],
+    "DATE_EU_D_MM": ["29.2."],
+    "DATE_USA_MM_Y": ["07/'99"],
+    "DATE_EU_MM_Y": ["7.'99"],
+}
+for _field, _extra in EXTRA.items():
+    PROBES[_field] = PROBES[_field] + _extra
+
 
 def main() -> int:
     bad = []

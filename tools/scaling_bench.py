@@ -74,7 +74,12 @@ def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
     docs = (
         docs.repartition(PARTITIONS)
         .withColumn("_r", F.explode(F.expr(f"sequence(0, {repl - 1})")))
-        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
+        # cast before the multiply: sequence() yields INTs and ANSI mode
+        # overflows int32 at repl >= 215 (239 * 10M > 2^31)
+        .withColumn(
+            "doc_id",
+            F.col("doc_id") + F.col("_r").cast("long") * F.lit(10_000_000).cast("long"),
+        )
         .drop("_r")
     )
     if text_repl > 1:
