@@ -471,6 +471,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kept = remove_near_duplicates(docs.select("doc_id"), clusters)
         return kept.select("doc_id")
 
+    # ---- KG graph analytics (graph-materialize consumers: degree /
+    # PageRank salience over the bipartite doc<->entity mention graph) ----
+    def kg_degree_stats(spark, sf_dir):
+        from palladian_spark.operators.graph import degree_stats, mention_edges
+
+        return degree_stats(
+            mention_edges(_read(spark, sf_dir, "documents"), list(GAZETTEER))
+        )
+
+    def kg_pagerank(spark, sf_dir):
+        from palladian_spark.operators.graph import mention_edges, pagerank
+
+        return pagerank(
+            mention_edges(_read(spark, sf_dir, "documents"), list(GAZETTEER)),
+            iterations=5,
+        )
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -799,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_cooccur_sentence=doc_cooccur_sentence,
         doc_cooccur_window=doc_cooccur_window,
         kg_triples=kg_triples,
+        kg_degree_stats=kg_degree_stats,
+        kg_pagerank=kg_pagerank,
         canonicalize_mentions=canonicalize_mentions,
         ann_topk=ann_topk,
         ann_lsh_topk=ann_lsh_topk,
@@ -1028,6 +1047,62 @@ def _streaming_triples_sql() -> str:
     """
 
 
+def _mention_graph_sql() -> str:
+    """Shared CTE prefix for the KG graph-analytics oracles: the
+    symmetrized bipartite doc<->entity mention graph, recomputed from the
+    raw documents table (same \\bterm\\b counts as operators/graph.py)."""
+    occ = " union all ".join(
+        f"select doc_id, '{t}' as term, "
+        f"len(regexp_extract_all(text, '\\b{t}\\b')) as cnt from documents"
+        for t in sorted(GAZETTEER)
+    )
+    return f"""
+        occ as ({occ}),
+        pos as (select * from occ where cnt > 0),
+        e as (select 'd:' || doc_id as src, 't:' || term as dst,
+                     cnt::bigint as weight
+              from pos),
+        sym as (select src, dst, weight from e
+                union all
+                select dst as src, src as dst, weight from e)
+    """
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration weighted PageRank (the operators/graph.py
+    recurrence verbatim): damping/teleport as parallel double literals
+    (0.85 / 0.15), same IEEE op per step; sum-order drift sits far below
+    the round(rank*1e9) grain."""
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""r{i} as (
+              select nodes.node as node,
+                     0.15::double / (select n from nn)
+                     + 0.85::double * coalesce(sum({prev}.rank * ep.p), 0.0)
+                         as rank
+              from nodes
+              left join ep on ep.dst = nodes.node
+              left join {prev} on {prev}.node = ep.src
+              group by nodes.node)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(its)
+    return f"""
+        with {_mention_graph_sql()},
+        outw as (select src, sum(weight::double) as ow from sym group by src),
+        ep as (select s.src, s.dst, s.weight::double / o.ow as p
+               from sym s join outw o using (src)),
+        nodes as (select distinct src as node from sym),
+        nn as (select count(*) as n from nodes),
+        r0 as (select node, 1.0::double / (select n from nn) as rank
+               from nodes),
+        {chain}
+        select node, round(rank * 1e9)::bigint as rank_ppb from {prev}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.textstats import LANG_MARKERS
 
@@ -1247,6 +1322,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"""
             select * from '{_FIXTURE_ORACLE_DIR}/kg_triples_sf001.parquet'
         """,
+        "kg_degree_stats": f"""
+            with {_mention_graph_sql()}
+            select src as node, count(*)::bigint as degree,
+                   sum(weight)::bigint as strength
+            from sym group by 1
+        """,
+        "kg_pagerank": _pagerank_sql(iterations=5),
         # Fixture-pinned deterministic op whose candidate generation is
         # not SQL-expressible (iterative connected components): semantics
         # pinned by JW census goldens + local/distributed parity tests;

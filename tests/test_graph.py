@@ -1,0 +1,108 @@
+"""KG graph analytics (operators/graph.py): degree stats and PageRank over
+the bipartite mention graph — numpy-reference parity plus invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from palladian_spark.operators.graph import (
+    DAMPING,
+    TELEPORT,
+    degree_stats,
+    mention_edges,
+    pagerank,
+)
+
+TERMS = ["spark", "join", "table"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark join spark table"),
+        (2, "join table"),
+        (3, "spark spark spark"),
+        (4, "nothing relevant here"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_mention_edges(spark, docs):
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in mention_edges(docs, TERMS).collect()
+    }
+    assert got == {
+        ("d:1", "t:spark"): 2,
+        ("d:1", "t:join"): 1,
+        ("d:1", "t:table"): 1,
+        ("d:2", "t:join"): 1,
+        ("d:2", "t:table"): 1,
+        ("d:3", "t:spark"): 3,
+    }
+
+
+def test_degree_stats(spark, docs):
+    got = {
+        r["node"]: (r["degree"], r["strength"])
+        for r in degree_stats(mention_edges(docs, TERMS)).collect()
+    }
+    # doc 4/5 contribute no nodes; symmetric degree counts both directions
+    assert got["d:1"] == (3, 4)
+    assert got["t:spark"] == (2, 5)
+    assert got["t:join"] == (2, 2)
+    assert got["d:3"] == (1, 3)
+
+
+def _numpy_pagerank(edges, iterations):
+    """Dense reference implementation of the exact recurrence."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] += wt
+        w[idx[d], idx[s]] += wt
+    out = w.sum(axis=1, keepdims=True)
+    p = w / out
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        r = TELEPORT / n + DAMPING * (p.T @ r)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_numpy_parity(spark, docs):
+    edges = mention_edges(docs, TERMS)
+    raw = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+    expected = _numpy_pagerank(raw, iterations=5)
+    got = {r["node"]: r["rank_ppb"] for r in pagerank(edges, iterations=5).collect()}
+    assert set(got) == set(expected)
+    for node, rank in expected.items():
+        assert got[node] == round(rank * 1e9), node
+
+
+def test_pagerank_mass_conserved(spark, docs):
+    ranks = pagerank(mention_edges(docs, TERMS), iterations=5)
+    total = ranks.agg(F.sum("rank_ppb")).first()[0]
+    # symmetric graph has no dangling mass: sum(rank) == 1 up to ppb rounding
+    assert abs(total - 1_000_000_000) <= ranks.count()
+
+
+def test_pagerank_checkpoint_path(spark, docs):
+    """A run long enough to cross the localCheckpoint boundary equals the
+    same recurrence without it."""
+    edges = mention_edges(docs, TERMS)
+    raw = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+    expected = _numpy_pagerank(raw, iterations=9)
+    got = {
+        r["node"]: r["rank_ppb"]
+        for r in pagerank(edges, iterations=9, checkpoint_every=4).collect()
+    }
+    for node, rank in expected.items():
+        assert got[node] == round(rank * 1e9), node
+
+
+def test_pagerank_empty_graph(spark):
+    empty = spark.createDataFrame([], "doc_id: long, text: string")
+    assert pagerank(mention_edges(empty, TERMS)).count() == 0
