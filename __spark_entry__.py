@@ -1047,6 +1047,48 @@ def _streaming_triples_sql() -> str:
     """
 
 
+def _canonicalize_sql(threshold: float = 0.85) -> str:
+    """Blocking-free exact recomputation of canonicalize_values over the
+    gazetteer mention values: freq from raw \\bterm\\b counts, all-pairs
+    JW >= threshold edges, recursive-CTE CC, freq/length/lex pick."""
+    occ = " union all ".join(
+        f"select doc_id, '{t}' as value, "
+        f"len(regexp_extract_all(text, '\\b{t}\\b')) as cnt from documents"
+        for t in sorted(GAZETTEER)
+    )
+    return f"""
+        with recursive occ as ({occ}),
+        vals as (select value, sum(cnt)::bigint as freq
+                 from occ where cnt > 0 group by 1),
+        pairs as (
+          select a.value as va, b.value as vb
+          from vals a join vals b on a.value < b.value
+          where jaro_winkler_similarity(upper(a.value), upper(b.value))
+                >= {threshold}),
+        cnodes as (select va as v from pairs union select vb from pairs),
+        cedges as (select va as src, vb as dst from pairs
+                   union select vb, va from pairs),
+        reach(a, b) as (
+          select v, v from cnodes
+          union
+          select r.a, e.dst from reach r join cedges e on r.b = e.src),
+        comp as (select a as value, min(b) as component from reach group by a),
+        members as (
+          select v.value, v.freq, coalesce(c.component, v.value) as component
+          from vals v left join comp c on c.value = v.value),
+        canon as (
+          select component, value as canonical from (
+            select component, value,
+                   row_number() over (
+                     partition by component
+                     order by freq desc, length(value) desc, value asc) as rn
+            from members) t
+          where rn = 1)
+        select m.value as value, c.canonical as canonical
+        from members m join canon c using (component)
+    """
+
+
 def _mention_graph_sql() -> str:
     """Shared CTE prefix for the KG graph-analytics oracles: the
     symmetrized bipartite doc<->entity mention graph, recomputed from the
@@ -1329,14 +1371,17 @@ def oracle_sql() -> dict[str, str]:
             from sym group by 1
         """,
         "kg_pagerank": _pagerank_sql(iterations=5),
-        # Fixture-pinned deterministic op whose candidate generation is
-        # not SQL-expressible (iterative connected components): semantics
-        # pinned by JW census goldens + local/distributed parity tests;
-        # the fixture adds full row/value regression granularity
-        # (tools/freeze_fixtures.py).
-        "canonicalize_mentions": f"""
-            select * from '{_FIXTURE_ORACLE_DIR}/canonicalize_mentions_sf001.parquet'
-        """,
+        # Full independent recomputation (de-pinned round 4): per-value
+        # mention frequencies from raw regex counts, exact ALL-PAIRS
+        # Jaro-Winkler edges (no blocking — exhaustive, so it also checks
+        # the Spark path's LSH recall), recursive-CTE connected components
+        # (min reachable value), then the same freq/length/lex canonical
+        # pick. Caveat, asserted in tests/test_canonicalize_oracle.py:
+        # DuckDB's standard JW stands in for the kernel's reference
+        # variant (kernels/similarity.py); valid because on the contract
+        # corpus every value pair sits far from the 0.85 threshold under
+        # BOTH variants (min margin > 0.17), so no edge can flip.
+        "canonicalize_mentions": _canonicalize_sql(threshold=0.85),
         # Full independent SRP-LSH recomputation (md5-derived integer
         # planes + fixed-point projection, see _srp_buckets_sql): candidate
         # = any shared (table, bucket), then the same round-6 cosine
