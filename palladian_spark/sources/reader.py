@@ -1,0 +1,26 @@
+"""Source-table input dispatch (north-rule input surface).
+
+The production input is an Iceberg table of source-code repositories
+(repo, path, commit, lang, content). On a cluster that is
+``spark.read.table("catalog.db.tbl")`` with the Iceberg catalog
+configured via ``spark.sql.catalog.*`` — the DataFrame that comes back
+is the same logical plan either way, so every downstream operator is
+storage-agnostic; Iceberg adds partition pruning, hidden-partitioning
+and snapshot reads underneath the identical scan node. This sandbox has
+no Iceberg runtime jars, so parquet directories stand in; the dispatch
+keeps both spellings first-class instead of hardcoding parquet paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_PREFIX = "table:"
+
+
+def read_source_table(spark: SparkSession, ref: str) -> DataFrame:
+    """``table:<catalog.db.tbl>`` -> ``spark.read.table`` (Iceberg/any
+    catalog table); anything else -> parquet directory path."""
+    if ref.startswith(TABLE_PREFIX):
+        return spark.read.table(ref[len(TABLE_PREFIX):])
+    return spark.read.parquet(ref)

@@ -5,7 +5,8 @@ Cluster usage (the north-rule deployment shape):
     cd /root/repo && zip -r /tmp/palladian_spark.zip palladian_spark
     spark-submit --py-files /tmp/palladian_spark.zip \\
         tools/run_pipeline.py \\
-        --input  <parquet-or-iceberg path: (repo,path,commit,lang,content)> \\
+        --input  <parquet dir OR table:catalog.db.tbl (Iceberg):
+                  (repo,path,commit,lang,content)> \\
         --output <triple table path> \\
         --checkpoint-dir <stage store path> \\
         [--model-dir <trained NerModel parquet dir>]
@@ -70,7 +71,11 @@ def main() -> None:
         docs = entrymod._capitalized_corpus(spark.read.parquet(docs_path))
         source = documents_as_source(docs.withColumnRenamed("content", "text"))
     else:
-        source = spark.read.parquet(args.input)
+        from palladian_spark.sources.reader import read_source_table
+
+        # 'table:catalog.db.tbl' reads the Iceberg/catalog table on a
+        # real cluster; a plain path reads a source_files-shaped parquet
+        source = read_source_table(spark, args.input)
 
     model = None
     if args.model_dir:
