@@ -1047,6 +1047,134 @@ def _streaming_triples_sql() -> str:
     """
 
 
+# RE2-expressible twin of the StringTagger candidate alternation on the
+# contract corpus. The full Palladian pattern (kernels/tagging.py
+# STRING_TAGGER_REGEX, StringTagger.java:25-77) needs lookarounds DuckDB's
+# RE2 cannot run; on the synthetic corpus (alphabet = lowercase words +
+# Title-cased marker words, no digits/punctuation/hyphens) every candidate
+# is a maximal run of Title-case words, which this pattern matches
+# leftmost-first exactly like the full one. Agreement is asserted
+# span-for-span at sf0.001/sf0.01/sf0.1 by
+# tests/test_string_tagger_oracle.py; the contract check then re-verifies
+# the DuckDB side at full row/value granularity every run.
+_CANDIDATE_RE2 = "[A-Z][a-z]+( [A-Z][a-z]+)*"
+
+
+def _capitalized_corpus_sql(text_expr: str = "text") -> str:
+    """SQL twin of _capitalized_corpus: Title-case the marker words."""
+    expr = text_expr
+    for w in _CAP_WORDS:
+        expr = f"regexp_replace({expr}, '\\b{w}\\b', '{w.capitalize()}', 'g')"
+    return expr
+
+
+def _string_tagger_sql() -> str:
+    """Full independent recomputation (de-pinned round 4) of the
+    StringTagger candidate mentions, match positions included: DuckDB has
+    no match-position API, so starts are reconstructed from the
+    regexp_split_to_array gap segments — start(i) = sum(len(gap[1..i])) +
+    sum(len(match[1..i-1])) via two running windows over the match index.
+    """
+    return f"""
+        with corpus as (select doc_id, {_capitalized_corpus_sql()} as content
+                        from documents),
+        m as (select doc_id,
+                     regexp_extract_all(content, '{_CANDIDATE_RE2}') as vals,
+                     regexp_split_to_array(content, '{_CANDIDATE_RE2}') as segs
+              from corpus),
+        u as (select doc_id, i, vals[i] as value,
+                     len(segs[i]) as seg_len, len(vals[i]) as val_len
+              from m, unnest(generate_series(1, len(vals))) as t(i)),
+        pos as (select doc_id, value,
+                       (sum(seg_len) over w
+                        + coalesce(sum(val_len) over w2, 0))::int as start
+                from u
+                window w as (partition by doc_id order by i
+                             rows unbounded preceding),
+                       w2 as (partition by doc_id order by i
+                              rows between unbounded preceding
+                              and 1 preceding))
+        select doc_id, start, (start + len(value))::int as "end",
+               'CANDIDATE' as tag, value
+        from pos
+    """
+
+
+def _kg_triples_sql(threshold: float = 0.9, max_per_doc: int = 100) -> str:
+    """Full independent recomputation (de-pinned round 4) of the flagship
+    extract_triples pipeline: capitalized source shape + sha256 lineage,
+    candidate mentions via _CANDIDATE_RE2, mentioned-in edges (one row per
+    match), capped distinct-per-doc co-occurrence pairs, all-pairs-JW +
+    recursive-CTE canonicalization for synonym-of edges, then the dedup
+    fold (min lineage, support count). JW caveat mirrors
+    canonicalize_mentions: DuckDB's standard JW stands in for the kernel
+    variant — edge sets may differ near the 0.9 threshold (one pair does
+    at sf0.01), but the connected-component PARTITION, the only thing the
+    triples depend on, is asserted equal under both variants at
+    sf0.001/0.01/0.1 by tests/test_string_tagger_oracle.py."""
+    return f"""
+        with recursive
+        corpus as (select doc_id, source,
+                          {_capitalized_corpus_sql()} as content
+                   from documents),
+        src as (select 'corpus/' || source || '/docs/' || doc_id || '.txt'
+                           as doc_ref,
+                       sha256(content) as sha, content
+                from corpus),
+        mention as (select doc_ref, sha,
+                           unnest(regexp_extract_all(
+                               content, '{_CANDIDATE_RE2}')) as value
+                    from src),
+        mi as (select value as subj, 'mentioned-in' as pred,
+                      doc_ref as obj, sha
+               from mention),
+        perdoc as (select doc_ref, sha, value,
+                          row_number() over (partition by doc_ref
+                                             order by value) as rn
+                   from (select distinct doc_ref, sha, value from mention)),
+        coocc as (select a.value as subj, 'co-occurs-with' as pred,
+                         b.value as obj, a.sha as sha
+                  from perdoc a join perdoc b
+                    on a.doc_ref = b.doc_ref and a.value < b.value
+                  where a.rn <= {max_per_doc} and b.rn <= {max_per_doc}),
+        vals as (select value, count(*)::bigint as freq
+                 from mention group by 1),
+        pairs as (select a.value as va, b.value as vb
+                  from vals a join vals b on a.value < b.value
+                  where jaro_winkler_similarity(upper(a.value),
+                                                upper(b.value))
+                        >= {threshold}),
+        cnodes as (select va as v from pairs union select vb from pairs),
+        cedges as (select va as src, vb as dst from pairs
+                   union select vb, va from pairs),
+        reach(a, b) as (
+          select v, v from cnodes
+          union
+          select r.a, e.dst from reach r join cedges e on r.b = e.src),
+        comp as (select a as value, min(b) as component from reach group by a),
+        members as (select v.value, v.freq,
+                           coalesce(c.component, v.value) as component
+                    from vals v left join comp c on c.value = v.value),
+        canon as (select component, value as canonical from (
+                    select component, value,
+                           row_number() over (
+                             partition by component
+                             order by freq desc, length(value) desc,
+                                      value asc) as rn
+                    from members) t
+                  where rn = 1),
+        syn as (select m.value as subj, 'synonym-of' as pred,
+                       c.canonical as obj, null::varchar as sha
+                from members m join canon c using (component)
+                where m.value <> c.canonical),
+        allt as (select * from mi union all select * from coocc
+                 union all select * from syn)
+        select subj, pred, obj, min(sha) as content_sha256,
+               count(*)::bigint as support
+        from allt group by 1, 2, 3
+    """
+
+
 def _canonicalize_sql(threshold: float = 0.85) -> str:
     """Blocking-free exact recomputation of canonicalize_values over the
     gazetteer mention values: freq from raw \\bterm\\b counts, all-pairs
@@ -1339,12 +1467,6 @@ def oracle_sql() -> dict[str, str]:
             from j where jac >= 0.2
         """,
         "doc_simhash": _simhash_sig_sql(),
-        # Frozen-fixture oracles: the StringTagger candidate regex needs
-        # lookarounds (not RE2-expressible) and kg_triples composes it with
-        # iterative canonicalization. The fixtures are determinism-checked
-        # snapshots at sf0.01 (tools/freeze_fixtures.py) whose *semantics*
-        # are pinned by the reference goldens in pytest; the oracle check
-        # then guards regressions at full row/value granularity.
         "media_features": """
             select 'm' || doc_id as media_id,
                    (16 + doc_id % 32)::int as width,
@@ -1358,12 +1480,12 @@ def oracle_sql() -> dict[str, str]:
         # doc count); lineage is min(sha256(text)) over contributing docs,
         # matching dedup semantics across micro-batches.
         "streaming_triples": _streaming_triples_sql(),
-        "string_tagger_candidates": f"""
-            select * from '{_FIXTURE_ORACLE_DIR}/string_tagger_candidates_sf001.parquet'
-        """,
-        "kg_triples": f"""
-            select * from '{_FIXTURE_ORACLE_DIR}/kg_triples_sf001.parquet'
-        """,
+        # De-pinned round 4: full independent DuckDB recomputations (the
+        # RE2-twin pattern + position reconstruction; see the helper
+        # docstrings and tests/test_string_tagger_oracle.py for the
+        # agreement guards).
+        "string_tagger_candidates": _string_tagger_sql(),
+        "kg_triples": _kg_triples_sql(threshold=0.9),
         "kg_degree_stats": f"""
             with {_mention_graph_sql()}
             select src as node, count(*)::bigint as degree,
@@ -1424,6 +1546,13 @@ def oracle_sql() -> dict[str, str]:
             select id_a, id_b, cast(trunc(cos * 1000000) as bigint) as cosine_ppm
             from s where cos >= 0.3
         """,
+        # The last frozen-fixture oracle: POS tagging scores each token
+        # with the trained dictionary classifier (n-gram features +
+        # Palladian bayes scorer) — a model-driven argmax no SQL engine
+        # can recompute independently. The fixture is a determinism-checked
+        # sf0.01 snapshot (tools/freeze_fixtures.py) whose semantics are
+        # pinned by the Java-parity goldens in tests/test_pos_tagger.py; the
+        # oracle check then guards regressions at full row granularity.
         "doc_pos_tags": f"""
             select * from '{_FIXTURE_ORACLE_DIR}/doc_pos_tags_sf001.parquet'
         """,

@@ -1,0 +1,118 @@
+"""Guards for the de-pinned string_tagger_candidates / kg_triples oracles.
+
+The DuckDB oracles substitute two engine-portable stand-ins for kernel
+machinery RE2/SQL cannot express; each substitution is only valid under a
+property this module asserts over the actual contract corpora (all three
+checked-in scale factors), so any corpus or kernel change that breaks the
+property fails HERE, before the driver's contract check can silently
+compare two wrong-but-equal engines.
+
+1. Pattern twin: `__spark_entry__._CANDIDATE_RE2` (RE2-expressible) must
+   produce the exact same match spans as the full Palladian
+   STRING_TAGGER_REGEX (lookaround-bearing, kernels/tagging.py) on the
+   capitalized contract corpus.
+2. JW variant: DuckDB's standard jaro_winkler_similarity stands in for
+   the kernel's reference variant at threshold 0.9. The edge sets MAY
+   differ near the threshold (one pair does at sf0.01); what must agree
+   is the connected-component PARTITION of the candidate value set —
+   the only thing the synonym-of triples depend on.
+
+No Spark session needed: both sides run driver-local over the parquet.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import duckdb
+import pytest
+
+from palladian_spark.kernels.similarity import jaro_winkler_similarity
+from palladian_spark.kernels.tagging import string_tag
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+CAP_WORDS = ["spark", "vector", "stream", "table", "customer", "window"]
+THRESHOLD = 0.9
+
+
+def _capitalize(text: str) -> str:
+    for w in CAP_WORDS:
+        text = re.sub(r"\b" + w + r"\b", w.capitalize(), text)
+    return text
+
+
+def _corpus(sf_dir: str) -> list[tuple[int, str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    con.close()
+    return [(doc_id, _capitalize(text)) for doc_id, text in rows]
+
+
+def _components(values: list[str], edges: list[tuple[str, str]]) -> set[frozenset]:
+    parent = {v: v for v in values}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[str, set] = {}
+    for v in values:
+        comps.setdefault(find(v), set()).add(v)
+    return {frozenset(s) for s in comps.values()}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_re2_twin_matches_full_pattern_span_for_span(sf_dir):
+    import __spark_entry__ as entry
+
+    twin = re.compile(entry._CANDIDATE_RE2)
+    full, simple = set(), set()
+    for doc_id, text in _corpus(sf_dir):
+        for a in string_tag(text):
+            full.add((doc_id, a.start, a.end, a.value))
+        for m in twin.finditer(text):
+            simple.add((doc_id, m.start(), m.end(), m.group()))
+    assert full, f"empty candidate set at {sf_dir} — corpus shape changed?"
+    assert full == simple, (
+        f"pattern-twin divergence at {sf_dir}: "
+        f"only-full={sorted(full - simple)[:5]} "
+        f"only-twin={sorted(simple - full)[:5]}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_jw_variant_partition_equality(sf_dir):
+    values = sorted(
+        {a.value for _, text in _corpus(sf_dir) for a in string_tag(text)}
+    )
+    pairs = list(itertools.combinations(values, 2))
+    con = duckdb.connect()
+    con.execute("create table p(a varchar, b varchar)")
+    con.executemany("insert into p values (?, ?)", pairs)
+    duck_sim = {
+        (a, b): s
+        for a, b, s in con.execute(
+            "select a, b, jaro_winkler_similarity(upper(a), upper(b)) from p"
+        ).fetchall()
+    }
+    con.close()
+    kernel_edges = [
+        (a, b) for a, b in pairs if jaro_winkler_similarity(a, b) >= THRESHOLD
+    ]
+    duck_edges = [(a, b) for a, b in pairs if duck_sim[(a, b)] >= THRESHOLD]
+    ck = _components(values, kernel_edges)
+    cd = _components(values, duck_edges)
+    assert ck == cd, (
+        f"JW-variant partition divergence at {sf_dir}: "
+        f"only-kernel={sorted(map(sorted, ck - cd))[:3]} "
+        f"only-duckdb={sorted(map(sorted, cd - ck))[:3]}"
+    )
