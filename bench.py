@@ -34,6 +34,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "kg_triples",
     "kg_pagerank",
+    "kg_degree_stats",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",
@@ -41,6 +42,9 @@ HEADLINE = [
     "classify_docs",
     "doc_minhash_pairs",
     "doc_exact_dedup",
+    "doc_dup_clusters",
+    "doc_dedup_near",
+    "doc_stratified_sample",
     "doc_simhash_pairs",
     "doc_simhash_wide_pairs",
     "doc_dates_normalized",
