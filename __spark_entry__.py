@@ -381,6 +381,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_triples(source, model=None, canonicalize=True)
 
+    def kg_triples_incremental(spark, sf_dir):
+        # Incremental-ingest equivalence, machine-checked: build triples
+        # per disjoint document batch (canonicalize=False), merge with
+        # pipeline.merge_triples (additive supports + value-set
+        # re-canonicalization), and compare against the SAME full-
+        # recompute DuckDB oracle as kg_triples. The 100 TB daily-ingest
+        # shape: old content is never re-scanned.
+        from palladian_spark.pipeline import (
+            documents_as_source,
+            extract_triples,
+            merge_triples,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        source = documents_as_source(
+            _capitalized_corpus(docs).withColumnRenamed("content", "text")
+        )
+        parts = [
+            extract_triples(
+                source.where(F.pmod(F.xxhash64("path"), F.lit(2)) == i),
+                model=None,
+                canonicalize=False,
+            )
+            for i in (0, 1)
+        ]
+        return merge_triples(parts, canonicalize=True)
+
     def doc_dates_normalized(spark, sf_dir):
         # date normalization (reference extraction/date DateParserLogic
         # semantics, golden-pinned kernel): a deterministic date-bearing
@@ -816,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_cooccur_sentence=doc_cooccur_sentence,
         doc_cooccur_window=doc_cooccur_window,
         kg_triples=kg_triples,
+        kg_triples_incremental=kg_triples_incremental,
         kg_degree_stats=kg_degree_stats,
         kg_pagerank=kg_pagerank,
         canonicalize_mentions=canonicalize_mentions,
@@ -1486,6 +1514,9 @@ def oracle_sql() -> dict[str, str]:
         # agreement guards).
         "string_tagger_candidates": _string_tagger_sql(),
         "kg_triples": _kg_triples_sql(threshold=0.9),
+        # same full-recompute oracle on purpose: passing proves the
+        # incremental merge path emits byte-identical triples
+        "kg_triples_incremental": _kg_triples_sql(threshold=0.9),
         "kg_degree_stats": f"""
             with {_mention_graph_sql()}
             select src as node, count(*)::bigint as degree,

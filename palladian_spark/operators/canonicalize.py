@@ -402,8 +402,14 @@ def canonicalize_values(
     band_size: int = 4,
     small_values: int = 100_000,
     max_bucket: int = 1000,
+    freq_col: str | None = None,
 ) -> DataFrame:
     """(value) -> (value, canonical): full block -> score -> CC -> pick.
+
+    With freq_col set, `values` is already aggregated (value, freq) rows —
+    the incremental-merge path (pipeline.merge_triples) reconstructs
+    frequencies from mentioned-in support sums instead of re-scanning
+    mention rows.
 
     Canonical surface form per component = most frequent, ties by longest
     then lexicographic (deterministic). Values outside any component map to
@@ -421,12 +427,19 @@ def canonicalize_values(
     # distinct value set are both tiny, so cut lineage here and let every
     # downstream branch (LSH bands, self-join sides, final joins) read the
     # materialized rows instead of re-running the mention scan
-    freq = (
-        values.where(F.col(value_col).isNotNull())
-        .groupBy(value_col)
-        .agg(F.count("*").alias("freq"))
-        .persist()
-    )
+    if freq_col is not None:
+        freq = (
+            values.where(F.col(value_col).isNotNull())
+            .select(value_col, F.col(freq_col).cast("long").alias("freq"))
+            .persist()
+        )
+    else:
+        freq = (
+            values.where(F.col(value_col).isNotNull())
+            .groupBy(value_col)
+            .agg(F.count("*").alias("freq"))
+            .persist()
+        )
     # count first, then collect: a limit(k).collect() probe would run
     # Spark's incremental CollectLimit (1 partition, then 4x more, ...) —
     # measured as FIVE escalating jobs at 1/4/16/... task parallelism,

@@ -80,6 +80,55 @@ def extract_triples(
     return build_triples()
 
 
+def merge_triples(
+    parts: list[DataFrame],
+    canonicalize: bool = True,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Incremental KG construction: merge per-batch triple tables (built
+    with canonicalize=False over DISJOINT document sets) into the exact
+    table a full recompute over the union would produce.
+
+    Additive by construction: mentioned-in groups are doc-scoped (obj =
+    doc_ref) so they never straddle batches; co-occurs-with groups overlap
+    across batches and their per-doc supports sum. Lineage folds as
+    min(sha). Canonicalization is the one non-additive stage — components
+    can merge when a new batch bridges two old values — so it reruns over
+    the merged VALUE SET (tiny: distinct surface forms, not mentions),
+    with frequencies reconstructed from mentioned-in support sums. This is
+    the daily-ingest shape at 100 TB: each batch pays only its own mention
+    scan; the merge is one support aggregation plus a value-set-sized
+    canonicalization, never a recompute over old content.
+
+    Equivalence to the batch path is machine-checked: the
+    kg_triples_incremental contract query runs this over a two-way doc
+    split and the driver compares it against the SAME DuckDB oracle as
+    kg_triples (full recomputation over the union).
+    """
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("subj", "pred", "obj").agg(
+        F.min("content_sha256").alias("content_sha256"),
+        F.sum("support").alias("support"),
+    )
+    if not canonicalize:
+        return merged
+    # localCheckpoint, not persist: the canonicalization branch actions
+    # inside canonicalize_values while the merged rows are consumed again
+    # by the final union — checkpointed blocks are GC-reclaimed, so this
+    # lazy API needs no unpersist placement
+    merged = merged.localCheckpoint(eager=False)
+    freqs = (
+        merged.where(F.col("pred") == "mentioned-in")
+        .groupBy("subj")
+        .agg(F.sum("support").alias("freq"))
+        .select(F.col("subj").alias("value"), "freq")
+    )
+    canonical_map = canonicalize_values(freqs, threshold=threshold, freq_col="freq")
+    return merged.unionByName(T.dedup_triples(T.synonym_triples(canonical_map)))
+
+
 def verify_lineage(source: DataFrame, triples: DataFrame, content_col: str = "content") -> int:
     """Per-row invariant check: every non-null triple lineage hash must
     exist in the source table's sha256 set. Returns violation count (0 =
