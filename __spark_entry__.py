@@ -297,8 +297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PalladianPosTagger over the documents table: model trained on the
         # checked-in slash corpus (the same fixture the Java-parity gate
         # uses), broadcast, one Arrow hop per batch. Tag distribution per
-        # (doc_id, tag). Classification is not SQL-expressible -> frozen
-        # fixture oracle (determinism-checked).
+        # (doc_id, tag). Oracle: inlined kernel-classified vocabulary map
+        # + independent SQL tokenize/count (see _pos_tag_map).
         import os as _os
 
         from palladian_spark.kernels.pos import train_pos_tagger
@@ -1203,6 +1203,67 @@ def _kg_triples_sql(threshold: float = 0.9, max_per_doc: int = 100) -> str:
     """
 
 
+def _pos_tag_map() -> list[tuple[str, str]]:
+    """(token, tag) for every distinct whitespace token in the three
+    checked-in sf corpora, classified by the golden-gated POS kernel.
+
+    The per-token classification is the ONE part of doc_pos_tags no SQL
+    engine can recompute (model-driven argmax over n-gram features); its
+    semantics are pinned by the Java-parity goldens in
+    tests/test_pos_tagger.py, and POS tags are a pure function of the
+    token, so inlining the (31-token) vocabulary map converts the rest of
+    the oracle — tokenization, the distributed explode, the per-doc
+    aggregation — into an independent DuckDB recomputation. Unseen tokens
+    map to a loud sentinel instead of dropping, so corpus drift fails the
+    hash compare instead of hiding."""
+    import duckdb as _duckdb
+
+    from palladian_spark.kernels.pos import classify_token, train_pos_tagger
+
+    corpus_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "reference", "pos_train_corpus.txt",
+    )
+    with open(corpus_path, encoding="utf-8") as f:
+        model = train_pos_tagger(f.read())
+    con = _duckdb.connect()
+    vocab: set[str] = set()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        for (tok,) in con.execute(
+            f"select distinct unnest(regexp_extract_all(text, '\\S+')) "
+            f"from '{path}'"
+        ).fetchall():
+            vocab.add(tok)
+    con.close()
+    return [(tok, classify_token(tok, model).upper()) for tok in sorted(vocab)]
+
+
+def _pos_tags_sql() -> str:
+    """De-pinned (late round 4): tokenize + classify-by-inlined-map +
+    aggregate, replacing the frozen sf0.01 fixture. Tokenizer twin
+    (\\S+ == kernel WordTokenizer on these corpora) is asserted by
+    tests/test_string_tagger_oracle.py::test_tokenizer_twin."""
+    rows = ", ".join(
+        f"('{tok.replace(chr(39), chr(39) * 2)}', '{tag}')"
+        for tok, tag in _pos_tag_map()
+    )
+    return f"""
+        with toks as (
+          select doc_id, unnest(regexp_extract_all(text, '\\S+')) as token
+          from documents),
+        tagged as (
+          select t.doc_id,
+                 coalesce(tm.tag, 'UNSEEN:' || t.token) as tag
+          from toks t
+          left join (values {rows}) tm(token, tag) on t.token = tm.token)
+        select doc_id, tag, count(*)::bigint as n_tokens
+        from tagged group by 1, 2
+    """
+
+
 def _canonicalize_sql(threshold: float = 0.85) -> str:
     """Blocking-free exact recomputation of canonicalize_values over the
     gazetteer mention values: freq from raw \\bterm\\b counts, all-pairs
@@ -1577,16 +1638,13 @@ def oracle_sql() -> dict[str, str]:
             select id_a, id_b, cast(trunc(cos * 1000000) as bigint) as cosine_ppm
             from s where cos >= 0.3
         """,
-        # The last frozen-fixture oracle: POS tagging scores each token
-        # with the trained dictionary classifier (n-gram features +
-        # Palladian bayes scorer) — a model-driven argmax no SQL engine
-        # can recompute independently. The fixture is a determinism-checked
-        # sf0.01 snapshot (tools/freeze_fixtures.py) whose semantics are
-        # pinned by the Java-parity goldens in tests/test_pos_tagger.py; the
-        # oracle check then guards regressions at full row granularity.
-        "doc_pos_tags": f"""
-            select * from '{_FIXTURE_ORACLE_DIR}/doc_pos_tags_sf001.parquet'
-        """,
+        # De-pinned round 4 (was the last frozen-fixture oracle): POS tags
+        # are a pure function of the token, so the kernel-classified
+        # vocabulary map is inlined (31 tokens, semantics pinned by the
+        # Java-parity goldens) and tokenization + distribution + counting
+        # recompute independently in SQL. See _pos_tag_map docstring for
+        # the trust boundary.
+        "doc_pos_tags": _pos_tags_sql(),
         # the measured reference-agreement values (basis points); the
         # BASELINE.md bar is >= 9500 on every metric
         "ner_reference_agreement": """

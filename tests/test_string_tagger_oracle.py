@@ -16,6 +16,10 @@ compare two wrong-but-equal engines.
    differ near the threshold (one pair does at sf0.01); what must agree
    is the connected-component PARTITION of the candidate value set —
    the only thing the synonym-of triples depend on.
+3. Tokenizer twin (doc_pos_tags oracle): `\\S+` extraction must produce
+   the exact token spans of the kernel WordTokenizer on these corpora,
+   so the oracle's regexp_extract_all tokenization matches the Spark
+   path's iterate_tokens.
 
 No Spark session needed: both sides run driver-local over the parquet.
 """
@@ -87,6 +91,22 @@ def test_re2_twin_matches_full_pattern_span_for_span(sf_dir):
         f"only-full={sorted(full - simple)[:5]} "
         f"only-twin={sorted(simple - full)[:5]}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_tokenizer_twin(sf_dir):
+    from palladian_spark.kernels.text import iterate_tokens
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text from '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    ws = re.compile(r"\S+")
+    for doc_id, text in rows:
+        kernel = [(s, v) for s, v in iterate_tokens(text)]
+        twin = [(m.start(), m.group()) for m in ws.finditer(text)]
+        assert kernel == twin, f"tokenizer-twin divergence in doc {doc_id}"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

@@ -1,13 +1,13 @@
 """Freeze expected outputs for driver queries as parquet fixtures under
 tests/fixtures/oracle/.
 
-Since round 4 only doc_pos_tags still PINS its oracle to a freeze
-(`select * from '<abs path>'`): POS scoring is a model-driven argmax no
-SQL engine can recompute. Every other frozen query has a full independent
-DuckDB oracle (string_tagger_candidates/kg_triples via the RE2-twin
-pattern, canonicalize via all-pairs JW + recursive CTE, the ANN pair via
-md5-integer SRP planes); their freezes only drive the second-sf pin and
-hardening tests as extra regression guards. Regenerate with:
+Since round 4 NO query pins its oracle to a freeze: every frozen query
+has an independent DuckDB oracle (string_tagger_candidates/kg_triples
+via the RE2-twin pattern, canonicalize via all-pairs JW + recursive CTE,
+the ANN pair via md5-integer SRP planes, doc_pos_tags via an inlined
+kernel-classified vocabulary map + SQL tokenize/count). The freezes here
+only drive the second-sf pin and hardening tests as extra regression
+guards. Regenerate with:
 
     python tools/freeze_fixtures.py
 
@@ -41,9 +41,9 @@ SECOND_SUFFIX = "_sf0001"
 # by JW census goldens + local/distributed parity tests, ann_lsh_topk by
 # the recall-vs-exact gate, embedding_near_dups by the scope semantics
 # tests. The fixture adds full row/value regression granularity on top.
-# All of these except doc_pos_tags now ALSO have full independent DuckDB
-# oracles at sf0.01 (see module docstring); their freezes here only
-# drive the second-sf pin + hardening tests.
+# All of these now ALSO have independent DuckDB oracles at sf0.01 (see
+# module docstring); their freezes here only drive the second-sf pin +
+# hardening tests.
 FROZEN = [
     "string_tagger_candidates",
     "kg_triples",
