@@ -33,6 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # relational checklist shapes (agg/join/window).
 HEADLINE = [
     "kg_triples",
+    "kg_triples_incremental",
     "kg_pagerank",
     "kg_degree_stats",
     "string_tagger_candidates",

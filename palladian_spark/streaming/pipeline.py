@@ -158,11 +158,23 @@ def stream_triples_batch(
     )
 
 
-def compact_triples(spark: SparkSession, triple_log_dir: str) -> DataFrame:
+def compact_triples(
+    spark: SparkSession, triple_log_dir: str, canonicalize: bool = False
+) -> DataFrame:
     """Fold the append-only triple log: sum support per (subj, pred, obj),
     keep the lexicographically-first lineage hash — identical semantics to
-    the batch pipeline's dedup_triples."""
+    the batch pipeline's dedup_triples.
+
+    canonicalize=True additionally runs the batch merge fold
+    (pipeline.merge_triples) so the compacted log gains the synonym-of
+    edges a full batch recompute would emit — canonicalization is
+    deferred to compaction because components can merge as new
+    micro-batches arrive (canonicalize-on-read)."""
     log = spark.read.parquet(triple_log_dir)
+    if canonicalize:
+        from ..pipeline import merge_triples
+
+        return merge_triples([log], canonicalize=True)
     return log.groupBy("subj", "pred", "obj").agg(
         F.sum("support").cast("long").alias("support"),
         F.min("content_sha256").alias("content_sha256"),

@@ -133,3 +133,40 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     want = {int(r["user_id"]): (int(r["n_sessions"]), int(r["n_events"])) for r in batch}
     assert final == want
     assert final[1] == (2, 3)
+
+
+def test_compact_with_canonicalize_adds_synonym_edges(spark, tmp_path):
+    """canonicalize=True compaction runs the batch merge fold over the
+    log: base triples keep their summed supports and synonym-of edges
+    appear for values that merge under JW >= 0.9 — deferred
+    canonicalization, since components can merge as micro-batches land."""
+    from palladian_spark.streaming.pipeline import compact_triples
+
+    log_dir = str(tmp_path / "log")
+    rows = [
+        # two micro-batch appends of the same edge: supports must sum
+        ("Spark Engine", "mentioned-in", "r/a.txt", "sha-a", 2),
+        ("Spark Engine", "mentioned-in", "r/a.txt", "sha-a", 1),
+        # near-duplicate surface form in another doc: JW >= 0.9
+        ("Spark Engines", "mentioned-in", "r/b.txt", "sha-b", 1),
+        ("Spark Engine", "co-occurs-with", "Spark Engines", "sha-a", 1),
+    ]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+        "content_sha256 string, support long"
+    ).write.parquet(log_dir)
+
+    out = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in compact_triples(spark, log_dir, canonicalize=True).collect()
+    }
+    # summed base edge, untouched near-dup edge, plus the synonym edge
+    # (canonical = most frequent form, 3 mentions vs 1)
+    assert ("Spark Engine", "mentioned-in", "r/a.txt", 3) in out
+    assert ("Spark Engines", "mentioned-in", "r/b.txt", 1) in out
+    assert ("Spark Engines", "synonym-of", "Spark Engine", 1) in out
+    # plain compaction emits no synonym rows
+    plain = {
+        r["pred"] for r in compact_triples(spark, log_dir).collect()
+    }
+    assert "synonym-of" not in plain
