@@ -448,8 +448,12 @@ def simhash_pairs_wide(
                 + F.bit_count(F.expr("x.shi ^ y.shi"))
             ).cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter BEFORE the dedup shuffle: hamming is determined by the
+        # (doc_a, doc_b) pair, so the order is semantics-free, but Catalyst
+        # cannot push a non-key predicate through Deduplicate itself — left
+        # above, every far candidate pair would shuffle just to be dropped
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -503,6 +507,8 @@ def simhash_pairs(
             F.col("y.doc").alias("doc_b"),
             F.bit_count(F.expr("x.sig ^ y.sig")).cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # same ordering rationale as simhash_pairs_wide: filter first,
+        # dedup the (much smaller) true-pair set
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

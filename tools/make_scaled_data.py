@@ -64,7 +64,13 @@ def scale_table(spark, src: str, name: str, factor: int):
         .withColumn("_r", F.explode(F.expr(f"sequence(0, {factor - 1})")))
     )
     for k in keys:
-        out = out.withColumn(k, F.col(k) + F.col("_r") * F.lit(OFFSET))
+        # bigint arithmetic: int32 keys overflow under ANSI mode once
+        # _r * OFFSET passes 2^31 (factor >= ~215) — same overflow class
+        # the REPL>=215 scaling run hit
+        out = out.withColumn(
+            k,
+            F.col(k).cast("long") + F.col("_r").cast("long") * F.lit(OFFSET),
+        )
     if name == "documents":
         # replica r keeps the half of the word stream whose (word, index,
         # r) hash is even; replica 0 keeps the original text untouched
