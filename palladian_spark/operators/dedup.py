@@ -347,10 +347,16 @@ def simhash_signatures_wide(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits_per_half: int = 60,
+    portable: bool = True,
 ) -> DataFrame:
     """120-bit SimHash per document as two 60-bit longs (simhash_lo,
-    simhash_hi), both halves portable (md5 slices) so DuckDB recomputes
-    them bit-identically.
+    simhash_hi). portable=True (default, the oracle-checked contract
+    shape) derives both halves from md5 hex slices so DuckDB recomputes
+    them bit-identically; portable=False uses two seeded xxhash64 halves —
+    same distribution and banding semantics, ~2x faster signature stage
+    (no hex string + base conversion per token; measured 370 s -> cf.
+    BENCH.md 1000x probe), for production corpora where no second engine
+    needs to replay the exact bits.
 
     Why wide: a 60-bit signature at hamming<=3 forces 4 bands x 15 bits,
     so band buckets hold ~n/2^15 docs — linear only while n << 32k per
@@ -359,20 +365,25 @@ def simhash_signatures_wide(
     identical h<=3 semantics. One md5 per token feeds both halves.
     """
     df = spread(df)  # single-split inputs would tokenize on one core
-    tokens = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
-            ).alias("token"),
-        )
-        .withColumn("_md5", F.md5(F.col("token")))
-        .select(
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("token"),
+    )
+    mask60 = (1 << bits_per_half) - 1
+    if portable:
+        tokens = tokens.withColumn("_md5", F.md5(F.col("token"))).select(
             "doc",
             F.conv(F.substring("_md5", 1, 15), 16, 10).cast("long").alias("h_lo"),
             F.conv(F.substring("_md5", 16, 15), 16, 10).cast("long").alias("h_hi"),
         )
-    )
+    else:
+        tokens = tokens.select(
+            "doc",
+            F.expr(f"xxhash64(token) & {mask60}L").alias("h_lo"),
+            F.expr(f"xxhash64(token, 1) & {mask60}L").alias("h_hi"),
+        )
     bit_votes = [
         F.sum(
             F.when(F.expr(f"(h_lo >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))

@@ -145,6 +145,33 @@ def test_simhash_wide_pairs_complete(docs):
         assert got == want, f"max_hamming={k}"
 
 
+def test_simhash_wide_nonportable_variant(docs):
+    """portable=False (seeded-xxhash halves, the fast production path)
+    must keep the exact banding contract: 60-bit halves, identical docs
+    collide, and the banded join equals brute force."""
+    from palladian_spark.operators.dedup import (
+        simhash_pairs_wide,
+        simhash_signatures_wide,
+    )
+
+    sigs = simhash_signatures_wide(docs, portable=False)
+    rows = {r["doc"]: (r["simhash_lo"], r["simhash_hi"]) for r in sigs.collect()}
+    for lo, hi in rows.values():
+        assert 0 <= lo < (1 << 60) and 0 <= hi < (1 << 60)
+    assert rows[1] == rows[2]
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_pairs_wide(sigs, max_hamming=3).collect()}
+    want = set()
+    for a in rows:
+        for b in rows:
+            if a < b:
+                hd = (bin(rows[a][0] ^ rows[b][0]).count("1")
+                      + bin(rows[a][1] ^ rows[b][1]).count("1"))
+                if hd <= 3:
+                    want.add((a, b, hd))
+    assert got == want
+
+
 def test_textstats(docs):
     from palladian_spark.operators.textstats import (
         fingerprints,
