@@ -442,6 +442,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hour", "minute", "second", "ts",
         )
 
+    def doc_coordinates(spark, sf_dir):
+        # geo-coordinate extraction (reference extraction/location/
+        # CoordinateTagger.java, kernel golden-pinned vs the reference's
+        # own CoordinateTaggerTest cases): a deterministic coordinate-
+        # bearing corpus derived from doc_id carries one decimal-degree
+        # pair and one DMS pair per doc; the DuckDB oracle re-derives the
+        # strings and converts to microdegrees INDEPENDENTLY (integer
+        # arithmetic for the decimal form, the same left-to-right IEEE
+        # double expression + portable floor(x*1e6 + 0.5) for DMS).
+        from palladian_spark.operators.geo import tag_coordinates
+
+        docs = _read(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        latd = (did % 90).cast("int")
+        latf = (did * 13 % 100).cast("int")
+        lngd = (did * 3 % 180).cast("int")
+        lngf = (did * 7 % 100).cast("int")
+        ns = F.when(did % 2 == 0, F.lit("N")).otherwise(F.lit("S"))
+        ew = F.when(did % 3 == 0, F.lit("W")).otherwise(F.lit("E"))
+        mm1 = (did % 60).cast("int")
+        ss1 = (did * 7 % 60).cast("int")
+        mm2 = (did * 11 % 60).cast("int")
+        ss2 = (did * 17 % 60).cast("int")
+        derived = docs.select(
+            "doc_id",
+            F.format_string(
+                "site %d.%02d%s %d.%02d%s near "
+                "%d°%d′%d″%s %d°%d′%d″%s end",
+                latd, latf, ns, lngd, lngf, ew,
+                latd, mm1, ss1, ns, lngd, mm2, ss2, ew,
+            ).alias("content"),
+        )
+        return tag_coordinates(derived, text_col="content", keep_cols=["doc_id"])
+
     def doc_dup_clusters(spark, sf_dir):
         # duplicate clusters = connected components over exact-Jaccard
         # near-dup pairs (exact pairs here for full SQL oracle-ability; at
@@ -835,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_simhash_pairs=doc_simhash_pairs,
         doc_simhash_wide_pairs=doc_simhash_wide_pairs,
         doc_dates_normalized=doc_dates_normalized,
+        doc_coordinates=doc_coordinates,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
         ner_reference_agreement=ner_reference_agreement,
@@ -1659,6 +1694,47 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::int as hamming
             from sig a join sig b on a.doc < b.doc
             where bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # Independent recomputation of the derived coordinate corpus:
+        # identical printf derivation, integer microdegrees for the
+        # decimal form, same-order IEEE double expression + portable
+        # floor(x*1e6 + 0.5) for the DMS form. Positions from the fixed
+        # template prefix lengths.
+        "doc_coordinates": """
+            with d as (
+              select doc_id,
+                     doc_id % 90 as latd, (doc_id * 13) % 100 as latf,
+                     (doc_id * 3) % 180 as lngd, (doc_id * 7) % 100 as lngf,
+                     case when doc_id % 2 = 0 then 'N' else 'S' end as ns,
+                     case when doc_id % 3 = 0 then 'W' else 'E' end as ew,
+                     doc_id % 60 as mm1, (doc_id * 7) % 60 as ss1,
+                     (doc_id * 11) % 60 as mm2, (doc_id * 17) % 60 as ss2
+              from documents),
+            parts as (
+              select *,
+                     printf('%d.%02d%s %d.%02d%s',
+                            latd, latf, ns, lngd, lngf, ew) as degv,
+                     printf('%d°%d′%d″%s %d°%d′%d″%s',
+                            latd, mm1, ss1, ns, lngd, mm2, ss2, ew) as dmsv
+              from d)
+            select doc_id, 5 as start, (5 + length(degv))::int as "end",
+                   degv as value,
+                   (case ns when 'S' then -1 else 1 end
+                    * (latd*1000000 + latf*10000))::bigint as lat_udeg,
+                   (case ew when 'W' then -1 else 1 end
+                    * (lngd*1000000 + lngf*10000))::bigint as lng_udeg
+            from parts
+            union all
+            select doc_id, (5 + length(degv) + 6)::int as start,
+                   (5 + length(degv) + 6 + length(dmsv))::int as "end",
+                   dmsv as value,
+                   floor((case ns when 'S' then -1.0 else 1.0 end
+                          * (latd + mm1/60.0 + ss1/3600.0))
+                         * 1000000 + 0.5)::bigint as lat_udeg,
+                   floor((case ew when 'W' then -1.0 else 1.0 end
+                          * (lngd + mm2/60.0 + ss2/3600.0))
+                         * 1000000 + 0.5)::bigint as lng_udeg
+            from parts
         """,
         "doc_dates_normalized": """
             with d as (

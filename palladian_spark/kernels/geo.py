@@ -1,0 +1,104 @@
+"""Geo-coordinate extraction: DMS / decimal-degree pairs from plain text.
+
+Reference: extraction/location/CoordinateTagger.java:34-95 (the two
+patterns, the deg/DMS passes, range filtering, annotation emission) and
+palladian-commons helper/geo/GeoUtils.java:28-31 (the DMS regex),
+:186-203 (parseDms), :264-266 (isValidCoordinateRange). The regexes are
+kept character-for-character (lookarounds included — the Python `regex`
+module supports the Java dialect here); parse and sign semantics follow
+the Java code exactly, including the quirk that an explicit hemisphere
+letter overrides the numeric sign and the degree magnitude is abs()'d.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import regex
+
+_LEFT = r"(?<!\w)"
+_RIGHT = r"(?!\w)"
+_DEG = r"([-+]?\d{1,3}\.\d{1,10})([NSWE])?"
+_SEP = r"(?:,\s?|\s)"
+# GeoUtils.DMS verbatim (GeoUtils.java:28-31)
+DMS = (
+    r"([-+]?\d{1,3}(?:\.\d{1,10})?)[°ºd:]"
+    r"(?:\s?(\d{1,2}(?:\.\d{1,10})?))?['′:]?"
+    r"(?:\s?(\d{1,2}(?:\.\d{1,10})?))?(?:\"|″|'')?"
+    r"(?:\s?(N|S|W|E|North|South|West|East))?"
+)
+
+PATTERN_DEG = regex.compile(_LEFT + "(" + _DEG + ")" + _SEP + "(" + _DEG + ")" + _RIGHT)
+PATTERN_DMS = regex.compile(_LEFT + "(" + DMS + ")" + _SEP + "(" + DMS + ")" + _RIGHT)
+_PATTERN_PARSE_DMS = regex.compile(DMS)
+
+GEO_TAG = "geoCoordinate"
+
+
+class GeoAnnotation(NamedTuple):
+    start: int
+    end: int
+    value: str
+    lat: float
+    lng: float
+
+
+def is_valid_coordinate_range(lat: float, lng: float) -> bool:
+    """GeoUtils.isValidCoordinateRange (GeoUtils.java:264-266)."""
+    return -90 <= lat <= 90 and -180 <= lng <= 180
+
+
+def parse_dms(dms_string: str) -> float:
+    """DMS expression -> decimal degrees (GeoUtils.parseDms :186-203).
+
+    Sign comes from the hemisphere word when present (W/S negative),
+    else from the numeric sign; degrees contribute abs()'d.
+    """
+    m = _PATTERN_PARSE_DMS.fullmatch(dms_string)
+    if m is None:
+        raise ValueError(f"not a DMS coordinate: {dms_string!r}")
+    degrees = float(m.group(1))
+    ws = m.group(4)
+    if ws is not None:
+        sign = -1 if ws in ("W", "S", "West", "South") else 1
+    else:
+        sign = -1 if m.group(1).startswith("-") else 1
+    minutes = float(m.group(2)) if m.group(2) is not None else 0.0
+    seconds = float(m.group(3)) if m.group(3) is not None else 0.0
+    return sign * (abs(degrees) + minutes / 60.0 + seconds / 3600.0)
+
+
+def coordinate_tag(text: str) -> list[GeoAnnotation]:
+    """Both tagger passes in reference order: decimal-degree pairs, then
+    DMS pairs (CoordinateTagger.getAnnotations :55-86). Invalid ranges
+    and unparseable matches are dropped silently, as in the reference."""
+    out: list[GeoAnnotation] = []
+    for m in PATTERN_DEG.finditer(text):
+        try:
+            lat = float(m.group(2))
+            lng = float(m.group(5))
+        except (TypeError, ValueError):
+            continue
+        if m.group(3) == "S":
+            lat = -lat
+        if m.group(6) == "W":
+            lng = -lng
+        if is_valid_coordinate_range(lat, lng):
+            out.append(GeoAnnotation(m.start(), m.end(), m.group(), lat, lng))
+    for m in PATTERN_DMS.finditer(text):
+        try:
+            lat = parse_dms(m.group(1))
+            lng = parse_dms(m.group(6))
+        except ValueError:
+            continue
+        if is_valid_coordinate_range(lat, lng):
+            out.append(GeoAnnotation(m.start(), m.end(), m.group(), lat, lng))
+    return out
+
+
+def to_microdegrees(x: float) -> int:
+    """Engine-portable fixed-point: floor(x * 1e6 + 0.5) — the same
+    half-up rule DuckDB's floor(expr * 1e6 + 0.5) evaluates bit-for-bit
+    on IEEE doubles (Python round() is banker's and would diverge)."""
+    return math.floor(x * 1_000_000 + 0.5)

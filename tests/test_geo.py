@@ -1,0 +1,77 @@
+"""CoordinateTagger kernel vs the reference's own unit-test goldens
+(extraction/location/CoordinateTaggerTest.java), plus the Spark operator
+over the derived corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from palladian_spark.kernels.geo import (
+    coordinate_tag,
+    parse_dms,
+    to_microdegrees,
+)
+
+# (text, [(lat, lng, tolerance)]) — CoordinateTaggerTest.java:15-69
+GOLDENS = [
+    ("40.446195,-79.948862", [(40.446195, -79.948862, 0.0)]),
+    ("40.446195, -79.948862", [(40.446195, -79.948862, 0.0)]),
+    ("40.446195 -79.948862", [(40.446195, -79.948862, 0.0)]),
+    ("40.446195N 79.948862W", [(40.446195, -79.948862, 0.0)]),
+    ("40°26′47″N 079°58′36″W", [(40.446195, -79.948862, 0.05)]),
+    ("40d 26′ 47″ N 079d 58′ 36″ W", [(40.446195, -79.948862, 0.05)]),
+    ("40:26:46.302N 079:56:55.903W", [(40.446195, -79.948862, 0.05)]),
+    ("40° 26.7717, -79° 56.93172", [(40.446195, -79.948862, 0.05)]),
+    (
+        "Mast Hill (68°11′S 67°0′W) is a hill 14 metres (46 ft) high at the "
+        "western end of Stonington Island, Marguerite Bay, on the west side "
+        "of the Antarctic Peninsula.",
+        [(-68.183333, -67.0, 0.05)],
+    ),
+    # range filter must reject plain numbers (121.4 > 90 latitude)
+    (
+        "The cost of living index was listed as 121.4, 21.4 points above "
+        "the U.S. average.",
+        [],
+    ),
+]
+
+
+@pytest.mark.parametrize("text,want", GOLDENS)
+def test_reference_goldens(text, want):
+    got = coordinate_tag(text)
+    assert len(got) == len(want), [a.value for a in got]
+    for a, (lat, lng, tol) in zip(got, want):
+        assert abs(a.lat - lat) <= tol
+        assert abs(a.lng - lng) <= tol
+
+
+def test_parse_dms_sign_rules():
+    # hemisphere overrides the numeric sign; degrees contribute abs()'d
+    assert parse_dms("40°26′47″S") == pytest.approx(-(40 + 26 / 60 + 47 / 3600))
+    assert parse_dms("-79° 56.93172") == pytest.approx(-(79 + 56.93172 / 60))
+    assert parse_dms("-40°30′S") == pytest.approx(-40.5)
+    with pytest.raises(ValueError):
+        parse_dms("not a coordinate")
+
+
+def test_to_microdegrees_half_up():
+    assert to_microdegrees(1.0000005) == 1000001  # floor(x*1e6 + 0.5), not banker's
+    assert to_microdegrees(-40.13) == -40130000
+    assert to_microdegrees(0.0) == 0
+
+
+def test_spark_operator(spark):
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.geo import tag_coordinates
+
+    df = spark.createDataFrame(
+        [(1, "go to 40.446195N 79.948862W now"), (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    rows = tag_coordinates(df, keep_cols=["doc_id"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["start"], r["value"]) == (1, 6, "40.446195N 79.948862W")
+    assert r["lat_udeg"] == 40446195 and r["lng_udeg"] == -79948862
