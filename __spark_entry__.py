@@ -59,6 +59,9 @@ GAZETTEER = {
 
 _CAP_WORDS = ["spark", "vector", "stream", "table", "customer", "window"]
 
+# street-name stems for the doc_addresses derived corpus
+_ADDRESS_WORDS = ["Baker", "Cherry", "Oak", "Maple", "King", "Queen", "Garden", "Hill"]
+
 # term set for the scoped co-occurrence queries (substring semantics)
 _COOC_TERMS = ["filter", "join", "row", "spark", "table", "vector"]
 
@@ -476,6 +479,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tag_coordinates(derived, text_col="content", keep_cols=["doc_id"])
 
+    def doc_addresses(spark, sf_dir):
+        # street + house-number extraction (reference extraction/location/
+        # AddressTagger.java, kernel golden-pinned against the reference's
+        # own AddressTaggerTest incl. the XML fixture corpus): derived
+        # address-bearing corpus, arithmetic DuckDB oracle (the template
+        # makes every span position and value a pure function of doc_id).
+        from palladian_spark.operators.geo import tag_addresses
+
+        docs = _read(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        words = F.array(*[F.lit(w) for w in _ADDRESS_WORDS])
+        w1 = F.element_at(words, (did % 8 + 1).cast("int"))
+        w2 = F.element_at(words, ((did * 3 + 1) % 8 + 1).cast("int"))
+        n1 = (did % 400 + 1).cast("int")
+        n2 = (did * 7 % 90 + 1).cast("int")
+        derived = docs.select(
+            "doc_id",
+            F.format_string(
+                "visit %s Street %d and %d %s Road soon", w1, n1, n2, w2
+            ).alias("content"),
+        )
+        return tag_addresses(derived, text_col="content", keep_cols=["doc_id"])
+
     def doc_dup_clusters(spark, sf_dir):
         # duplicate clusters = connected components over exact-Jaccard
         # near-dup pairs (exact pairs here for full SQL oracle-ability; at
@@ -870,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_simhash_wide_pairs=doc_simhash_wide_pairs,
         doc_dates_normalized=doc_dates_normalized,
         doc_coordinates=doc_coordinates,
+        doc_addresses=doc_addresses,
         dict_mentions=dict_mentions,
         string_tagger_candidates=string_tagger_candidates,
         ner_reference_agreement=ner_reference_agreement,
@@ -1735,6 +1762,42 @@ def oracle_sql() -> dict[str, str]:
                           * (lngd + mm2/60.0 + ss2/3600.0))
                          * 1000000 + 0.5)::bigint as lng_udeg
             from parts
+        """,
+        # Arithmetic recomputation of the derived address corpus: the
+        # template fixes every span start/value as a function of doc_id.
+        "doc_addresses": f"""
+            with w(i, word) as (values {", ".join(f"({i}, '{w}')" for i, w in enumerate(_ADDRESS_WORDS))}),
+            d as (
+              select doc_id,
+                     w1.word as w1, w2.word as w2,
+                     (doc_id % 400 + 1)::int as n1,
+                     ((doc_id * 7) % 90 + 1)::int as n2
+              from documents
+              join w w1 on w1.i = doc_id % 8
+              join w w2 on w2.i = (doc_id * 3 + 1) % 8),
+            p as (
+              select doc_id, w1, w2, n1::varchar as n1s, n2::varchar as n2s,
+                     6 as s1
+              from d),
+            rows_ as (
+              select doc_id, s1 as start,
+                     (s1 + length(w1) + 7)::int as "end",
+                     w1 || ' Street' as value, 'STREET' as tag from p
+              union all
+              select doc_id, (s1 + length(w1) + 8)::int,
+                     (s1 + length(w1) + 8 + length(n1s))::int,
+                     n1s, 'STREETNR' from p
+              union all
+              select doc_id, (s1 + length(w1) + 8 + length(n1s) + 5)::int,
+                     (s1 + length(w1) + 8 + length(n1s) + 5 + length(n2s))::int,
+                     n2s, 'STREETNR' from p
+              union all
+              select doc_id,
+                     (s1 + length(w1) + 8 + length(n1s) + 5 + length(n2s) + 1)::int,
+                     (s1 + length(w1) + 8 + length(n1s) + 5 + length(n2s) + 1
+                      + length(w2) + 5)::int,
+                     w2 || ' Road', 'STREET' from p)
+            select doc_id, start, "end", value, tag from rows_
         """,
         "doc_dates_normalized": """
             with d as (

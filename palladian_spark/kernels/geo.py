@@ -102,3 +102,61 @@ def to_microdegrees(x: float) -> int:
     half-up rule DuckDB's floor(expr * 1e6 + 0.5) evaluates bit-for-bit
     on IEEE doubles (Python round() is banker's and would diverge)."""
     return math.floor(x * 1_000_000 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# AddressTagger: streets + house numbers on top of StringTagger candidates.
+# Reference: extraction/location/AddressTagger.java:23-112 (STREET_PATTERN
+# :23-29 verbatim incl. the redundant inner anchors; the " St"+'.' extension
+# quirk :57-64; number prefix/suffix scans over the WHOLE text :79-101;
+# final sort by offset :108).
+# ---------------------------------------------------------------------------
+STREET_TAG = "STREET"
+STREETNR_TAG = "STREETNR"
+
+STREET_PATTERN = regex.compile(
+    r"[A-Za-z]+(?:\s[A-Za-z]+)?(?:\sstreet$|\sroad$|\savenue$|\save\."
+    r"|boulevard$|straße$|strasse$|gasse$|straat|\sdrive|\sst\.|\strafficway)"
+    r"|(?:^rue\s.+|via\s.+|viale\s.+)[A-Za-z]+(?:\s[A-Za-z]+)?",
+    regex.IGNORECASE,
+)
+
+
+class AddressAnnotation(NamedTuple):
+    start: int
+    end: int
+    value: str
+    tag: str
+
+
+def address_tag(text: str) -> list[AddressAnnotation]:
+    """Streets (candidate-filtered) then street numbers, sorted by offset."""
+    from .tagging import string_tag
+
+    streets: list[AddressAnnotation] = []
+    for a in string_tag(text):
+        value = a.value
+        # street names must consist of four tokens maximum (Java
+        # split("\\s") — candidates are single-spaced so equivalent)
+        if len(regex.split(r"\s", value)) > 4:
+            continue
+        # "Bla St" + following '.': extend, the dot was swallowed upstream
+        if value.endswith(" St") and len(text) > a.end and text[a.end] == ".":
+            value += "."
+        if STREET_PATTERN.fullmatch(value):
+            streets.append(
+                AddressAnnotation(a.start, a.start + len(value), value, STREET_TAG)
+            )
+    numbers: list[AddressAnnotation] = []
+    for s in streets:
+        quoted = regex.escape(s.value)
+        for m in regex.finditer(quoted + r"\s(\d+)", text):
+            numbers.append(
+                AddressAnnotation(m.start(1), m.end(1), m.group(1), STREETNR_TAG)
+            )
+        for m in regex.finditer(r"(\d+)\s" + quoted, text):
+            numbers.append(
+                AddressAnnotation(m.start(1), m.end(1), m.group(1), STREETNR_TAG)
+            )
+    # stable sort by start mirrors Collections.sort over streets+numbers
+    return sorted(streets + numbers, key=lambda a: a.start)

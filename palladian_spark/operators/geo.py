@@ -64,3 +64,34 @@ def tag_coordinates(
             *keep_cols, "_a.start", "_a.end", "_a.value", "_a.lat_udeg", "_a.lng_udeg"
         )
     )
+
+
+def tag_addresses(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """df -> one row per street / street-number annotation:
+    (keep_cols..., start, end, value, tag). Kernel: kernels/geo.address_tag
+    (reference extraction/location/AddressTagger.java, golden-pinned)."""
+    from .mentions import ANNOTATION_STRUCT
+
+    keep_cols = (
+        keep_cols if keep_cols is not None else [c for c in df.columns if c != text_col]
+    )
+
+    @F.pandas_udf(ArrayType(ANNOTATION_STRUCT))
+    def tag_series(texts: pd.Series) -> pd.Series:
+        from ..kernels.geo import address_tag
+
+        return texts.map(
+            lambda t: [(a.start, a.end, a.value, a.tag) for a in address_tag(t or "")]
+        )
+
+    return (
+        spread(df)
+        .select(*keep_cols, tag_series(F.col(text_col)).alias("_anns"))
+        .select(*keep_cols, F.explode_outer("_anns").alias("_a"))
+        .where(F.col("_a").isNotNull())
+        .select(*keep_cols, "_a.start", "_a.end", "_a.value", "_a.tag")
+    )

@@ -75,3 +75,60 @@ def test_spark_operator(spark):
     r = rows[0]
     assert (r["doc_id"], r["start"], r["value"]) == (1, 6, "40.446195N 79.948862W")
     assert r["lat_udeg"] == 40446195 and r["lng_udeg"] == -79948862
+
+
+# ---------------------------------------------------------------------------
+# AddressTagger goldens — AddressTaggerTest.java:16-63 verbatim expectations
+# ---------------------------------------------------------------------------
+def test_address_tagger_xml_fixture_goldens():
+    import os
+
+    from palladian_spark.kernels.fileformats import get_text_from_xml
+    from palladian_spark.kernels.geo import address_tag
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "reference", "testTextAddresses.txt"
+    )
+    with open(path, encoding="utf-8") as f:
+        text = get_text_from_xml(f.read())
+    anns = address_tag(text)
+    assert len(anns) == 10
+    assert (anns[0].value, anns[0].start, anns[0].tag) == ("Steenstraat", 1662, "STREET")
+    assert (anns[1].value, anns[1].start, anns[1].tag) == ("50", 1674, "STREETNR")
+    assert (anns[8].value, anns[8].start, anns[8].tag) == ("11", 5855, "STREETNR")
+    assert (anns[9].value, anns[9].start, anns[9].tag) == ("Rue Lepic", 5858, "STREET")
+
+
+def test_address_tagger_inline_goldens():
+    from palladian_spark.kernels.geo import address_tag
+
+    anns = address_tag(
+        "P. SEGAL (writer whose apartment at 1907 Golden Gate Ave. served as "
+        "Cacophony headquarters)"
+    )
+    assert [(a.value, a.tag) for a in anns] == [
+        ("1907", "STREETNR"),
+        ("Golden Gate Ave.", "STREET"),
+    ]
+    anns = address_tag(
+        "According to court documents, Welch went to a residence in the 300 "
+        "block of East Elm Street about 1:45 a.m."
+    )
+    assert [(a.value, a.tag) for a in anns] == [("East Elm Street", "STREET")]
+
+
+def test_address_spark_operator(spark):
+    from palladian_spark.operators.geo import tag_addresses
+
+    df = spark.createDataFrame(
+        [(1, "visit Baker Street 221 today"), (2, "no address")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["start"], r["value"], r["tag"])
+        for r in tag_addresses(df, keep_cols=["doc_id"]).collect()
+    }
+    assert rows == {
+        (1, 6, "Baker Street", "STREET"),
+        (1, 19, "221", "STREETNR"),
+    }
