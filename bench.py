@@ -49,6 +49,8 @@ HEADLINE = [
     "doc_simhash_pairs",
     "doc_simhash_wide_pairs",
     "doc_dates_normalized",
+    "doc_coordinates",
+    "doc_addresses",
     "doc_pos_tags",
     "doc_cooccur_window",
     "media_features",
