@@ -575,6 +575,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             iterations=5,
         )
 
+    # ---- source-code entity extraction (north-rule input shape: the
+    # Iceberg source-code table; lang-dispatched pure-JVM regexp ops) ----
+    def code_imports(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus, extract_code_entities
+
+        ents = extract_code_entities(
+            code_corpus(_read(spark, sf_dir, "documents"))
+        )
+        return (
+            ents.where(F.col("pred") == "imports")
+            .groupBy("repo", "path", "lang", F.col("obj").alias("module"))
+            .agg(F.count(F.lit(1)).alias("n_refs"))
+        )
+
+    def code_defs(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus, extract_code_entities
+
+        ents = extract_code_entities(
+            code_corpus(_read(spark, sf_dir, "documents"))
+        )
+        return (
+            ents.where(F.col("pred").startswith("defines-"))
+            .groupBy(
+                "repo",
+                "path",
+                "lang",
+                F.expr("substring(pred, 9)").alias("kind"),
+                F.col("obj").alias("symbol"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_refs"))
+        )
+
+    def code_triples(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code import code_triples as _code_triples
+
+        return _code_triples(code_corpus(_read(spark, sf_dir, "documents")))
+
+    q["code_imports"] = code_imports
+    q["code_defs"] = code_defs
+    q["code_triples"] = code_triples
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -1425,6 +1467,8 @@ def _pagerank_sql(iterations: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from palladian_spark.operators.code import code_corpus_sql as _code_corpus_sql
+    from palladian_spark.operators.code import code_entities_sql as _code_entities_sql
     from palladian_spark.operators.textstats import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1640,6 +1684,47 @@ def oracle_sql() -> dict[str, str]:
         # same full-recompute oracle on purpose: passing proves the
         # incremental merge path emits byte-identical triples
         "kg_triples_incremental": _kg_triples_sql(threshold=0.9),
+        # Source-code extraction twins: the corpus derivation AND the
+        # per-language regex extraction are re-rendered from the same
+        # TEMPLATES/PATTERNS source of truth into DuckDB SQL
+        # (operators/code.py code_corpus_sql / code_entities_sql) — a full
+        # independent recomputation in a second regex engine (RE2 vs
+        # java.util.regex; patterns stay in the common subset).
+        "code_imports": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()}
+            select repo, path, lang, obj as module, count(*)::bigint as n_refs
+            from code_ents where pred = 'imports'
+            group by 1, 2, 3, 4
+        """,
+        "code_defs": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()}
+            select repo, path, lang, substr(pred, 9) as kind,
+                   obj as symbol, count(*)::bigint as n_refs
+            from code_ents where pred like 'defines-%'
+            group by 1, 2, 3, 4, 5
+        """,
+        "code_triples": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            code_file_agg as (
+              select repo, path, pred, obj,
+                     min(sha) as content_sha256, count(*)::bigint as support
+              from (select e.*, sha256(s.content) as sha
+                    from code_ents e
+                    join code_src s using (repo, path, lang))
+              group by 1, 2, 3, 4)
+            select repo || '/' || path as subj, pred, obj,
+                   content_sha256, support
+            from code_file_agg
+            union all
+            select repo as subj, 'depends-on' as pred, obj,
+                   min(content_sha256) as content_sha256,
+                   count(*)::bigint as support
+            from code_file_agg where pred = 'imports'
+            group by 1, 2, 3
+        """,
         "kg_degree_stats": f"""
             with {_mention_graph_sql()}
             select src as node, count(*)::bigint as degree,

@@ -36,6 +36,7 @@ HEADLINE = [
     "kg_triples_incremental",
     "kg_pagerank",
     "kg_degree_stats",
+    "code_triples",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -1,0 +1,364 @@
+"""Source-code entity extraction for the KG pipeline.
+
+The north rule (BASELINE.json) targets an Iceberg table of source-code
+repositories `(repo, path, commit, lang, content)` at 10^12-file scale.
+The reference's extraction stack is natural-language only
+(/root/reference/palladian-core/src/main/java/ws/palladian/extraction);
+these operators add the code-content twin the deployment table implies:
+language-dispatched import / definition / call-site extraction as
+pure-JVM ``regexp_extract_all`` projections (whole-stage codegen, no
+Python in the scan), emitting the same ``(subj, pred, obj,
+content_sha256, support)`` triple shape as ``operators/triples.py``.
+
+Scale shape: the extraction is a single codegen projection over the
+source scan (one ``regexp_extract_all`` chain per language, dispatched
+by a CASE on ``lang``), two chained explodes of bounded arrays, then ONE
+shuffle — the ``(repo, path, pred, obj)`` aggregate.  The repo-grain
+``depends-on`` roll-up consumes that aggregate's output (already
+file-distinct), so mega-repos cost one extra small shuffle, never a
+second content scan.
+
+Everything is deterministic and dual-rendered: ``TEMPLATES`` /
+``PATTERNS`` below are the single source of truth, rendered once as
+Spark Column expressions and once as DuckDB SQL
+(:func:`code_corpus_sql`, :func:`code_entities_sql`), so the driver's
+oracle recomputes the whole derivation + extraction independently — no
+fixture pins.  The synthetic corpus derivation follows BASELINE.json's
+input_hint ("synthesise it deterministically at small scale"): each
+`documents` row becomes one source file whose language is
+``doc_id % 4`` and whose body is a per-language template filled with
+the document's leading tokens.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CODE_LANGS = ["python", "java", "go", "javascript"]
+
+EXTENSIONS = {"python": ".py", "java": ".java", "go": ".go", "javascript": ".js"}
+
+# Placeholders {0}..{7} are the document's first 8 whitespace tokens
+# (empty/missing tokens padded to 'w<i>'). Braces outside {digit} are
+# literal — a custom renderer parses these, not str.format.
+TEMPLATES = {
+    "python": (
+        "import {0}\n"
+        "from {1} import {2}\n"
+        "import {3}.{4}\n"
+        "\n"
+        "def {5}(x):\n"
+        "    return {0}.{2}(x)\n"
+        "\n"
+        "class {6}:\n"
+        "    pass\n"
+    ),
+    "java": (
+        "package {0};\n"
+        "import {1}.{2};\n"
+        "import {3}.{4};\n"
+        "\n"
+        "public class {5} {\n"
+        "    void {6}() {\n"
+        "        {2}.{7}();\n"
+        "    }\n"
+        "}\n"
+    ),
+    "go": (
+        "package {0}\n"
+        "\n"
+        'import "{1}/{2}"\n'
+        'import "{3}"\n'
+        "\n"
+        "func {4}() {\n"
+        "    {2}.{5}()\n"
+        "}\n"
+    ),
+    "javascript": (
+        "const {0} = require('{1}');\n"
+        "import {2} from '{3}/{4}';\n"
+        "\n"
+        "function {5}() {\n"
+        "    return {0}.{6}();\n"
+        "}\n"
+    ),
+}
+
+# (pred, regex-with-one-capture-group) per language. Patterns are kept in
+# the RE2 ∩ java.util.regex common subset (no lookaround, ASCII \w, inline
+# (?m)) so Spark and DuckDB match identically.
+PATTERNS = {
+    "python": [
+        ("imports", r"(?m)^import ([\w.]+)"),
+        ("imports", r"(?m)^from ([\w.]+) import"),
+        ("defines-function", r"(?m)^def (\w+)\("),
+        ("defines-class", r"(?m)^class (\w+)"),
+        ("calls", r"(\w+\.\w+)\("),
+    ],
+    "java": [
+        ("imports", r"(?m)^import ([\w.]+);"),
+        ("defines-class", r"\bclass (\w+)"),
+        ("defines-function", r"\bvoid (\w+)\("),
+        ("calls", r"(\w+\.\w+)\("),
+    ],
+    "go": [
+        ("imports", r'(?m)^import "([\w/]+)"'),
+        ("defines-function", r"(?m)^func (\w+)\("),
+        ("calls", r"(\w+\.\w+)\("),
+    ],
+    "javascript": [
+        ("imports", r"require\('([\w/]+)'\)"),
+        ("imports", r"(?m)^import \w+ from '([\w/]+)'"),
+        ("defines-function", r"(?m)^function (\w+)\("),
+        ("calls", r"(\w+\.\w+)\("),
+    ],
+}
+
+PREDS = ["imports", "defines-function", "defines-class", "calls"]
+
+N_TOKENS = 8
+
+_PLACEHOLDER = re.compile(r"\{(\d)\}")
+
+
+def _template_parts(template: str) -> list:
+    """Split a template into alternating literal strings and int token ids."""
+    parts: list = []
+    pos = 0
+    for m in _PLACEHOLDER.finditer(template):
+        if m.start() > pos:
+            parts.append(template[pos : m.start()])
+        parts.append(int(m.group(1)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(template[pos:])
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# Spark rendering
+# ---------------------------------------------------------------------------
+def _lang_index_col(id_col: str):
+    return (F.col(id_col) % 4).cast("int")
+
+
+def code_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """documents -> deterministic source-code table (repo, path, commit,
+    lang, content), the BASELINE.json input_hint shape.
+
+    Pure-JVM projection: split + try_element_at + concat, no shuffle.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+
+    def tok(i: int):
+        return F.coalesce(
+            F.nullif(F.try_element_at(toks, F.lit(i + 1)), F.lit("")),
+            F.lit(f"w{i}"),
+        )
+
+    idx = _lang_index_col(id_col)
+    lang = F.element_at(F.array(*[F.lit(l) for l in CODE_LANGS]), idx + 1)
+    ext = F.element_at(F.array(*[F.lit(EXTENSIONS[l]) for l in CODE_LANGS]), idx + 1)
+
+    content = None
+    for i, l in enumerate(CODE_LANGS):
+        rendered = F.concat(
+            *[
+                F.lit(p) if isinstance(p, str) else tok(p)
+                for p in _template_parts(TEMPLATES[l])
+            ]
+        )
+        content = (
+            F.when(idx == i, rendered)
+            if content is None
+            else content.when(idx == i, rendered)
+        )
+
+    source = (
+        F.col(source_col) if source_col in docs.columns else F.lit("synthetic")
+    )
+    return docs.select(
+        F.concat(F.lit("corpus/"), F.coalesce(source, F.lit("synthetic"))).alias(
+            "repo"
+        ),
+        F.concat(F.lit("src/"), F.col(id_col).cast("string"), ext).alias("path"),
+        F.sha2(F.col(id_col).cast("string"), 256).substr(1, 12).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def _pred_matches_col(pred: str):
+    """CASE lang WHEN ... array of all matches for `pred` in `content`."""
+    content = F.coalesce(F.col("content"), F.lit(""))
+    expr = None
+    for l in CODE_LANGS:
+        arrs = [
+            F.regexp_extract_all(content, F.lit(pat), F.lit(1))
+            for p, pat in PATTERNS[l]
+            if p == pred
+        ]
+        if not arrs:
+            continue
+        arr = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+        cond = F.col("lang") == l
+        expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+    return expr.otherwise(F.array().cast("array<string>"))
+
+
+def extract_code_entities(source: DataFrame, keep_cols: tuple = ()) -> DataFrame:
+    """(repo, path, commit, lang, content) -> (repo, path, lang, pred, obj).
+
+    One codegen projection builds a fixed 4-element array of
+    (pred, matches[]) structs; two explodes flatten it. No Python, no
+    shuffle — Catalyst keeps the whole thing in the scan stage. (The
+    explodes sit over JVM expressions, not UDFs, so the
+    InferFiltersFromGenerate double-evaluation hazard documented in
+    operators/mentions.py does not apply.)
+    """
+    matches = F.array(
+        *[
+            F.struct(F.lit(p).alias("pred"), _pred_matches_col(p).alias("objs"))
+            for p in PREDS
+        ]
+    )
+    keep = [F.col(c) for c in keep_cols]
+    step = source.select(
+        "repo", "path", "lang", *keep, F.explode(matches).alias("m")
+    )
+    return step.select(
+        "repo",
+        "path",
+        "lang",
+        *[F.col(c) for c in keep_cols],
+        F.col("m.pred").alias("pred"),
+        F.explode(F.col("m.objs")).alias("obj"),
+    )
+
+
+def code_triples(source: DataFrame) -> DataFrame:
+    """Full KG-shape output: (subj, pred, obj, content_sha256, support).
+
+    File-grain triples (subj = repo/path) from one scan + one shuffle;
+    the repo-grain `depends-on` roll-up consumes the file-grain
+    AGGREGATE (small, post-shuffle), so no second content scan.
+    """
+    ents = extract_code_entities(
+        source.withColumn("content_sha256", F.sha2(F.col("content"), 256)),
+        keep_cols=("content_sha256",),
+    )
+    # lazy localCheckpoint: the file-grain and repo-grain branches of the
+    # final union both consume this aggregate; without it Catalyst plans
+    # TWO full content scans (the filtered depends-on branch prevents
+    # exchange reuse) — the doc_cooccur_window lesson. localCheckpoint,
+    # not persist, per the merge_triples idiom: checkpointed blocks are
+    # GC-reclaimed, so the lazy API needs no unpersist placement.
+    file_agg = (
+        ents.groupBy("repo", "path", "pred", "obj")
+        .agg(
+            F.min("content_sha256").alias("content_sha256"),
+            F.count(F.lit(1)).alias("support"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    file_triples = file_agg.select(
+        F.concat_ws("/", "repo", "path").alias("subj"),
+        "pred",
+        "obj",
+        "content_sha256",
+        "support",
+    )
+    # one row per (repo, path, 'imports', module) feeds this, so count(*)
+    # is the distinct-importing-file count
+    deps = (
+        file_agg.where(F.col("pred") == "imports")
+        .groupBy("repo", "obj")
+        .agg(
+            F.min("content_sha256").alias("content_sha256"),
+            F.count(F.lit(1)).alias("support"),
+        )
+        .select(
+            F.col("repo").alias("subj"),
+            F.lit("depends-on").alias("pred"),
+            "obj",
+            "content_sha256",
+            "support",
+        )
+    )
+    return file_triples.unionByName(deps)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB rendering (oracle side) — same TEMPLATES/PATTERNS, second engine
+# ---------------------------------------------------------------------------
+def _sql_str(lit: str) -> str:
+    """A DuckDB string literal; newlines become chr(10) so the rendered
+    SQL stays single-line-safe."""
+    out = []
+    for seg in lit.split("\n"):
+        out.append("'" + seg.replace("'", "''") + "'")
+    return " || chr(10) || ".join(out)
+
+
+def _sql_template(lang: str) -> str:
+    parts = []
+    for p in _template_parts(TEMPLATES[lang]):
+        if isinstance(p, str):
+            parts.append(_sql_str(p))
+        else:
+            parts.append(f"tok{p}")
+    return " || ".join(parts)
+
+
+def code_corpus_sql(documents: str = "documents") -> str:
+    """CTE body list: `code_toks`, `code_src` — DuckDB twin of
+    :func:`code_corpus` (append to a WITH clause)."""
+    toks = ", ".join(
+        f"coalesce(nullif(tk[{i + 1}], ''), 'w{i}') as tok{i}"
+        for i in range(N_TOKENS)
+    )
+    lang_arr = "[" + ", ".join(f"'{l}'" for l in CODE_LANGS) + "]"
+    ext_arr = "[" + ", ".join(f"'{EXTENSIONS[l]}'" for l in CODE_LANGS) + "]"
+    content_case = "case cast(doc_id % 4 as int) " + " ".join(
+        f"when {i} then {_sql_template(l)}" for i, l in enumerate(CODE_LANGS)
+    ) + " end"
+    return f"""
+    code_toks as (
+      select doc_id, coalesce(source, 'synthetic') as source,
+             str_split(coalesce(text, ''), ' ') as tk
+      from {documents}),
+    code_tok as (
+      select doc_id, source, {toks} from code_toks),
+    code_src as (
+      select 'corpus/' || source as repo,
+             'src/' || cast(doc_id as varchar)
+                 || ({ext_arr})[cast(doc_id % 4 as int) + 1] as path,
+             substr(sha256(cast(doc_id as varchar)), 1, 12) as commit,
+             ({lang_arr})[cast(doc_id % 4 as int) + 1] as lang,
+             {content_case} as content
+      from code_tok)"""
+
+
+def code_entities_sql() -> str:
+    """CTE body: `code_ents` over `code_src` — DuckDB twin of
+    :func:`extract_code_entities`."""
+    branches = []
+    for lang in CODE_LANGS:
+        for pred, pat in PATTERNS[lang]:
+            sql_pat = pat.replace("'", "''")
+            branches.append(
+                f"select repo, path, lang, '{pred}' as pred,\n"
+                f"       unnest(regexp_extract_all(coalesce(content, ''),"
+                f" '{sql_pat}', 1)) as obj\n"
+                f"from code_src where lang = '{lang}'"
+            )
+    body = "\nunion all\n".join(branches)
+    return f"code_ents as (\n{body})"

@@ -30,12 +30,19 @@ def extract_triples(
     doc_ref_cols: tuple[str, ...] = ("repo", "path"),
     canonicalize: bool = True,
     store: StageStore | None = None,
+    code: bool = False,
 ) -> DataFrame:
     """source(repo, path, commit, lang, content) -> deduplicated triples.
 
     With a trained NerModel the full T1-T14 chain runs (typed entities);
     without one, StringTagger candidates become untyped `mentioned-in`/
     `co-occurs-with` edges only.
+
+    With code=True, rows whose `lang` is a code language additionally get
+    source-code entity triples (imports / defines-* / calls at file grain
+    plus repo-grain depends-on — operators/code.py); the code preds are
+    disjoint from the mention preds, so the branch unions in after dedup
+    with its own checkpointable stage and its own single content scan.
     """
     lineage = T.with_lineage(source, content_col)
     lineage = lineage.withColumn("doc_ref", F.concat_ws("/", *[F.col(c) for c in doc_ref_cols]))
@@ -76,8 +83,25 @@ def extract_triples(
         return T.dedup_triples(all_triples)
 
     if store is not None:
-        return store.run("triples", build_triples, lineage_col="content_sha256")
-    return build_triples()
+        result = store.run("triples", build_triples, lineage_col="content_sha256")
+    else:
+        result = build_triples()
+
+    if code:
+        from .operators.code import code_triples as _code_triples
+
+        def build_code() -> DataFrame:
+            # lineage already carries content_sha256; code_triples
+            # recomputes the identical hash, so the per-row invariant holds
+            return _code_triples(source)
+
+        code_part = (
+            store.run("code_triples", build_code, lineage_col="content_sha256")
+            if store is not None
+            else build_code()
+        )
+        result = result.unionByName(code_part)
+    return result
 
 
 def merge_triples(

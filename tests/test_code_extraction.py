@@ -1,0 +1,172 @@
+"""Source-code entity extraction (operators/code.py).
+
+Three layers:
+1. hand-computed goldens — one doc per language with known tokens,
+   exact expected (pred, obj) sets;
+2. dual-render parity — the Spark corpus/extraction equals the DuckDB
+   rendering (code_corpus_sql / code_entities_sql) row-for-row on the
+   driver testdata (this is what makes the contract oracle independent);
+3. plan regressions — extraction stays shuffle-free in the scan stage,
+   and code_triples' two consuming branches share ONE content scan
+   through the persisted file-grain aggregate.
+"""
+
+import duckdb
+import pytest
+
+from palladian_spark.operators.code import (
+    code_corpus,
+    code_corpus_sql,
+    code_entities_sql,
+    code_triples,
+    extract_code_entities,
+)
+
+TOKENS = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, TOKENS, "en", f"src{i}") for i in ids],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+# tokens 0..7 = alpha beta gamma delta epsilon zeta eta theta
+GOLDEN = {
+    # python (doc_id % 4 == 0)
+    0: {
+        ("imports", "alpha"),
+        ("imports", "beta"),
+        ("imports", "delta.epsilon"),
+        ("defines-function", "zeta"),
+        ("defines-class", "eta"),
+        ("calls", "alpha.gamma"),
+    },
+    # java
+    1: {
+        ("imports", "beta.gamma"),
+        ("imports", "delta.epsilon"),
+        ("defines-class", "zeta"),
+        ("defines-function", "eta"),
+        ("calls", "gamma.theta"),
+    },
+    # go
+    2: {
+        ("imports", "beta/gamma"),
+        ("imports", "delta"),
+        ("defines-function", "epsilon"),
+        ("calls", "gamma.zeta"),
+    },
+    # javascript
+    3: {
+        ("imports", "beta"),
+        ("imports", "delta/epsilon"),
+        ("defines-function", "zeta"),
+        ("calls", "alpha.eta"),
+    },
+}
+
+
+@pytest.mark.parametrize("doc_id", sorted(GOLDEN))
+def test_extraction_golden(spark, doc_id):
+    ents = extract_code_entities(code_corpus(_docs(spark, [doc_id])))
+    got = {(r["pred"], r["obj"]) for r in ents.collect()}
+    assert got == GOLDEN[doc_id]
+
+
+def test_corpus_shape_and_lang_dispatch(spark):
+    rows = code_corpus(_docs(spark, [0, 1, 2, 3])).orderBy("path").collect()
+    assert [r["lang"] for r in rows] == ["python", "java", "go", "javascript"]
+    assert [r["path"] for r in rows] == [
+        "src/0.py",
+        "src/1.java",
+        "src/2.go",
+        "src/3.js",
+    ]
+    assert all(len(r["commit"]) == 12 for r in rows)
+    assert all(r["repo"].startswith("corpus/src") for r in rows)
+
+
+def test_null_and_short_text_padding(spark):
+    # null/empty text pads every token slot to 'w<i>' — extraction still
+    # yields the full template's entity set, deterministically
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s"), (4, "", "en", "s"), (8, "solo", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    ents = extract_code_entities(code_corpus(docs))
+    by_doc = {}
+    for r in ents.collect():
+        by_doc.setdefault(r["path"], set()).add((r["pred"], r["obj"]))
+    assert by_doc["src/0.py"] == by_doc["src/4.py"]
+    assert ("imports", "w0") in by_doc["src/0.py"]
+    # first token present, rest padded
+    assert ("imports", "solo") in by_doc["src/8.py"]
+    assert ("imports", "w1") in by_doc["src/8.py"]
+
+
+def test_dual_render_parity(spark, sf_dir):
+    """Spark derivation+extraction == DuckDB rendering, row-for-row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = code_corpus(docs).orderBy("repo", "path").toPandas()
+    ents = (
+        extract_code_entities(code_corpus(docs))
+        .orderBy("repo", "path", "pred", "obj")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_dir}/documents.parquet'"
+    )
+    duck_src = con.execute(
+        f"with {code_corpus_sql()} select * from code_src order by repo, path"
+    ).df()
+    duck_ents = con.execute(
+        f"with {code_corpus_sql()}, {code_entities_sql()} "
+        "select * from code_ents order by repo, path, pred, obj"
+    ).df()
+    assert len(src) == len(duck_src) > 0
+    for c in ["repo", "path", "commit", "lang", "content"]:
+        assert (src[c].values == duck_src[c].values).all(), c
+    assert len(ents) == len(duck_ents) > 0
+    assert ents.reset_index(drop=True).equals(duck_ents.reset_index(drop=True))
+
+
+def test_extraction_plan_is_scan_stage_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        extract_code_entities(code_corpus(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # no shuffle before the consumer's agg
+    assert "Python" not in plan  # pure JVM: no Arrow/UDF hop
+
+
+def test_code_triples_single_content_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri = code_triples(code_corpus(docs))
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    # both union branches must read the lazily-localCheckpointed
+    # file-grain aggregate, not re-derive it from a second parquet scan
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "FileScan" not in plan
+
+
+def test_code_triples_support_semantics(spark):
+    # python template references token0 twice ('import {0}' and
+    # '{0}.{2}(x)') but only the import line matches the imports pattern;
+    # repeated tokens fold into support counts, not duplicate rows
+    docs = spark.createDataFrame(
+        [(0, "a a a a a a a a", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    tri = {(r["subj"], r["pred"], r["obj"]): r["support"] for r in
+           code_triples(code_corpus(docs)).collect()}
+    # imports: 'import a', 'from a import', 'import a.a' -> a x2, a.a x1
+    assert tri[("corpus/s/src/0.py", "imports", "a")] == 2
+    assert tri[("corpus/s/src/0.py", "imports", "a.a")] == 1
+    assert tri[("corpus/s", "depends-on", "a")] == 1
+    assert tri[("corpus/s", "depends-on", "a.a")] == 1

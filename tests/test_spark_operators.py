@@ -578,6 +578,46 @@ def test_pipeline_end_to_end(spark, docs, tmp_path):
     assert store.manifest("triples")["status"] == "complete"
 
 
+def test_pipeline_code_entities(spark, docs, tmp_path):
+    """extract_triples(code=True): code-language rows contribute
+    imports/defines/calls/depends-on triples alongside the mention
+    families; text-language rows contribute none (lang dispatch); the
+    code stage checkpoints and the lineage invariant holds."""
+    from palladian_spark.pipeline import documents_as_source, extract_triples, verify_lineage
+    from palladian_spark.sources.checkpoint import StageStore
+
+    text_source = documents_as_source(docs)
+    code_source = spark.createDataFrame(
+        [
+            ("corpus/repoA", "src/a.py", "c0", "python",
+             "import alpha\nfrom beta import gamma\n\ndef run(x):\n    return alpha.gamma(x)\n"),
+            ("corpus/repoB", "src/b.go", "c1", "go",
+             'package main\n\nimport "alpha/beta"\n\nfunc start() {\n    beta.run()\n}\n'),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    source = text_source.unionByName(code_source)
+    store = StageStore(spark, str(tmp_path / "stages"))
+    triples = extract_triples(source, store=store, code=True)
+    rows = triples.collect()
+    preds = {r["pred"] for r in rows}
+    assert {"mentioned-in", "imports", "depends-on"} <= preds
+    by_edge = {(r["subj"], r["pred"], r["obj"]) for r in rows}
+    assert ("corpus/repoA/src/a.py", "imports", "alpha") in by_edge
+    assert ("corpus/repoA/src/a.py", "calls", "alpha.gamma") in by_edge
+    assert ("corpus/repoB/src/b.go", "imports", "alpha/beta") in by_edge
+    assert ("corpus/repoB", "depends-on", "alpha/beta") in by_edge
+    # text rows emit no code preds (lang dispatch): every code-pred subj
+    # points into the two code repos
+    for s, p, _ in by_edge:
+        if p in ("imports", "calls", "depends-on") or p.startswith("defines-"):
+            assert s.startswith("corpus/repo"), (s, p)
+    assert verify_lineage(source, triples) == 0
+    assert store.manifest("code_triples")["status"] == "complete"
+    # resume: second run reads the checkpointed code stage and matches
+    assert extract_triples(source, store=store, code=True).count() == len(rows)
+
+
 def test_triples_write_partitioned(spark, docs, tmp_path):
     from palladian_spark.pipeline import documents_as_source, extract_triples
     from palladian_spark.operators.triples import write_triples

@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", required=True, help="stage store dir")
     ap.add_argument("--model-dir", default=None, help="trained NerModel dir")
     ap.add_argument("--no-canonicalize", action="store_true")
+    ap.add_argument(
+        "--code-entities",
+        action="store_true",
+        help="also extract source-code entity triples (imports/defines/"
+        "calls/depends-on) from rows whose lang is a code language",
+    )
     args = ap.parse_args()
 
     from palladian_spark.operators.triples import write_triples
@@ -90,6 +96,7 @@ def main() -> None:
         model=model,
         canonicalize=not args.no_canonicalize,
         store=store,
+        code=args.code_entities,
     )
     write_triples(triples, args.output)
     written = spark.read.schema(
@@ -107,7 +114,7 @@ def main() -> None:
         "lineage_violations": violations,
         "stages": {
             s: store.manifest(s)["rows"]
-            for s in ("mentions", "triples")
+            for s in ("mentions", "triples", "code_triples")
             if store.is_complete(s)
         },
     }
