@@ -26,7 +26,7 @@ oracle recomputes the whole derivation + extraction independently — no
 fixture pins.  The synthetic corpus derivation follows BASELINE.json's
 input_hint ("synthesise it deterministically at small scale"): each
 `documents` row becomes one source file whose language is
-``doc_id % 4`` and whose body is a per-language template filled with
+``doc_id % len(CODE_LANGS)`` and whose body is a per-language template filled with
 the document's leading tokens.
 """
 
@@ -37,9 +37,16 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CODE_LANGS = ["python", "java", "go", "javascript"]
+CODE_LANGS = ["python", "java", "go", "javascript", "rust", "c"]
 
-EXTENSIONS = {"python": ".py", "java": ".java", "go": ".go", "javascript": ".js"}
+EXTENSIONS = {
+    "python": ".py",
+    "java": ".java",
+    "go": ".go",
+    "javascript": ".js",
+    "rust": ".rs",
+    "c": ".c",
+}
 
 # Placeholders {0}..{7} are the document's first 8 whitespace tokens
 # (empty/missing tokens padded to 'w<i>'). Braces outside {digit} are
@@ -85,6 +92,24 @@ TEMPLATES = {
         "    return {0}.{6}();\n"
         "}\n"
     ),
+    "rust": (
+        "use {0}::{1};\n"
+        "use {2};\n"
+        "\n"
+        "fn {3}() {\n"
+        "    {1}::{4}();\n"
+        "}\n"
+        "\n"
+        "struct {5};\n"
+    ),
+    "c": (
+        "#include <{0}.h>\n"
+        '#include "{1}.h"\n'
+        "\n"
+        "void {2}(int x) {\n"
+        "    {3}_{4}(x);\n"
+        "}\n"
+    ),
 }
 
 # (pred, regex-with-one-capture-group) per language. Patterns are kept in
@@ -115,6 +140,18 @@ PATTERNS = {
         ("defines-function", r"(?m)^function (\w+)\("),
         ("calls", r"(\w+\.\w+)\("),
     ],
+    "rust": [
+        ("imports", r"(?m)^use ([\w:]+);"),
+        ("defines-function", r"(?m)^fn (\w+)\("),
+        ("defines-class", r"(?m)^struct (\w+);"),
+        ("calls", r"(\w+::\w+)\("),
+    ],
+    "c": [
+        ("imports", r"(?m)^#include <(\w+)\.h>"),
+        ("imports", r'(?m)^#include "(\w+)\.h"'),
+        ("defines-function", r"(?m)^void (\w+)\("),
+        ("calls", r"(\w+_\w+)\("),
+    ],
 }
 
 PREDS = ["imports", "defines-function", "defines-class", "calls"]
@@ -142,7 +179,7 @@ def _template_parts(template: str) -> list:
 # Spark rendering
 # ---------------------------------------------------------------------------
 def _lang_index_col(id_col: str):
-    return (F.col(id_col) % 4).cast("int")
+    return (F.col(id_col) % len(CODE_LANGS)).cast("int")
 
 
 def code_corpus(
@@ -327,7 +364,8 @@ def code_corpus_sql(documents: str = "documents") -> str:
     )
     lang_arr = "[" + ", ".join(f"'{l}'" for l in CODE_LANGS) + "]"
     ext_arr = "[" + ", ".join(f"'{EXTENSIONS[l]}'" for l in CODE_LANGS) + "]"
-    content_case = "case cast(doc_id % 4 as int) " + " ".join(
+    _n = len(CODE_LANGS)
+    content_case = f"case cast(doc_id % {_n} as int) " + " ".join(
         f"when {i} then {_sql_template(l)}" for i, l in enumerate(CODE_LANGS)
     ) + " end"
     return f"""
@@ -340,9 +378,9 @@ def code_corpus_sql(documents: str = "documents") -> str:
     code_src as (
       select 'corpus/' || source as repo,
              'src/' || cast(doc_id as varchar)
-                 || ({ext_arr})[cast(doc_id % 4 as int) + 1] as path,
+                 || ({ext_arr})[cast(doc_id % {_n} as int) + 1] as path,
              substr(sha256(cast(doc_id as varchar)), 1, 12) as commit,
-             ({lang_arr})[cast(doc_id % 4 as int) + 1] as lang,
+             ({lang_arr})[cast(doc_id % {_n} as int) + 1] as lang,
              {content_case} as content
       from code_tok)"""
 

@@ -13,6 +13,7 @@ Three layers:
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from palladian_spark.operators.code import (
     code_corpus,
@@ -65,6 +66,21 @@ GOLDEN = {
         ("defines-function", "zeta"),
         ("calls", "alpha.eta"),
     },
+    # rust
+    4: {
+        ("imports", "alpha::beta"),
+        ("imports", "gamma"),
+        ("defines-function", "delta"),
+        ("defines-class", "zeta"),
+        ("calls", "beta::epsilon"),
+    },
+    # c
+    5: {
+        ("imports", "alpha"),
+        ("imports", "beta"),
+        ("defines-function", "gamma"),
+        ("calls", "delta_epsilon"),
+    },
 }
 
 
@@ -76,14 +92,15 @@ def test_extraction_golden(spark, doc_id):
 
 
 def test_corpus_shape_and_lang_dispatch(spark):
-    rows = code_corpus(_docs(spark, [0, 1, 2, 3])).orderBy("path").collect()
-    assert [r["lang"] for r in rows] == ["python", "java", "go", "javascript"]
-    assert [r["path"] for r in rows] == [
-        "src/0.py",
-        "src/1.java",
-        "src/2.go",
-        "src/3.js",
-    ]
+    rows = code_corpus(_docs(spark, [0, 1, 2, 3, 4, 5])).collect()
+    assert {r["path"]: r["lang"] for r in rows} == {
+        "src/0.py": "python",
+        "src/1.java": "java",
+        "src/2.go": "go",
+        "src/3.js": "javascript",
+        "src/4.rs": "rust",
+        "src/5.c": "c",
+    }
     assert all(len(r["commit"]) == 12 for r in rows)
     assert all(r["repo"].startswith("corpus/src") for r in rows)
 
@@ -92,18 +109,18 @@ def test_null_and_short_text_padding(spark):
     # null/empty text pads every token slot to 'w<i>' — extraction still
     # yields the full template's entity set, deterministically
     docs = spark.createDataFrame(
-        [(0, None, "en", "s"), (4, "", "en", "s"), (8, "solo", "en", "s")],
+        [(0, None, "en", "s"), (6, "", "en", "s"), (12, "solo", "en", "s")],
         "doc_id long, text string, lang string, source string",
     )
     ents = extract_code_entities(code_corpus(docs))
     by_doc = {}
     for r in ents.collect():
         by_doc.setdefault(r["path"], set()).add((r["pred"], r["obj"]))
-    assert by_doc["src/0.py"] == by_doc["src/4.py"]
+    assert by_doc["src/0.py"] == by_doc["src/6.py"]
     assert ("imports", "w0") in by_doc["src/0.py"]
     # first token present, rest padded
-    assert ("imports", "solo") in by_doc["src/8.py"]
-    assert ("imports", "w1") in by_doc["src/8.py"]
+    assert ("imports", "solo") in by_doc["src/12.py"]
+    assert ("imports", "w1") in by_doc["src/12.py"]
 
 
 def test_dual_render_parity(spark, sf_dir):
