@@ -613,9 +613,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _code_triples(code_corpus(_read(spark, sf_dir, "documents")))
 
+    # ---- cross-file resolution over the code entity table: call graph,
+    # entity linking (north-rule stage 2 over code symbols), repo
+    # dependency similarity, and mention-graph triangles ----
+    def code_call_graph(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus, resolve_calls
+
+        return resolve_calls(code_corpus(_read(spark, sf_dir, "documents")))
+
+    def code_entity_link(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus, link_call_entities
+
+        return link_call_entities(code_corpus(_read(spark, sf_dir, "documents")))
+
+    def repo_shared_deps(spark, sf_dir):
+        from palladian_spark.operators.code import (
+            code_corpus,
+            repo_shared_deps as _repo_shared_deps,
+        )
+
+        return _repo_shared_deps(code_corpus(_read(spark, sf_dir, "documents")))
+
+    def kg_triangles(spark, sf_dir):
+        from palladian_spark.operators.graph import triangle_counts
+
+        # edges = the doc_cooccur entity co-occurrence projection (subj,
+        # obj); triangle_counts canonicalizes/dedups internally
+        return triangle_counts(doc_cooccur(spark, sf_dir))
+
     q["code_imports"] = code_imports
     q["code_defs"] = code_defs
     q["code_triples"] = code_triples
+    q["code_call_graph"] = code_call_graph
+    q["code_entity_link"] = code_entity_link
+    q["repo_shared_deps"] = repo_shared_deps
+    q["kg_triangles"] = kg_triangles
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1469,6 +1501,12 @@ def _pagerank_sql(iterations: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.code import code_corpus_sql as _code_corpus_sql
     from palladian_spark.operators.code import code_entities_sql as _code_entities_sql
+    from palladian_spark.operators.code import code_call_graph_sql as _call_graph_sql
+    from palladian_spark.operators.code import code_entity_link_sql as _entity_link_sql
+    from palladian_spark.operators.code import (
+        repo_shared_deps_sql as _shared_deps_sql,
+    )
+    from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
     from palladian_spark.operators.textstats import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1724,6 +1762,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as support
             from code_file_agg where pred = 'imports'
             group by 1, 2, 3
+        """,
+        # Cross-file resolution twins (operators/code.py *_sql renderers):
+        # same dual-rendered-single-source-of-truth scheme as code_ents —
+        # a second regex engine + second join engine recompute everything.
+        "code_call_graph": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_graph_sql()}
+        """,
+        "code_entity_link": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_entity_link_sql()}
+        """,
+        "repo_shared_deps": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_shared_deps_sql()}
+        """,
+        "kg_triangles": f"""
+            with pres as ({_gazetteer_presence_sql()}),
+            cooc as (
+              select a.value as subj, b.value as obj
+              from pres a join pres b
+                on a.doc_id = b.doc_id and a.value < b.value
+              group by 1, 2),
+            {_triangles_sql("cooc")}
         """,
         "kg_degree_stats": f"""
             with {_mention_graph_sql()}

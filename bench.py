@@ -37,6 +37,10 @@ HEADLINE = [
     "kg_pagerank",
     "kg_degree_stats",
     "code_triples",
+    "code_call_graph",
+    "code_entity_link",
+    "repo_shared_deps",
+    "kg_triangles",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

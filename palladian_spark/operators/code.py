@@ -400,3 +400,295 @@ def code_entities_sql() -> str:
             )
     body = "\nunion all\n".join(branches)
     return f"code_ents as (\n{body})"
+
+
+# ---------------------------------------------------------------------------
+# Cross-file resolution: call graph, entity linking, shared dependencies
+# ---------------------------------------------------------------------------
+# These consume the (repo, path, lang, pred, obj) entity table — never the
+# content blobs — so at 10^12 files they operate on the extraction
+# AGGREGATE (bounded by identifiers-per-file, orders of magnitude smaller
+# than the source scan) and every join below is keyed on (repo, ...):
+# partitioning by repo-hash co-locates a repository's files, mega-repo
+# skew lands in map-side-combined aggregates, and no key ever spans
+# repositories except the module-popularity roll-up (explicitly capped).
+
+# Last identifier segment of a call site: `a.b` -> b (python/java/go/js),
+# `a::b` -> b (rust), `a_b` -> a_b (C — `_` is \w, so the full identifier
+# IS the function name, matching C's flat namespace).
+CALLEE_PATTERN = r"(\w+)$"
+
+
+def _entity_agg(source: DataFrame) -> DataFrame:
+    """(repo, path, pred, obj, n) — the per-file entity aggregate every
+    cross-file operator consumes. One content scan, one shuffle; the lazy
+    localCheckpoint cuts lineage so multi-branch consumers (calls + defs,
+    linker candidate + dictionary sides) materialize the scan once and
+    re-read the (identifier-sized, not content-sized) aggregate.
+    localCheckpoint, not persist: checkpointed blocks are GC-reclaimed,
+    so this lazy API needs no unpersist placement (merge_triples idiom).
+    """
+    return (
+        extract_code_entities(source)
+        .groupBy("repo", "path", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def resolve_calls(source: DataFrame) -> DataFrame:
+    """Cross-file call-graph resolution within each repository.
+
+    (repo, path, commit, lang, content) -> (repo, caller_path, def_path,
+    fn, n_call_sites): a row per (caller file, defining file) pair where
+    the caller contains >= 1 call site whose callee identifier (last
+    ``\\w+`` segment) matches a ``defines-function`` entity in ANOTHER
+    file of the same repo. Ambiguous names (defined in k files) resolve
+    to all k candidates — the honest candidate set an entity linker
+    scores next (:func:`link_call_entities`).
+
+    Scale: the calls and defs branches both derive from ONE per-file
+    entity aggregate (:func:`_entity_agg` — one content scan, one
+    shuffle, lazily checkpointed so neither branch rescans the blobs);
+    call sites collapse to (repo, caller_path, fn) with a map-side
+    combine, defs are per-file distinct by construction, and the
+    resolve join shuffles both small sides once on (repo, fn). Fan-out
+    is bounded by defs-per-name-per-repo, and the composite key keeps
+    popular names in DIFFERENT repos on different reducers.
+    """
+    agg = _entity_agg(source)
+    calls = (
+        agg.where(F.col("pred") == "calls")
+        .select(
+            "repo",
+            F.col("path").alias("caller_path"),
+            F.regexp_extract("obj", CALLEE_PATTERN, 1).alias("fn"),
+            "n",
+        )
+        .groupBy("repo", "caller_path", "fn")
+        .agg(F.sum("n").alias("n_call_sites"))
+    )
+    defs = agg.where(F.col("pred") == "defines-function").select(
+        "repo", F.col("path").alias("def_path"), F.col("obj").alias("fn")
+    )
+    return (
+        calls.join(defs, ["repo", "fn"])
+        .where(F.col("caller_path") != F.col("def_path"))
+        .select("repo", "caller_path", "def_path", "fn", "n_call_sites")
+    )
+
+
+def code_call_graph_sql() -> str:
+    """CTE bodies `code_calls`, `code_fdefs` + final select — DuckDB twin
+    of :func:`resolve_calls` (append after code_ents)."""
+    return r"""
+    code_calls as (
+      select repo, path as caller_path,
+             regexp_extract(obj, '(\w+)$', 1) as fn,
+             count(*)::bigint as n_call_sites
+      from code_ents where pred = 'calls'
+      group by 1, 2, 3),
+    code_fdefs as (
+      select distinct repo, path as def_path, obj as fn
+      from code_ents where pred = 'defines-function')
+    select c.repo, c.caller_path, d.def_path, c.fn, c.n_call_sites
+    from code_calls c join code_fdefs d using (repo, fn)
+    where c.caller_path <> d.def_path"""
+
+
+LINK_MIN_SCORE_1000 = 500  # trigram-Jaccard >= 0.5, as integer thousandths
+
+
+def link_call_entities(
+    source: DataFrame, min_score_1000: int = LINK_MIN_SCORE_1000
+) -> DataFrame:
+    """Candidate entity-link scoring for UNRESOLVED call identifiers —
+    the north rule's "candidate entity-link scoring via broadcast
+    dictionary join + blocking" stage instantiated over code symbols.
+
+    Call identifiers with no exact ``defines-*`` match in their repo
+    (typo'd, renamed, or partially-qualified references) are linked to
+    the repo's symbol dictionary by character-trigram Jaccard: pairs are
+    BLOCKED on a shared trigram (complete for any threshold > 0 — a pair
+    with Jaccard > 0 shares a trigram, so blocking loses nothing), scored
+    as integer thousandths ``(1000*|A∩B|) div |A∪B|`` (integer arithmetic
+    end-to-end, so Spark and DuckDB agree bit-for-bit), and the best
+    symbol per call name kept (score desc, symbol asc tiebreak).
+
+    Output: (repo, fn, linked_symbol, score_1000), one row per linkable
+    unresolved name with score >= ``min_score_1000``. Names shorter than
+    3 chars have no trigrams and are not linkable.
+
+    Scale: everything downstream of :func:`_entity_agg` is
+    identifier-sized. The trigram explode fans each name out ~len times;
+    the blocking join is keyed (repo, trigram) — within one repo a common
+    trigram bucket is |names-with-that-trigram|², the same banded-bucket
+    profile as MinHash-LSH (operators/dedup.py), and the repo component
+    spreads hot trigrams across reducers. The exact-match rejection is a
+    broadcast-able anti-join (dictionary side is distinct symbols).
+    """
+    agg = _entity_agg(source)
+    calls = (
+        agg.where(F.col("pred") == "calls")
+        .select("repo", F.regexp_extract("obj", CALLEE_PATTERN, 1).alias("fn"))
+        .distinct()
+    )
+    syms = (
+        agg.where(F.col("pred").startswith("defines-"))
+        .select("repo", F.col("obj").alias("sym"))
+        .distinct()
+    )
+    unresolved = calls.join(
+        syms.withColumnRenamed("sym", "fn"), ["repo", "fn"], "left_anti"
+    ).where(F.length("fn") >= 3)
+    linkable_syms = syms.where(F.length("sym") >= 3)
+
+    def tri(col: str):
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({col}) - 2),"
+                f" i -> substring(lower({col}), i, 3))"
+            )
+        )
+
+    tri_c = unresolved.select("repo", "fn", tri("fn").alias("grams"))
+    tri_s = linkable_syms.select("repo", "sym", tri("sym").alias("grams"))
+    sz_c = tri_c.select("repo", "fn", F.size("grams").alias("n_c"))
+    sz_s = tri_s.select("repo", "sym", F.size("grams").alias("n_s"))
+    ex_c = tri_c.select("repo", "fn", F.explode("grams").alias("g"))
+    ex_s = tri_s.select("repo", "sym", F.explode("grams").alias("g"))
+    inter = (
+        ex_c.join(ex_s, ["repo", "g"])
+        .groupBy("repo", "fn", "sym")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(sz_c, ["repo", "fn"])
+        .join(sz_s, ["repo", "sym"])
+        .select(
+            "repo",
+            "fn",
+            "sym",
+            F.expr("cast((1000 * inter) div (n_c + n_s - inter) as bigint)").alias(
+                "score_1000"
+            ),
+        )
+        .where(F.col("score_1000") >= min_score_1000)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "fn").orderBy(
+        F.col("score_1000").desc(), F.col("sym").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("repo", "fn", F.col("sym").alias("linked_symbol"), "score_1000")
+    )
+
+
+def code_entity_link_sql(min_score_1000: int = LINK_MIN_SCORE_1000) -> str:
+    """CTE bodies + final select — DuckDB twin of
+    :func:`link_call_entities` (append after code_ents)."""
+    return rf"""
+    link_calls as (
+      select distinct repo, regexp_extract(obj, '(\w+)$', 1) as fn
+      from code_ents where pred = 'calls'),
+    link_syms as (
+      select distinct repo, obj as sym
+      from code_ents where pred like 'defines-%'),
+    link_unres as (
+      select c.repo, c.fn from link_calls c
+      anti join link_syms s on c.repo = s.repo and c.fn = s.sym
+      where length(c.fn) >= 3),
+    link_tri_c as (
+      select repo, fn,
+             unnest(list_distinct([substr(lower(fn), i, 3)
+                                   for i in range(1, length(fn) - 1)])) as g
+      from link_unres),
+    link_tri_s as (
+      select repo, sym,
+             unnest(list_distinct([substr(lower(sym), i, 3)
+                                   for i in range(1, length(sym) - 1)])) as g
+      from link_syms where length(sym) >= 3),
+    link_sz_c as (select repo, fn, count(*) as n_c from link_tri_c group by 1, 2),
+    link_sz_s as (select repo, sym, count(*) as n_s from link_tri_s group by 1, 2),
+    link_inter as (
+      select c.repo, c.fn, s.sym, count(*) as inter
+      from link_tri_c c join link_tri_s s on c.repo = s.repo and c.g = s.g
+      group by 1, 2, 3),
+    link_scored as (
+      select i.repo, i.fn, i.sym,
+             ((1000 * i.inter) // (c.n_c + s.n_s - i.inter))::bigint as score_1000
+      from link_inter i
+      join link_sz_c c on i.repo = c.repo and i.fn = c.fn
+      join link_sz_s s on i.repo = s.repo and i.sym = s.sym),
+    link_ranked as (
+      select repo, fn, sym, score_1000,
+             row_number() over (partition by repo, fn
+                                order by score_1000 desc, sym asc) as rk
+      from link_scored where score_1000 >= {min_score_1000})
+    select repo, fn, sym as linked_symbol, score_1000
+    from link_ranked where rk = 1"""
+
+
+REPO_DEP_MAX_FANOUT = 1000  # drop modules imported by more repos than this
+
+
+def repo_shared_deps(
+    source: DataFrame, max_fanout: int = REPO_DEP_MAX_FANOUT
+) -> DataFrame:
+    """Repo-similarity edges from shared dependencies: (repo_a, repo_b,
+    n_shared) counts the distinct modules both repositories import.
+
+    Scale: the input is the distinct (repo, module) dependency set (tiny
+    versus content). The self-join on module is quadratic in
+    repos-per-module, so ubiquitous modules (stdlib — imported by every
+    repo, which would make the join O(n_repos²)) are EXPLICITLY dropped
+    above ``max_fanout`` importing repos; the cap is the operator's
+    documented contract, mirrored in the oracle, not a silent truncation.
+    A shared-nothing alternative at extreme scale is min-hashing the
+    dependency sets (operators/dedup.py machinery) — this exact variant
+    is the oracle-able baseline.
+    """
+    deps = (
+        extract_code_entities(source)
+        .where(F.col("pred") == "imports")
+        .select("repo", F.col("obj").alias("module"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both sides of the self-join
+    )
+    keep = (
+        deps.groupBy("module")
+        .agg(F.count(F.lit(1)).alias("n_repos"))
+        .where(F.col("n_repos") <= max_fanout)
+        .select("module")
+    )
+    d = deps.join(keep, "module")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.module") == F.col("b.module"))
+            & (F.col("a.repo") < F.col("b.repo")),
+        )
+        .groupBy(F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def repo_shared_deps_sql(max_fanout: int = REPO_DEP_MAX_FANOUT) -> str:
+    """CTE bodies + final select — DuckDB twin of :func:`repo_shared_deps`
+    (append after code_ents)."""
+    return f"""
+    dep_set as (
+      select distinct repo, obj as module
+      from code_ents where pred = 'imports'),
+    dep_kept as (
+      select repo, module from dep_set
+      where module in (select module from dep_set
+                       group by module having count(*) <= {max_fanout}))
+    select a.repo as repo_a, b.repo as repo_b, count(*)::bigint as n_shared
+    from dep_kept a join dep_kept b
+      on a.module = b.module and a.repo < b.repo
+    group by 1, 2"""

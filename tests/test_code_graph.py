@@ -1,0 +1,272 @@
+"""Cross-file code-graph operators (operators/code.py resolve_calls /
+link_call_entities / repo_shared_deps) and triangle counting
+(operators/graph.py triangle_counts).
+
+Layers, matching test_code_extraction.py:
+1. hand-computed goldens over tiny direct source tables (known call
+   sites, known trigram-Jaccard arithmetic, known triangle sets);
+2. dual-render parity — each Spark operator equals its DuckDB SQL twin
+   over the same synthetic corpus (what makes the contract oracles
+   independent recomputations);
+3. semantic edges: repo isolation, self-file exclusion, fanout cap,
+   duplicate/self-loop edge hygiene.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from palladian_spark.operators.code import (
+    code_call_graph_sql,
+    code_corpus,
+    code_corpus_sql,
+    code_entities_sql,
+    code_entity_link_sql,
+    link_call_entities,
+    repo_shared_deps,
+    repo_shared_deps_sql,
+    resolve_calls,
+)
+from palladian_spark.operators.graph import triangle_counts, triangle_counts_sql
+
+SRC_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 1. resolve_calls goldens
+# ---------------------------------------------------------------------------
+def test_resolve_calls_cross_file(spark):
+    rows = [
+        ("r1", "a.py", "c0", "python", "def main(x):\n    return util.helper(x)\n"),
+        ("r1", "b.py", "c1", "python", "def helper(x):\n    return x\n"),
+        # same repo, self-call only — no cross-file edge
+        ("r1", "c.py", "c2", "python", "def solo(x):\n    return self.solo(x)\n"),
+        # DIFFERENT repo defines helper too — must not receive r1's calls
+        ("r2", "z.py", "c3", "python", "def helper(x):\n    return x\n"),
+    ]
+    out = resolve_calls(_src(spark, rows)).collect()
+    assert [(r.repo, r.caller_path, r.def_path, r.fn, r.n_call_sites) for r in out] == [
+        ("r1", "a.py", "b.py", "helper", 1)
+    ]
+
+
+def test_resolve_calls_counts_and_ambiguity(spark):
+    rows = [
+        (
+            "r1",
+            "a.py",
+            "c0",
+            "python",
+            "def go(x):\n    return m.f(m.f(x)) + n.f(x)\n",
+        ),
+        ("r1", "b.py", "c1", "python", "def f(x):\n    return x\n"),
+        ("r1", "c.py", "c2", "python", "def f(x):\n    return x + 1\n"),
+    ]
+    out = sorted(
+        (r.caller_path, r.def_path, r.fn, r.n_call_sites)
+        for r in resolve_calls(_src(spark, rows)).collect()
+    )
+    # 3 call sites of `f` in a.py resolve to BOTH defining files
+    assert out == [("a.py", "b.py", "f", 3), ("a.py", "c.py", "f", 3)]
+
+
+def test_resolve_calls_rust_and_c_callee_segments(spark):
+    rows = [
+        ("r1", "a.rs", "c0", "rust", "fn go() {\n    util::helper();\n}\n"),
+        ("r1", "b.rs", "c1", "rust", "fn helper() {\n}\n"),
+        ("r2", "a.c", "c2", "c", "void go(int x) {\n    do_work(x);\n}\n"),
+        ("r2", "b.c", "c3", "c", "void do_work(int x) {\n}\n"),
+    ]
+    out = sorted(
+        (r.repo, r.caller_path, r.def_path, r.fn)
+        for r in resolve_calls(_src(spark, rows)).collect()
+    )
+    # rust: last `::` segment; C: the FULL `a_b` identifier
+    assert out == [
+        ("r1", "a.rs", "b.rs", "helper"),
+        ("r2", "a.c", "b.c", "do_work"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# 1. link_call_entities goldens
+# ---------------------------------------------------------------------------
+def test_link_call_entities_trigram_arithmetic(spark):
+    # call `process_dat` (truncated) vs def `process_data`:
+    # tri(process_dat) = 9 distinct trigrams, tri(process_data) = 10,
+    # intersection = 9 -> score = (1000*9) div 10 = 900
+    rows = [
+        (
+            "r1",
+            "a.py",
+            "c0",
+            "python",
+            "def go(x):\n    return m.process_dat(x)\n",
+        ),
+        ("r1", "b.py", "c1", "python", "def process_data(x):\n    return x\n"),
+    ]
+    out = link_call_entities(_src(spark, rows)).collect()
+    got = [(r.repo, r.fn, r.linked_symbol, r.score_1000) for r in out]
+    assert got == [("r1", "process_dat", "process_data", 900)]
+
+
+def test_link_call_entities_exact_match_excluded_and_tiebreak(spark):
+    rows = [
+        (
+            "r1",
+            "a.py",
+            "c0",
+            "python",
+            "def go(x):\n    return m.handle(x) + m.handler(x)\n",
+        ),
+        # handle defined exactly -> not a linker candidate;
+        # handler undefined -> links; handlers/handled tie on score?
+        ("r1", "b.py", "c1", "python", "def handle(x):\n    return x\n"),
+        ("r1", "c.py", "c2", "python", "def handlers(x):\n    return x\n"),
+    ]
+    out = link_call_entities(_src(spark, rows)).collect()
+    got = [(r.fn, r.linked_symbol, r.score_1000) for r in out]
+    # handler(7 chars, 5 tri) vs handle(6, 4 tri): inter 4, union 5 -> 800
+    # handler vs handlers(8, 6 tri): inter 5, union 6 -> 833 (wins)
+    assert got == [("handler", "handlers", 833)]
+
+
+def test_link_call_entities_short_names_unlinkable(spark):
+    rows = [
+        ("r1", "a.py", "c0", "python", "def go(x):\n    return m.ab(x)\n"),
+        ("r1", "b.py", "c1", "python", "def abc(x):\n    return x\n"),
+    ]
+    assert link_call_entities(_src(spark, rows)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 1. repo_shared_deps goldens
+# ---------------------------------------------------------------------------
+def test_repo_shared_deps_counts_and_cap(spark):
+    def py(mods):
+        return "".join(f"import {m}\n" for m in mods)
+
+    rows = [
+        ("r1", "a.py", "c0", "python", py(["numpy", "pandas", "requests"])),
+        ("r2", "a.py", "c1", "python", py(["numpy", "pandas", "flask"])),
+        ("r3", "a.py", "c2", "python", py(["numpy", "flask"])),
+    ]
+    src = _src(spark, rows)
+    out = sorted(
+        (r.repo_a, r.repo_b, r.n_shared)
+        for r in repo_shared_deps(src).collect()
+    )
+    assert out == [("r1", "r2", 2), ("r1", "r3", 1), ("r2", "r3", 2)]
+    # numpy is imported by all 3 repos; cap at 2 removes it everywhere
+    capped = sorted(
+        (r.repo_a, r.repo_b, r.n_shared)
+        for r in repo_shared_deps(src, max_fanout=2).collect()
+    )
+    assert capped == [("r1", "r2", 1), ("r2", "r3", 1)]
+
+
+# ---------------------------------------------------------------------------
+# 1. triangle_counts goldens
+# ---------------------------------------------------------------------------
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "subj string, obj string")
+
+
+def test_triangle_counts_single_triangle_plus_tail(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    out = dict(
+        (r.node, r.n_triangles) for r in triangle_counts(e).collect()
+    )
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_k4_with_noise_edges(spark):
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1 :]]
+    # duplicates, reversed duplicates, and a self-loop must not change counts
+    noisy = pairs + [("b", "a"), ("c", "a"), ("d", "d"), ("a", "b")]
+    out = dict(
+        (r.node, r.n_triangles)
+        for r in triangle_counts(_edges(spark, noisy)).collect()
+    )
+    # K4 has C(4,3)=4 triangles; every node sits in exactly 3
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    assert triangle_counts(_edges(spark, [("a", "b"), ("b", "c")])).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 2. dual-render parity vs DuckDB over the synthetic corpus
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def parity_docs():
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "zeta eta theta alpha beta gamma delta epsilon",
+        "gamma alpha zeta beta eta delta theta epsilon",
+        "beta gamma alpha epsilon delta theta zeta eta",
+        "delta epsilon zeta gamma theta alpha beta eta",
+        "eta theta alpha zeta beta epsilon gamma delta",
+        "alpha gamma epsilon eta beta delta zeta theta",
+        "theta zeta epsilon delta gamma beta alpha eta",
+        "alpha beta",  # short doc: padded tokens
+        "",  # empty doc: fully padded
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"s{i % 3}" for i in range(len(texts))],
+        }
+    )
+
+
+def _duck(parity_docs, twin_sql):
+    con = duckdb.connect()
+    con.register("documents", parity_docs)
+    return con.execute(
+        f"with {code_corpus_sql()}, {code_entities_sql()}, {twin_sql}"
+    ).df()
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.itertuples(index=False))
+
+
+@pytest.mark.parametrize(
+    "op,twin",
+    [
+        (resolve_calls, code_call_graph_sql()),
+        (link_call_entities, code_entity_link_sql()),
+        (repo_shared_deps, repo_shared_deps_sql()),
+    ],
+)
+def test_dual_render_parity(spark, parity_docs, op, twin):
+    src = code_corpus(spark.createDataFrame(parity_docs))
+    got = _rowset(op(src).toPandas())
+    want = _rowset(_duck(parity_docs, twin))
+    assert got == want
+
+
+def test_triangle_dual_render_parity(spark, parity_docs):
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+        ("c", "e"), ("d", "c"), ("e", "a"), ("a", "d"),
+    ]
+    got = _rowset(triangle_counts(_edges(spark, edges)).toPandas())
+    con = duckdb.connect()
+    con.register("edges_in", pd.DataFrame(edges, columns=["subj", "obj"]))
+    want = _rowset(
+        con.execute(
+            "with e as (select subj, obj from edges_in),"
+            + triangle_counts_sql("e")
+        ).df()
+    )
+    assert got == want
