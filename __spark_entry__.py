@@ -644,10 +644,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_imports"] = code_imports
     q["code_defs"] = code_defs
     q["code_triples"] = code_triples
+    def kg_link_prediction(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.graph import common_neighbor_scores
+
+        # propose missing call-graph edges: non-adjacent files sharing
+        # >= 2 neighbors, scored by integer-thousandths Jaccard (the
+        # entity co-occurrence graph is near-complete at contract scale,
+        # so the sparse file graph is the meaningful edge source)
+        return common_neighbor_scores(
+            call_edges(code_corpus(_read(spark, sf_dir, "documents")))
+        )
+
+    def kg_neighborhood(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.graph import k_hop_counts
+
+        # depth-2 neighborhood size per file node (WordDB traversal twin)
+        return k_hop_counts(
+            call_edges(code_corpus(_read(spark, sf_dir, "documents"))), k=2
+        )
+
     q["code_call_graph"] = code_call_graph
     q["code_entity_link"] = code_entity_link
     q["repo_shared_deps"] = repo_shared_deps
     q["kg_triangles"] = kg_triangles
+    q["kg_link_prediction"] = kg_link_prediction
+    q["kg_neighborhood"] = kg_neighborhood
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1502,11 +1525,16 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.code import code_corpus_sql as _code_corpus_sql
     from palladian_spark.operators.code import code_entities_sql as _code_entities_sql
     from palladian_spark.operators.code import code_call_graph_sql as _call_graph_sql
+    from palladian_spark.operators.code import call_edges_sql as _call_edges_sql
     from palladian_spark.operators.code import code_entity_link_sql as _entity_link_sql
     from palladian_spark.operators.code import (
         repo_shared_deps_sql as _shared_deps_sql,
     )
     from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
+    from palladian_spark.operators.graph import (
+        common_neighbor_scores_sql as _link_pred_sql,
+    )
+    from palladian_spark.operators.graph import k_hop_counts_sql as _k_hop_sql
     from palladian_spark.operators.textstats import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1789,6 +1817,18 @@ def oracle_sql() -> dict[str, str]:
                 on a.doc_id = b.doc_id and a.value < b.value
               group by 1, 2),
             {_triangles_sql("cooc")}
+        """,
+        "kg_link_prediction": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_link_pred_sql("call_edges")}
+        """,
+        "kg_neighborhood": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_k_hop_sql("call_edges", k=2)}
         """,
         "kg_degree_stats": f"""
             with {_mention_graph_sql()}

@@ -41,6 +41,8 @@ HEADLINE = [
     "code_entity_link",
     "repo_shared_deps",
     "kg_triangles",
+    "kg_link_prediction",
+    "kg_neighborhood",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -478,10 +478,7 @@ def resolve_calls(source: DataFrame) -> DataFrame:
     )
 
 
-def code_call_graph_sql() -> str:
-    """CTE bodies `code_calls`, `code_fdefs` + final select — DuckDB twin
-    of :func:`resolve_calls` (append after code_ents)."""
-    return r"""
+_CALL_GRAPH_CTES = r"""
     code_calls as (
       select repo, path as caller_path,
              regexp_extract(obj, '(\w+)$', 1) as fn,
@@ -490,10 +487,43 @@ def code_call_graph_sql() -> str:
       group by 1, 2, 3),
     code_fdefs as (
       select distinct repo, path as def_path, obj as fn
-      from code_ents where pred = 'defines-function')
+      from code_ents where pred = 'defines-function')"""
+
+
+def code_call_graph_sql() -> str:
+    """CTE bodies `code_calls`, `code_fdefs` + final select — DuckDB twin
+    of :func:`resolve_calls` (append after code_ents)."""
+    return (
+        _CALL_GRAPH_CTES
+        + """
     select c.repo, c.caller_path, d.def_path, c.fn, c.n_call_sites
     from code_calls c join code_fdefs d using (repo, fn)
     where c.caller_path <> d.def_path"""
+    )
+
+
+def call_edges(source: DataFrame) -> DataFrame:
+    """The resolved call graph as KG-shaped edges: (subj = repo/caller
+    file, obj = repo/defining file). The edge source for file-grain graph
+    analytics (link prediction, depth-bounded neighborhoods)."""
+    return resolve_calls(source).select(
+        F.concat_ws("/", "repo", "caller_path").alias("subj"),
+        F.concat_ws("/", "repo", "def_path").alias("obj"),
+    )
+
+
+def call_edges_sql() -> str:
+    """CTE chain ending in `call_edges(subj, obj)` — DuckDB twin of
+    :func:`call_edges` (append after code_ents)."""
+    return (
+        _CALL_GRAPH_CTES
+        + """,
+    call_edges as (
+      select c.repo || '/' || c.caller_path as subj,
+             c.repo || '/' || d.def_path as obj
+      from code_calls c join code_fdefs d using (repo, fn)
+      where c.caller_path <> d.def_path)"""
+    )
 
 
 LINK_MIN_SCORE_1000 = 500  # trigram-Jaccard >= 0.5, as integer thousandths

@@ -288,3 +288,183 @@ def triangle_counts_sql(edges_cte: str) -> str:
       union all
       select z as node from tri_tris)
     group by 1"""
+
+
+NEIGHBOR_MAX_DEGREE = 10_000  # wedge middles above this degree are dropped
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    min_cn: int = 2,
+    max_degree: int = NEIGHBOR_MAX_DEGREE,
+) -> DataFrame:
+    """Link prediction over an undirected graph: for every NON-adjacent
+    node pair sharing >= ``min_cn`` neighbors, the common-neighbor count
+    and integer-thousandths neighborhood Jaccard
+    ``(1000*|N(a) ∩ N(b)|) div |N(a) ∪ N(b)|`` — the standard
+    common-neighbors / Jaccard link predictors (Liben-Nowell & Kleinberg
+    2003), here proposing missing co-occurrence edges for the KG.
+    Integer arithmetic end-to-end, so Spark and DuckDB agree exactly.
+
+    Output: (node_a, node_b, common_neighbors, jaccard_1000), node_a <
+    node_b.
+
+    Scale: candidate pairs are generated by a wedge join through the
+    shared neighbor — cost sum(deg(m)^2) over middles m, inherently
+    quadratic in hub degree — so middles above ``max_degree`` are
+    EXPLICITLY excluded (documented contract, mirrored in the oracle,
+    same posture as repo_shared_deps' fanout cap: a 10^9-degree hub
+    predicts an edge between every pair of its neighbors, which is
+    noise, not signal). Everything else is degree aggregates and an
+    edge-keyed anti-join.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # adjacency, degrees, and anti-join reuse it
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    mid_ok = deg.where(F.col("deg") <= max_degree).select(
+        F.col("node").alias("m")
+    )
+    # wedges a - m - c with a < c, middle degree-capped
+    w1 = adj.select(F.col("u").alias("m"), F.col("v").alias("a"))
+    w2 = adj.select(F.col("u").alias("m"), F.col("v").alias("c"))
+    cn = (
+        w1.join(mid_ok, "m")
+        .join(w2, "m")
+        .where(F.col("a") < F.col("c"))
+        .groupBy(F.col("a").alias("node_a"), F.col("c").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_cn)
+    )
+    non_adj = cn.join(
+        und.select(F.col("u").alias("node_a"), F.col("v").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    return (
+        non_adj.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.expr(
+                "cast((1000 * common_neighbors)"
+                " div (deg_a + deg_b - common_neighbors) as bigint)"
+            ).alias("jaccard_1000"),
+        )
+    )
+
+
+def common_neighbor_scores_sql(
+    edges_cte: str, min_cn: int = 2, max_degree: int = NEIGHBOR_MAX_DEGREE
+) -> str:
+    """Final-select SQL twin of :func:`common_neighbor_scores`:
+    `edges_cte` must name a CTE with columns (subj, obj)."""
+    return f"""
+    ln_und as (
+      select distinct least(subj, obj) as u, greatest(subj, obj) as v
+      from {edges_cte} where subj <> obj),
+    ln_adj as (
+      select u, v from ln_und
+      union all
+      select v as u, u as v from ln_und),
+    ln_deg as (select u as node, count(*) as deg from ln_adj group by 1),
+    ln_cn as (
+      select w1.v as node_a, w2.v as node_b, count(*)::bigint as common_neighbors
+      from ln_adj w1
+      join ln_deg dm on w1.u = dm.node and dm.deg <= {max_degree}
+      join ln_adj w2 on w1.u = w2.u
+      where w1.v < w2.v
+      group by 1, 2
+      having count(*) >= {min_cn}),
+    ln_non_adj as (
+      select c.* from ln_cn c
+      anti join ln_und e on c.node_a = e.u and c.node_b = e.v)
+    select n.node_a, n.node_b, n.common_neighbors,
+           ((1000 * n.common_neighbors)
+             // (da.deg + db.deg - n.common_neighbors))::bigint as jaccard_1000
+    from ln_non_adj n
+    join ln_deg da on n.node_a = da.node
+    join ln_deg db on n.node_b = db.node"""
+
+
+def k_hop_counts(edges: DataFrame, k: int = 2, a_col: str = "subj", b_col: str = "obj") -> DataFrame:
+    """Depth-bounded neighborhood size per node: (node, n_reach) where
+    n_reach = |{w != node : dist(node, w) <= k}| over the undirected
+    graph — the distributed twin of the reference's depth-bounded WordDB
+    graph traversals (semantics/WordDB.java's getRelatedWords walks,
+    which expand a word's neighborhood to a fixed depth).
+
+    Each round joins the frontier to the adjacency list and re-distincts
+    (so the reach set, not the path multiset, is what grows), with a
+    lazy localCheckpoint per round to keep lineage flat. Cost is the
+    k-hop ball size — meaningful for the small k the reference uses
+    (2-3); at 100 TB the same rounds run shuffle-partitioned on the
+    frontier's node key, and hub balls are the intrinsic output size,
+    not an artifact of the plan.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    reach = adj.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    frontier = reach
+    for _ in range(1, k):
+        step = adj.select(F.col("u").alias("nbr"), F.col("v").alias("nxt"))
+        frontier = (
+            frontier.join(step, "nbr")
+            .select("node", F.col("nxt").alias("nbr"))
+            .where(F.col("node") != F.col("nbr"))
+            .distinct()
+        )
+        reach = reach.unionByName(frontier).distinct().localCheckpoint(eager=False)
+    return reach.groupBy("node").agg(F.count(F.lit(1)).alias("n_reach"))
+
+
+def k_hop_counts_sql(edges_cte: str, k: int = 2) -> str:
+    """Final-select SQL twin of :func:`k_hop_counts` (unrolled k rounds);
+    `edges_cte` must name a CTE with columns (subj, obj)."""
+    parts = [
+        f"""
+    kh_und as (
+      select distinct least(subj, obj) as u, greatest(subj, obj) as v
+      from {edges_cte} where subj <> obj),
+    kh_adj as (
+      select u, v from kh_und
+      union all
+      select v as u, u as v from kh_und),
+    kh_reach1 as (select u as node, v as nbr from kh_adj)"""
+    ]
+    prev = "kh_reach1"
+    for i in range(2, k + 1):
+        parts.append(
+            f"""
+    kh_reach{i} as (
+      select node, nbr from {prev}
+      union
+      select r.node, a.v as nbr
+      from {prev} r join kh_adj a on r.nbr = a.u
+      where r.node <> a.v)"""
+        )
+        prev = f"kh_reach{i}"
+    body = ",".join(parts)
+    return f"""{body}
+    select node, count(*)::bigint as n_reach from {prev} group by 1"""

@@ -270,3 +270,93 @@ def test_triangle_dual_render_parity(spark, parity_docs):
         ).df()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 1. common_neighbor_scores / k_hop_counts goldens
+# ---------------------------------------------------------------------------
+def test_common_neighbor_scores_square(spark):
+    from palladian_spark.operators.graph import common_neighbor_scores
+
+    # square a-b-c-d-a: the two diagonals are the only predictions;
+    # cn = 2, all degrees 2 -> jaccard = (1000*2) div (2+2-2) = 1000
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    out = sorted(
+        (r.node_a, r.node_b, r.common_neighbors, r.jaccard_1000)
+        for r in common_neighbor_scores(e).collect()
+    )
+    assert out == [("a", "c", 2, 1000), ("b", "d", 2, 1000)]
+
+
+def test_common_neighbor_scores_excludes_adjacent_and_caps_hubs(spark):
+    from palladian_spark.operators.graph import common_neighbor_scores
+
+    # triangle a-b-c plus spokes: adjacent pairs never predicted
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "x"), ("b", "x")]
+    out = sorted(
+        (r.node_a, r.node_b, r.common_neighbors)
+        for r in common_neighbor_scores(_edges(spark, tri)).collect()
+    )
+    # only (c, x): common {a, b}; (a,b),(a,c),(b,c),(a,x),(b,x) adjacent
+    assert out == [("c", "x", 2)]
+    # star: center h (deg 3) is the only shared neighbor; capping middles
+    # at degree 2 removes every wedge
+    star = [("h", "x1"), ("h", "x2"), ("h", "x3")]
+    assert (
+        common_neighbor_scores(_edges(spark, star), min_cn=1, max_degree=2).count()
+        == 0
+    )
+    assert (
+        common_neighbor_scores(_edges(spark, star), min_cn=1).count() == 3
+    )
+
+
+def test_k_hop_counts_path(spark):
+    from palladian_spark.operators.graph import k_hop_counts
+
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    out = dict(
+        (r.node, r.n_reach) for r in k_hop_counts(_edges(spark, path), k=2).collect()
+    )
+    assert out == {"a": 2, "b": 3, "c": 4, "d": 3, "e": 2}
+    # k=1 is just degree; k=4 reaches everything on a 5-path
+    out1 = dict(
+        (r.node, r.n_reach) for r in k_hop_counts(_edges(spark, path), k=1).collect()
+    )
+    assert out1 == {"a": 1, "b": 2, "c": 2, "d": 2, "e": 1}
+    out4 = dict(
+        (r.node, r.n_reach) for r in k_hop_counts(_edges(spark, path), k=4).collect()
+    )
+    assert out4 == {n: 4 for n in "abcde"}
+
+
+def test_link_and_khop_dual_render_parity(spark):
+    from palladian_spark.operators.graph import (
+        common_neighbor_scores,
+        common_neighbor_scores_sql,
+        k_hop_counts,
+        k_hop_counts_sql,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("d", "e"),
+        ("e", "f"), ("f", "b"), ("c", "f"), ("a", "e"),
+    ]
+    con = duckdb.connect()
+    con.register("edges_in", pd.DataFrame(edges, columns=["subj", "obj"]))
+    got = _rowset(common_neighbor_scores(_edges(spark, edges)).toPandas())
+    want = _rowset(
+        con.execute(
+            "with e as (select subj, obj from edges_in),"
+            + common_neighbor_scores_sql("e")
+        ).df()
+    )
+    assert got == want
+    got2 = _rowset(k_hop_counts(_edges(spark, edges), k=3).toPandas())
+    want2 = _rowset(
+        con.execute(
+            "with e as (select subj, obj from edges_in),"
+            + k_hop_counts_sql("e", k=3)
+        ).df()
+    )
+    assert got2 == want2
