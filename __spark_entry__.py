@@ -669,8 +669,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_entity_link"] = code_entity_link
     q["repo_shared_deps"] = repo_shared_deps
     q["kg_triangles"] = kg_triangles
+    def code_exact_dupes(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus, duplicate_files
+
+        return duplicate_files(code_corpus(_read(spark, sf_dir, "documents")))
+
+    def code_components(spark, sf_dir):
+        # connected components over the call-file graph — the DISTRIBUTED
+        # hash-min + pointer-jumping path (small_graph_edges=0), verified
+        # against an independent recursive-CTE transitive closure (same
+        # posture as doc_dup_clusters)
+        from palladian_spark.operators.canonicalize import connected_components
+        from palladian_spark.operators.code import call_edges, code_corpus
+
+        e = call_edges(code_corpus(_read(spark, sf_dir, "documents")))
+        edges = e.select(
+            F.col("subj").alias("left_value"), F.col("obj").alias("right_value")
+        )
+        comp = connected_components(edges, small_graph_edges=0)
+        return comp.select(
+            F.col("value").alias("file"), F.col("component")
+        )
+
     q["kg_link_prediction"] = kg_link_prediction
     q["kg_neighborhood"] = kg_neighborhood
+    q["code_exact_dupes"] = code_exact_dupes
+    q["code_components"] = code_components
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1526,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.code import code_entities_sql as _code_entities_sql
     from palladian_spark.operators.code import code_call_graph_sql as _call_graph_sql
     from palladian_spark.operators.code import call_edges_sql as _call_edges_sql
+    from palladian_spark.operators.code import duplicate_files_sql as _dup_files_sql
     from palladian_spark.operators.code import code_entity_link_sql as _entity_link_sql
     from palladian_spark.operators.code import (
         repo_shared_deps_sql as _shared_deps_sql,
@@ -1829,6 +1854,28 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_call_edges_sql()},
             {_k_hop_sql("call_edges", k=2)}
+        """,
+        "code_exact_dupes": f"""
+            with {_code_corpus_sql()}
+            {_dup_files_sql()}
+        """,
+        "code_components": f"""
+            with recursive {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            cc_nodes as (
+              select subj as f from call_edges
+              union
+              select obj from call_edges),
+            cc_edges as (
+              select subj as src, obj as dst from call_edges
+              union
+              select obj, subj from call_edges),
+            reach(a, b) as (
+              select f, f from cc_nodes
+              union
+              select r.a, e.dst from reach r join cc_edges e on r.b = e.src)
+            select a as file, min(b) as component from reach group by a
         """,
         "kg_degree_stats": f"""
             with {_mention_graph_sql()}

@@ -43,6 +43,8 @@ HEADLINE = [
     "kg_triangles",
     "kg_link_prediction",
     "kg_neighborhood",
+    "code_exact_dupes",
+    "code_components",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

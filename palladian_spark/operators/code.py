@@ -436,7 +436,12 @@ def _entity_agg(source: DataFrame) -> DataFrame:
     )
 
 
-def resolve_calls(source: DataFrame) -> DataFrame:
+CALL_MAX_DEFS_PER_NAME = 100  # (repo, fn) groups defined in more files are dropped
+
+
+def resolve_calls(
+    source: DataFrame, max_defs_per_name: int = CALL_MAX_DEFS_PER_NAME
+) -> DataFrame:
     """Cross-file call-graph resolution within each repository.
 
     (repo, path, commit, lang, content) -> (repo, caller_path, def_path,
@@ -445,7 +450,13 @@ def resolve_calls(source: DataFrame) -> DataFrame:
     ``\\w+`` segment) matches a ``defines-function`` entity in ANOTHER
     file of the same repo. Ambiguous names (defined in k files) resolve
     to all k candidates — the honest candidate set an entity linker
-    scores next (:func:`link_call_entities`).
+    scores next (:func:`link_call_entities`) — UP TO
+    ``max_defs_per_name``: a name defined in more files than that
+    resolves to nothing (documented contract, mirrored in the oracle).
+    The cap is load-bearing at scale: output size is
+    sum(callers x defs) per (repo, fn), QUADRATIC under mega-repo
+    symbol duplication (vendored copies, generated code), and a name
+    that ambiguous is noise for a KG edge anyway.
 
     Scale: the calls and defs branches both derive from ONE per-file
     entity aggregate (:func:`_entity_agg` — one content scan, one
@@ -453,7 +464,7 @@ def resolve_calls(source: DataFrame) -> DataFrame:
     call sites collapse to (repo, caller_path, fn) with a map-side
     combine, defs are per-file distinct by construction, and the
     resolve join shuffles both small sides once on (repo, fn). Fan-out
-    is bounded by defs-per-name-per-repo, and the composite key keeps
+    is bounded by ``max_defs_per_name``, and the composite key keeps
     popular names in DIFFERENT repos on different reducers.
     """
     agg = _entity_agg(source)
@@ -471,6 +482,13 @@ def resolve_calls(source: DataFrame) -> DataFrame:
     defs = agg.where(F.col("pred") == "defines-function").select(
         "repo", F.col("path").alias("def_path"), F.col("obj").alias("fn")
     )
+    kept = (
+        defs.groupBy("repo", "fn")
+        .agg(F.count(F.lit(1)).alias("n_defs"))
+        .where(F.col("n_defs") <= max_defs_per_name)
+        .select("repo", "fn")
+    )
+    defs = defs.join(kept, ["repo", "fn"])
     return (
         calls.join(defs, ["repo", "fn"])
         .where(F.col("caller_path") != F.col("def_path"))
@@ -485,16 +503,23 @@ _CALL_GRAPH_CTES = r"""
              count(*)::bigint as n_call_sites
       from code_ents where pred = 'calls'
       group by 1, 2, 3),
-    code_fdefs as (
+    code_fdefs_all as (
       select distinct repo, path as def_path, obj as fn
-      from code_ents where pred = 'defines-function')"""
+      from code_ents where pred = 'defines-function'),
+    code_fdefs as (
+      select f.* from code_fdefs_all f
+      join (select repo, fn from code_fdefs_all
+            group by repo, fn having count(*) <= {max_defs}) k
+        using (repo, fn))"""
 
 
-def code_call_graph_sql() -> str:
+def code_call_graph_sql(
+    max_defs_per_name: int = CALL_MAX_DEFS_PER_NAME,
+) -> str:
     """CTE bodies `code_calls`, `code_fdefs` + final select — DuckDB twin
     of :func:`resolve_calls` (append after code_ents)."""
     return (
-        _CALL_GRAPH_CTES
+        _CALL_GRAPH_CTES.format(max_defs=max_defs_per_name)
         + """
     select c.repo, c.caller_path, d.def_path, c.fn, c.n_call_sites
     from code_calls c join code_fdefs d using (repo, fn)
@@ -512,11 +537,11 @@ def call_edges(source: DataFrame) -> DataFrame:
     )
 
 
-def call_edges_sql() -> str:
+def call_edges_sql(max_defs_per_name: int = CALL_MAX_DEFS_PER_NAME) -> str:
     """CTE chain ending in `call_edges(subj, obj)` — DuckDB twin of
     :func:`call_edges` (append after code_ents)."""
     return (
-        _CALL_GRAPH_CTES
+        _CALL_GRAPH_CTES.format(max_defs=max_defs_per_name)
         + """,
     call_edges as (
       select c.repo || '/' || c.caller_path as subj,
@@ -722,3 +747,47 @@ def repo_shared_deps_sql(max_fanout: int = REPO_DEP_MAX_FANOUT) -> str:
     from dep_kept a join dep_kept b
       on a.module = b.module and a.repo < b.repo
     group by 1, 2"""
+
+
+def duplicate_files(source: DataFrame) -> DataFrame:
+    """Cross-repo exact file duplicates — the vendored-copy detector a
+    10^12-file corpus needs before any per-file work is budgeted.
+
+    (repo, path, commit, lang, content) -> (content_sha256, n_files,
+    n_repos, canonical_file) for every content blob appearing in >= 2
+    files; canonical_file = lexicographic min repo/path (the
+    representative a curation pass keeps).
+
+    Scale: one scan projecting (sha256, repo, repo/path) — content never
+    leaves the scan stage — then one hash aggregate keyed by the sha
+    (uniform by construction, no skew), with map-side combine absorbing
+    mega-duplicate groups.
+    """
+    h = source.select(
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+            "content_sha256"
+        ),
+        "repo",
+        F.concat_ws("/", "repo", "path").alias("file"),
+    )
+    return (
+        h.groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.min("file").alias("canonical_file"),
+        )
+        .where(F.col("n_files") > 1)
+    )
+
+
+def duplicate_files_sql() -> str:
+    """Final select — DuckDB twin of :func:`duplicate_files` (append
+    after code_src)."""
+    return """
+    select sha256(coalesce(content, '')) as content_sha256,
+           count(*)::bigint as n_files,
+           count(distinct repo)::bigint as n_repos,
+           min(repo || '/' || path) as canonical_file
+    from code_src
+    group by 1 having count(*) > 1"""

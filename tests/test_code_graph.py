@@ -360,3 +360,55 @@ def test_link_and_khop_dual_render_parity(spark):
         ).df()
     )
     assert got2 == want2
+
+
+def test_resolve_calls_defs_per_name_cap(spark):
+    from palladian_spark.operators.code import resolve_calls as _rc
+
+    # fn `f` defined in 3 files; cap 2 drops the whole (repo, fn) group
+    rows = [
+        ("r1", "a.py", "c0", "python", "def go(x):\n    return m.f(x)\n"),
+        ("r1", "b.py", "c1", "python", "def f(x):\n    return x\n"),
+        ("r1", "c.py", "c2", "python", "def f(x):\n    return x + 1\n"),
+        ("r1", "d.py", "c3", "python", "def f(x):\n    return x + 2\n"),
+    ]
+    assert _rc(_src(spark, rows)).count() == 3
+    assert _rc(_src(spark, rows), max_defs_per_name=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 1. duplicate_files goldens + parity
+# ---------------------------------------------------------------------------
+def test_duplicate_files_groups(spark):
+    from palladian_spark.operators.code import duplicate_files
+
+    same = "def f(x):\n    return x\n"
+    rows = [
+        ("r1", "a.py", "c0", "python", same),
+        ("r2", "vendored/a.py", "c1", "python", same),
+        ("r1", "b.py", "c2", "python", same),
+        ("r1", "unique.py", "c3", "python", "def g(y):\n    return y\n"),
+        ("r3", "empty1.py", "c4", "python", None),
+        ("r3", "empty2.py", "c5", "python", ""),  # null and '' hash together
+    ]
+    out = sorted(
+        (r.n_files, r.n_repos, r.canonical_file)
+        for r in duplicate_files(_src(spark, rows)).collect()
+    )
+    assert out == [
+        (2, 1, "r3/empty1.py"),
+        (3, 2, "r1/a.py"),
+    ]
+
+
+def test_duplicate_files_parity(spark, parity_docs):
+    from palladian_spark.operators.code import duplicate_files, duplicate_files_sql
+
+    src = code_corpus(spark.createDataFrame(parity_docs))
+    got = _rowset(duplicate_files(src).toPandas())
+    con = duckdb.connect()
+    con.register("documents", parity_docs)
+    want = _rowset(
+        con.execute(f"with {code_corpus_sql()} {duplicate_files_sql()}").df()
+    )
+    assert got == want
