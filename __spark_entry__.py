@@ -693,8 +693,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_link_prediction"] = kg_link_prediction
     q["kg_neighborhood"] = kg_neighborhood
+    def code_triples_incremental(spark, sf_dir):
+        # incremental-ingest equivalence on the CODE side: per-batch
+        # code_triples over disjoint file sets merge additively
+        # (file-grain groups never straddle batches; repo-grain
+        # depends-on supports sum; lineage folds as min) — compared
+        # against the SAME full-recompute oracle as code_triples
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code import code_triples as _code_triples
+
+        docs = _read(spark, sf_dir, "documents")
+        parts = [
+            _code_triples(code_corpus(docs.where(F.col("doc_id") % 2 == par)))
+            for par in (0, 1)
+        ]
+        return (
+            parts[0]
+            .unionByName(parts[1])
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.min("content_sha256").alias("content_sha256"),
+                F.sum("support").alias("support"),
+            )
+        )
+
+    def kg_stats(spark, sf_dir):
+        # the per-predicate metrics roll-up a KG build reports (triple
+        # counts, entity cardinalities, support mass) over the flagship
+        # pipeline's output
+        return (
+            kg_triples(spark, sf_dir)
+            .groupBy("pred")
+            .agg(
+                F.count(F.lit(1)).alias("n_triples"),
+                F.countDistinct("subj").alias("n_subjects"),
+                F.countDistinct("obj").alias("n_objects"),
+                F.sum("support").alias("total_support"),
+            )
+        )
+
     q["code_exact_dupes"] = code_exact_dupes
     q["code_components"] = code_components
+    q["code_triples_incremental"] = code_triples_incremental
+    q["kg_stats"] = kg_stats
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1571,7 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         best = f"case when hits_{lang} > {best_hits} then '{lang}' else {best} end"
         best_hits = f"greatest({best_hits}, hits_{lang})"
 
-    return {
+    oracles = {
         "doc_token_counts": f"""
             select doc_id,
                    len(regexp_extract_all(text, '{_TOKEN_REGEX_SQL}')) as token_count
@@ -1858,6 +1899,14 @@ def oracle_sql() -> dict[str, str]:
         "code_exact_dupes": f"""
             with {_code_corpus_sql()}
             {_dup_files_sql()}
+        """,
+        "kg_stats": f"""
+            select pred, count(*)::bigint as n_triples,
+                   count(distinct subj)::bigint as n_subjects,
+                   count(distinct obj)::bigint as n_objects,
+                   sum(support)::bigint as total_support
+            from ({_kg_triples_sql(threshold=0.9)})
+            group by 1
         """,
         "code_components": f"""
             with recursive {_code_corpus_sql()},
@@ -2407,3 +2456,8 @@ def oracle_sql() -> dict[str, str]:
               and p.freq::double / s.freq::double >= 0.5
         """,
     }
+    # incremental code-side merge must equal the full recompute — the
+    # contract query shares code_triples' oracle by construction (per-file
+    # groups never straddle the disjoint batches; depends-on supports sum)
+    oracles["code_triples_incremental"] = oracles["code_triples"]
+    return oracles
