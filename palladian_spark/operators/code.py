@@ -152,6 +152,30 @@ PATTERNS = {
         ("defines-function", r"(?m)^void (\w+)\("),
         ("calls", r"(\w+_\w+)\("),
     ],
+    # Dispatch-only languages: real deployment tables carry more `lang`
+    # values than the synthetic corpus derives (CODE_LANGS). Extraction
+    # dispatches over ALL of PATTERNS, so these rows extract too; the
+    # contract corpus simply never produces them (their oracle branches
+    # match zero rows, keeping every code query hash-identical).
+    "typescript": [
+        ("imports", r"(?m)^import .+ from '([\w/]+)'"),
+        ("defines-function", r"(?m)^(?:export )?function (\w+)\("),
+        ("defines-class", r"(?m)^(?:export )?class (\w+)"),
+        ("calls", r"(\w+\.\w+)\("),
+    ],
+    "ruby": [
+        ("imports", r"(?m)^require '([\w/]+)'"),
+        ("defines-function", r"(?m)^\s*def (\w+)"),
+        ("defines-class", r"(?m)^class ([A-Z]\w*)"),
+        ("calls", r"(\w+\.\w+)\("),
+    ],
+    "php": [
+        ("imports", r"(?m)^(?:require|include)(?:_once)? '([\w/.]+)'"),
+        ("defines-function", r"(?m)^function (\w+)\("),
+        ("defines-class", r"(?m)^class (\w+)"),
+        ("calls", r"(\w+->\w+)\("),
+        ("calls", r"(\w+::\w+)\("),
+    ],
 }
 
 PREDS = ["imports", "defines-function", "defines-class", "calls"]
@@ -237,7 +261,7 @@ def _pred_matches_col(pred: str):
     """CASE lang WHEN ... array of all matches for `pred` in `content`."""
     content = F.coalesce(F.col("content"), F.lit(""))
     expr = None
-    for l in CODE_LANGS:
+    for l in sorted(PATTERNS):
         arrs = [
             F.regexp_extract_all(content, F.lit(pat), F.lit(1))
             for p, pat in PATTERNS[l]
@@ -389,7 +413,7 @@ def code_entities_sql() -> str:
     """CTE body: `code_ents` over `code_src` — DuckDB twin of
     :func:`extract_code_entities`."""
     branches = []
-    for lang in CODE_LANGS:
+    for lang in sorted(PATTERNS):
         for pred, pat in PATTERNS[lang]:
             sql_pat = pat.replace("'", "''")
             branches.append(

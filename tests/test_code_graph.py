@@ -412,3 +412,87 @@ def test_duplicate_files_parity(spark, parity_docs):
         con.execute(f"with {code_corpus_sql()} {duplicate_files_sql()}").df()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dispatch-only languages (typescript / ruby / php): extraction goldens
+# ---------------------------------------------------------------------------
+def test_dispatch_only_language_extraction(spark):
+    from palladian_spark.operators.code import extract_code_entities
+
+    rows = [
+        (
+            "r1",
+            "a.ts",
+            "c0",
+            "typescript",
+            "import { api } from 'lib/net'\n"
+            "export function fetchData(url) {\n"
+            "    return api.get(url)\n"
+            "}\n"
+            "export class Client {\n}\n",
+        ),
+        (
+            "r1",
+            "b.rb",
+            "c1",
+            "ruby",
+            "require 'json'\n"
+            "class Parser\n"
+            "  def parse(s)\n"
+            "    JSON.parse(s)\n"
+            "  end\n"
+            "end\n",
+        ),
+        (
+            "r1",
+            "c.php",
+            "c2",
+            "php",
+            "require 'lib/db.php'\n"
+            "function handle($req) {\n"
+            "    $this->log($req);\n"
+            "    Db::query($req);\n"
+            "}\n"
+            "class Handler {\n}\n",
+        ),
+    ]
+    ents = extract_code_entities(_src(spark, rows))
+    got = {
+        (r.path, r.pred, r.obj) for r in ents.collect()
+    }
+    assert got == {
+        ("a.ts", "imports", "lib/net"),
+        ("a.ts", "defines-function", "fetchData"),
+        ("a.ts", "defines-class", "Client"),
+        ("a.ts", "calls", "api.get"),
+        ("b.rb", "imports", "json"),
+        ("b.rb", "defines-function", "parse"),
+        ("b.rb", "defines-class", "Parser"),
+        ("b.rb", "calls", "JSON.parse"),
+        ("c.php", "imports", "lib/db.php"),
+        ("c.php", "defines-function", "handle"),
+        ("c.php", "defines-class", "Handler"),
+        ("c.php", "calls", "this->log"),
+        ("c.php", "calls", "Db::query"),
+    }
+
+
+def test_dispatch_only_language_call_resolution(spark):
+    from palladian_spark.operators.code import resolve_calls
+
+    rows = [
+        ("r1", "a.php", "c0", "php", "function go($x) {\n    $u->render($x);\n}\n"),
+        ("r1", "b.php", "c1", "php", "function render($x) {\n}\n"),
+        ("r2", "a.rb", "c2", "ruby", "def go(x)\n  Fmt.render(x)\nend\n"),
+        ("r2", "b.rb", "c3", "ruby", "def render(x)\nend\n"),
+    ]
+    out = sorted(
+        (r.repo, r.caller_path, r.def_path, r.fn)
+        for r in resolve_calls(_src(spark, rows)).collect()
+    )
+    # php `->` and ruby `.` call sites both resolve on the last \w+ segment
+    assert out == [
+        ("r1", "a.php", "b.php", "render"),
+        ("r2", "a.rb", "b.rb", "render"),
+    ]
