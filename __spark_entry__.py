@@ -734,8 +734,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_exact_dupes"] = code_exact_dupes
     q["code_components"] = code_components
+    def kg_clustering(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.graph import clustering_coefficients
+
+        # local clustering coefficient per file node over the call graph
+        return clustering_coefficients(
+            call_edges(code_corpus(_read(spark, sf_dir, "documents")))
+        )
+
     q["code_triples_incremental"] = code_triples_incremental
     q["kg_stats"] = kg_stats
+    q["kg_clustering"] = kg_clustering
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1601,6 +1611,9 @@ def oracle_sql() -> dict[str, str]:
         common_neighbor_scores_sql as _link_pred_sql,
     )
     from palladian_spark.operators.graph import k_hop_counts_sql as _k_hop_sql
+    from palladian_spark.operators.graph import (
+        clustering_coefficients_sql as _clustering_sql,
+    )
     from palladian_spark.operators.textstats import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -1899,6 +1912,12 @@ def oracle_sql() -> dict[str, str]:
         "code_exact_dupes": f"""
             with {_code_corpus_sql()}
             {_dup_files_sql()}
+        """,
+        "kg_clustering": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_clustering_sql("call_edges")}
         """,
         "kg_stats": f"""
             select pred, count(*)::bigint as n_triples,

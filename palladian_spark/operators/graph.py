@@ -257,6 +257,14 @@ def triangle_counts(edges: DataFrame, a_col: str = "subj", b_col: str = "obj") -
 def triangle_counts_sql(edges_cte: str) -> str:
     """Final-select SQL twin of :func:`triangle_counts`: `edges_cte` must
     name a CTE with columns (subj, obj)."""
+    return f"""{_triangle_ctes(edges_cte)}
+    select node, count(*)::bigint as n_triangles from tri_corners
+    group by 1"""
+
+
+def _triangle_ctes(edges_cte: str) -> str:
+    """Shared CTE chain ending in `tri_deg(node, deg)` and
+    `tri_corners(node)` (one row per triangle corner)."""
     return f"""
     tri_und as (
       select distinct least(subj, obj) as u, greatest(subj, obj) as v
@@ -280,14 +288,71 @@ def triangle_counts_sql(edges_cte: str) -> str:
       from tri_or e1 join tri_or e2 on e1.dst = e2.src),
     tri_tris as (
       select w.x, w.y, w.z from tri_wedge w
-      join tri_or c on w.x = c.src and w.z = c.dst)
-    select node, count(*)::bigint as n_triangles from (
+      join tri_or c on w.x = c.src and w.z = c.dst),
+    tri_corners as (
       select x as node from tri_tris
       union all
       select y as node from tri_tris
       union all
-      select z as node from tri_tris)
-    group by 1"""
+      select z as node from tri_tris)"""
+
+
+def clustering_coefficients(
+    edges: DataFrame, a_col: str = "subj", b_col: str = "obj"
+) -> DataFrame:
+    """Per-node local clustering coefficient in integer thousandths:
+    (node, degree, n_triangles, coeff_1000) for every node of degree
+    >= 2, where coeff_1000 = (2000 * triangles) div (deg * (deg - 1)) —
+    Watts-Strogatz local clustering, the standard graph-quality measure
+    a KG build reports next to degree stats. Integer arithmetic
+    end-to-end, so Spark and DuckDB agree exactly.
+
+    Scale: triangle counting via the degree-ordered orientation
+    (:func:`triangle_counts`) plus one degree aggregate and a left join
+    (nodes in no triangle -> 0).
+    """
+    und = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tris = triangle_counts(und, a_col="u", b_col="v")
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tris, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "cast((2000 * coalesce(n_triangles, 0))"
+                " div (degree * (degree - 1)) as bigint)"
+            ).alias("coeff_1000"),
+        )
+    )
+
+
+def clustering_coefficients_sql(edges_cte: str) -> str:
+    """Final-select SQL twin of :func:`clustering_coefficients`."""
+    return f"""{_triangle_ctes(edges_cte)},
+    tri_counts as (
+      select node, count(*)::bigint as n_triangles from tri_corners
+      group by 1)
+    select d.node, d.deg::bigint as degree,
+           coalesce(t.n_triangles, 0)::bigint as n_triangles,
+           ((2000 * coalesce(t.n_triangles, 0))
+             // (d.deg * (d.deg - 1)))::bigint as coeff_1000
+    from tri_deg d
+    left join tri_counts t on d.node = t.node
+    where d.deg >= 2"""
 
 
 NEIGHBOR_MAX_DEGREE = 10_000  # wedge middles above this degree are dropped

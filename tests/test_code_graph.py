@@ -496,3 +496,55 @@ def test_dispatch_only_language_call_resolution(spark):
         ("r1", "a.php", "b.php", "render"),
         ("r2", "a.rb", "b.rb", "render"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficients
+# ---------------------------------------------------------------------------
+def test_clustering_coefficients_square_with_diagonal(spark):
+    from palladian_spark.operators.graph import clustering_coefficients
+
+    # square a-b-c-d + diagonal a-c: triangles abc and acd.
+    # deg(a)=deg(c)=3 -> coeff = (2000*2) div (3*2) = 666
+    # deg(b)=deg(d)=2 -> coeff = (2000*1) div (2*1) = 1000
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")])
+    out = sorted(
+        (r.node, r.degree, r.n_triangles, r.coeff_1000)
+        for r in clustering_coefficients(e).collect()
+    )
+    assert out == [
+        ("a", 3, 2, 666),
+        ("b", 2, 1, 1000),
+        ("c", 3, 2, 666),
+        ("d", 2, 1, 1000),
+    ]
+    # a path node participates in no triangle -> coeff 0; degree-1
+    # endpoints are excluded entirely
+    p = _edges(spark, [("x", "y"), ("y", "z")])
+    got = sorted(
+        (r.node, r.degree, r.n_triangles, r.coeff_1000)
+        for r in clustering_coefficients(p).collect()
+    )
+    assert got == [("y", 2, 0, 0)]
+
+
+def test_clustering_dual_render_parity(spark, parity_docs):
+    from palladian_spark.operators.graph import (
+        clustering_coefficients,
+        clustering_coefficients_sql,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+        ("c", "e"), ("e", "a"), ("a", "d"), ("b", "e"),
+    ]
+    con = duckdb.connect()
+    con.register("edges_in", pd.DataFrame(edges, columns=["subj", "obj"]))
+    got = _rowset(clustering_coefficients(_edges(spark, edges)).toPandas())
+    want = _rowset(
+        con.execute(
+            "with e as (select subj, obj from edges_in),"
+            + clustering_coefficients_sql("e")
+        ).df()
+    )
+    assert got == want
