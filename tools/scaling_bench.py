@@ -50,7 +50,7 @@ REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "60"))
 PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
 
 
-def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
+def replicated_docs(spark, sf_dir: str, repl: int, text_repl: int = 10):
     """documents replicated `repl`x (rows) and `text_repl`x (content length)
     with unique per-replica doc refs.
 
@@ -62,7 +62,6 @@ def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
     from pyspark.sql import functions as F
 
     import __spark_entry__ as e
-    from palladian_spark.pipeline import documents_as_source
 
     docs = e._read(spark, sf_dir, "documents")
     # repartition BEFORE the explode: the base parquet is one split, and
@@ -86,6 +85,16 @@ def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
         docs = docs.withColumn(
             "text", F.concat_ws(" . ", F.array_repeat(F.col("text"), text_repl))
         )
+    return docs
+
+
+def replicated_source(spark, sf_dir: str, repl: int, text_repl: int = 10):
+    """The replicated corpus in the (repo, path, commit, lang, content)
+    source shape the KG pipeline ingests."""
+    import __spark_entry__ as e
+    from palladian_spark.pipeline import documents_as_source
+
+    docs = replicated_docs(spark, sf_dir, repl, text_repl)
     corpus = e._capitalized_corpus(docs).withColumnRenamed("content", "text")
     return documents_as_source(corpus)
 
@@ -157,10 +166,24 @@ def run_once(cores: int, repl: int) -> dict:
     spark = build_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark)
+    # SPARK_GRAFT_SCALE_JOB=code measures the source-code extraction
+    # pipeline (code_triples: pure-JVM regex extraction + aggregates)
+    # instead of the default NL mention->triple pipeline; same harness,
+    # pinning, and CPU accounting either way.
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "kg")
     # materialize the input before the timed window (input synthesis is
     # benchmark scaffolding, not pipeline work — on a cluster the table
     # already exists on disk)
-    source = replicated_source(spark, SF_DIR, repl).localCheckpoint()
+    if job == "code":
+        from palladian_spark.operators.code import code_corpus
+
+        # text_repl=1: only the leading 8 tokens feed the templates, so
+        # longer text adds no code content — rows are the scale knob
+        source = code_corpus(
+            replicated_docs(spark, SF_DIR, repl, text_repl=1)
+        ).localCheckpoint()
+    else:
+        source = replicated_source(spark, SF_DIR, repl).localCheckpoint()
     n_docs = source.count()
 
     cpu0 = _proc_tree_cpu_seconds()
@@ -185,7 +208,12 @@ def run_once(cores: int, repl: int) -> dict:
     th.start()
 
     t0 = time.perf_counter()
-    triples = extract_triples(source, model=None, canonicalize=True)
+    if job == "code":
+        from palladian_spark.operators.code import code_triples
+
+        triples = code_triples(source)
+    else:
+        triples = extract_triples(source, model=None, canonicalize=True)
     n_triples = triples.count()
     secs = time.perf_counter() - t0
     stop_evt.set()
@@ -195,6 +223,7 @@ def run_once(cores: int, repl: int) -> dict:
 
     out = {
         "cores": cores,
+        "job": job,
         "repl": repl,
         "docs": n_docs,
         "triples": n_triples,
@@ -300,11 +329,13 @@ def main() -> None:
     for n in levels:
         if 4 * n in best:
             pairs.append(_estimators(best[n], best[4 * n]))
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "kg")
     summary = {
         "metric": "scaling_efficiency",
         "value": max((p["nominal_efficiency"] for p in pairs), default=None),
         "unit": "ratio",
         "pinned": pin,
+        "job": job,
         "estimators": pairs,
         "runs": {str(c): rs for c, rs in all_runs.items()},
         "sf": SF_DIR,
@@ -312,6 +343,8 @@ def main() -> None:
     }
     print(json.dumps(summary))
     out_name = "BENCH_SCALING_PINNED.json" if pin else "BENCH_SCALING.json"
+    if job != "kg":
+        out_name = out_name.replace(".json", f"_{job.upper()}.json")
     with open(os.path.join(REPO, out_name), "w", encoding="utf-8") as f:
         json.dump(summary, f, indent=1)
     print(f"wrote {out_name} (fold results into BENCH.md by hand)")
