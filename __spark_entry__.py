@@ -743,9 +743,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             call_edges(code_corpus(_read(spark, sf_dir, "documents")))
         )
 
+    def code_pagerank(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.graph import pagerank
+
+        # file salience over the resolved call graph: weight = number of
+        # (caller fn -> defining file) resolutions between the file pair.
+        # Same iteration strategy as kg_pagerank (edge table partitioned
+        # once on src, rank vector the only per-iteration shuffle).
+        e = (
+            call_edges(code_corpus(_read(spark, sf_dir, "documents")))
+            .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+        return pagerank(e, iterations=5)
+
     q["code_triples_incremental"] = code_triples_incremental
     q["kg_stats"] = kg_stats
     q["kg_clustering"] = kg_clustering
+    q["code_pagerank"] = code_pagerank
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1561,11 +1577,15 @@ def _mention_graph_sql() -> str:
     """
 
 
-def _pagerank_sql(iterations: int = 5) -> str:
+def _pagerank_sql(iterations: int = 5, graph_sql: str | None = None) -> str:
     """Unrolled fixed-iteration weighted PageRank (the operators/graph.py
     recurrence verbatim): damping/teleport as parallel double literals
     (0.85 / 0.15), same IEEE op per step; sum-order drift sits far below
-    the round(rank*1e9) grain."""
+    the round(rank*1e9) grain.
+
+    ``graph_sql``: CTE text (bodies only, no WITH) ending in a ``sym``
+    relation (src, dst, weight); defaults to the mention graph.
+    """
     its = []
     prev = "r0"
     for i in range(1, iterations + 1):
@@ -1582,8 +1602,10 @@ def _pagerank_sql(iterations: int = 5) -> str:
         )
         prev = f"r{i}"
     chain = ",\n".join(its)
+    if graph_sql is None:
+        graph_sql = _mention_graph_sql()
     return f"""
-        with {_mention_graph_sql()},
+        with {graph_sql},
         outw as (select src, sum(weight::double) as ow from sym group by src),
         ep as (select s.src, s.dst, s.weight::double / o.ow as p
                from sym s join outw o using (src)),
@@ -1952,6 +1974,17 @@ def oracle_sql() -> dict[str, str]:
             from sym group by 1
         """,
         "kg_pagerank": _pagerank_sql(iterations=5),
+        "code_pagerank": _pagerank_sql(
+            iterations=5,
+            graph_sql=f"""{_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            ce as (select subj as src, obj as dst, count(*)::bigint as weight
+                   from call_edges group by 1, 2),
+            sym as (select src, dst, weight from ce
+                    union all
+                    select dst as src, src as dst, weight from ce)""",
+        ),
         # Full independent recomputation (de-pinned round 4): per-value
         # mention frequencies from raw regex counts, exact ALL-PAIRS
         # Jaro-Winkler edges (no blocking — exhaustive, so it also checks

@@ -1,0 +1,83 @@
+"""One-off diagnostic: per-stage executorRunTime / executorCpuTime /
+jvmGcTime for the code-extraction scaling job, via the Spark UI REST API.
+
+Usage: taskset -c 0-7 python tools/probe_stage_cpu.py 8
+Explains WHERE the 8-core CPU inflation over 2 cores comes from
+(task CPU vs GC vs off-CPU run time)."""
+
+import json
+import os
+import sys
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "64"
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * cores}g")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+spark = (
+    SparkSession.builder.master(f"local[{cores}]")
+    .appName("probe-stage-cpu")
+    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
+    .config("spark.ui.enabled", "true")
+    .config("spark.ui.port", "4049")
+    .config(
+        "spark.local.dir",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+    )
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+sys.path.insert(0, REPO)
+from tools.scaling_bench import replicated_docs  # noqa: E402
+from palladian_spark.operators.code import code_corpus, code_triples  # noqa: E402
+
+repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "240"))
+body = int(os.environ.get("SPARK_GRAFT_SCALE_BODY", "10"))
+source = code_corpus(replicated_docs(spark, "/root/testdata/sf0.1", repl, text_repl=1))
+source = source.withColumn(
+    "content", F.concat_ws("\n", F.array_repeat(F.col("content"), body))
+).localCheckpoint()
+print("docs:", source.count(), file=sys.stderr)
+
+import time
+
+t0 = time.perf_counter()
+n = code_triples(source).count()
+secs = time.perf_counter() - t0
+print(f"triples={n} secs={secs:.1f}", file=sys.stderr)
+
+app_id = spark.sparkContext.applicationId
+url = f"http://localhost:4049/api/v1/applications/{app_id}/stages?status=complete"
+stages = json.loads(urllib.request.urlopen(url).read())
+rows = []
+for s in stages:
+    rows.append(
+        {
+            "stage": s["stageId"],
+            "name": s["name"][:40],
+            "tasks": s["numCompleteTasks"],
+            "runT_s": round(s["executorRunTime"] / 1000, 1),
+            "cpuT_s": round(s["executorCpuTime"] / 1e9, 1),
+            "gc_s": round(s["jvmGcTime"] / 1000, 1),
+            "shufW_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "shufR_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+        }
+    )
+rows.sort(key=lambda r: -r["cpuT_s"])
+tot_cpu = sum(r["cpuT_s"] for r in rows)
+tot_run = sum(r["runT_s"] for r in rows)
+tot_gc = sum(r["gc_s"] for r in rows)
+print(json.dumps({"cores": cores, "wall": round(secs, 1), "sum_cpu": round(tot_cpu, 1),
+                  "sum_run": round(tot_run, 1), "sum_gc": round(tot_gc, 1)}))
+for r in rows[:12]:
+    print(json.dumps(r))
+spark.stop()

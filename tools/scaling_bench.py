@@ -159,6 +159,12 @@ def run_once(cores: int, repl: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     # same shuffle-partition count at every cluster size (see PARTITIONS)
     os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(PARTITIONS)
+    # cluster-faithful heap: a real cluster fixes memory PER EXECUTOR, so
+    # total heap scales with cluster size (4N executors = 4x total). A
+    # constant total (the old 8g default) gave the small level 4 GB/core
+    # and the large 1 GB/core — a GC-pressure bias AGAINST the large
+    # level that a real N-vs-4N comparison doesn't have. 2 GB/core here.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(4, 2 * cores)}g")
     from bench import build_spark, warmup
 
     from palladian_spark.pipeline import extract_triples
@@ -175,13 +181,45 @@ def run_once(cores: int, repl: int) -> dict:
     # benchmark scaffolding, not pipeline work — on a cluster the table
     # already exists on disk)
     if job == "code":
+        from pyspark.sql import functions as F
+
         from palladian_spark.operators.code import code_corpus
 
         # text_repl=1: only the leading 8 tokens feed the templates, so
-        # longer text adds no code content — rows are the scale knob
-        source = code_corpus(
-            replicated_docs(spark, SF_DIR, repl, text_repl=1)
-        ).localCheckpoint()
+        # longer text adds no code content — rows scale the table, and
+        # BODY scales per-file content: the synthetic template renders
+        # ~150-byte files, but the 10^12-file production regime has
+        # KB-scale files whose regex scan dominates; replicating the
+        # body keeps extraction semantics (same matches, `body`x support)
+        # while making per-row compute production-shaped. At body=1 the
+        # job measures Spark's shuffle constants, not the extractor.
+        body = int(os.environ.get("SPARK_GRAFT_SCALE_BODY", "10"))
+        source = code_corpus(replicated_docs(spark, SF_DIR, repl, text_repl=1))
+        if body > 1:
+            source = source.withColumn(
+                "content",
+                F.concat_ws("\n", F.array_repeat(F.col("content"), body)),
+            )
+        # Stage the synthesized table as PARQUET and read it back — the
+        # production shape (the Iceberg table already exists on disk; the
+        # timed job scans it). A localCheckpoint here was measurably worse
+        # than scaffolding should be: the 1.8 GB of heap-resident string
+        # blocks plus the concat stage's garbage left G1 debt that was
+        # collected DURING the timed window, inflating the 8-core
+        # process-tree CPU ~1.5x (stage-metric probe: task CPU inflates
+        # only 1.12x; see tools/probe_stage_cpu.py) and deflating the
+        # measured efficiency to ~0.65. Parquet staging moves scaffolding
+        # cost out of the JVM heap entirely.
+        stage_dir = os.path.join(
+            "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+            f"scale_code_input_{os.getpid()}.parquet",
+        )
+        source.write.mode("overwrite").parquet(stage_dir)
+        import shutil as _shutil
+        import atexit as _atexit
+
+        _atexit.register(_shutil.rmtree, stage_dir, ignore_errors=True)
+        source = spark.read.parquet(stage_dir)
     else:
         source = replicated_source(spark, SF_DIR, repl).localCheckpoint()
     n_docs = source.count()
@@ -225,6 +263,9 @@ def run_once(cores: int, repl: int) -> dict:
         "cores": cores,
         "job": job,
         "repl": repl,
+        "body": int(os.environ.get("SPARK_GRAFT_SCALE_BODY", "10"))
+        if job == "code"
+        else None,
         "docs": n_docs,
         "triples": n_triples,
         "secs": round(secs, 2),
