@@ -45,6 +45,10 @@ HEADLINE = [
     "kg_neighborhood",
     "code_exact_dupes",
     "code_components",
+    "code_pagerank",
+    "code_triples_incremental",
+    "kg_stats",
+    "kg_clustering",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",
@@ -95,6 +99,13 @@ def build_spark(cpus: int):
         # local[32] shuffle jobs ~15x SLOWER (GC over tens of GB of freshly
         # faulted pages); a moderate heap is strictly better
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # e.g. -XX:ParallelGCThreads=N: local mode conflates executor size
+        # with cluster size — a real cluster scales by MORE fixed-size
+        # JVMs, so scaling comparisons pin GC parallelism per level
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config(
             "spark.local.dir",

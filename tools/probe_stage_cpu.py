@@ -26,6 +26,10 @@ spark = (
     .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
+    .config(
+        "spark.driver.extraJavaOptions",
+        os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+    )
     .config("spark.ui.enabled", "true")
     .config("spark.ui.port", "4049")
     .config(
@@ -45,21 +49,51 @@ body = int(os.environ.get("SPARK_GRAFT_SCALE_BODY", "10"))
 source = code_corpus(replicated_docs(spark, "/root/testdata/sf0.1", repl, text_repl=1))
 source = source.withColumn(
     "content", F.concat_ws("\n", F.array_repeat(F.col("content"), body))
-).localCheckpoint()
+)
+if os.environ.get("SPARK_GRAFT_PROBE_STAGE", "parquet") == "parquet":
+    # mirror scaling_bench's production-shape staging
+    stage_dir = f"/dev/shm/probe_code_input_{os.getpid()}.parquet"
+    source.write.mode("overwrite").parquet(stage_dir)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    spark.conf.set("spark.sql.files.minPartitionNum", "64")
+    source = spark.read.parquet(stage_dir)
+else:
+    source = source.localCheckpoint()
 print("docs:", source.count(), file=sys.stderr)
 
 import time
 
+from tools.scaling_bench import _proc_tree_cpu_seconds  # noqa: E402
+
+# baseline AFTER staging, like the bench; sample stage IDs so setup stages
+# (synthesis + parquet write) are excluded from the per-stage sums
+pre_stages = {
+    s["stageId"]
+    for s in json.loads(
+        urllib.request.urlopen(
+            "http://localhost:4049/api/v1/applications/"
+            + spark.sparkContext.applicationId
+            + "/stages"
+        ).read()
+    )
+}
+cpu0 = _proc_tree_cpu_seconds()
 t0 = time.perf_counter()
 n = code_triples(source).count()
 secs = time.perf_counter() - t0
-print(f"triples={n} secs={secs:.1f}", file=sys.stderr)
+proc_cpu = _proc_tree_cpu_seconds() - cpu0
+print(f"triples={n} secs={secs:.1f} proc_cpu={proc_cpu:.1f}", file=sys.stderr)
 
 app_id = spark.sparkContext.applicationId
 url = f"http://localhost:4049/api/v1/applications/{app_id}/stages?status=complete"
 stages = json.loads(urllib.request.urlopen(url).read())
 rows = []
 for s in stages:
+    if s["stageId"] in pre_stages:
+        continue
     rows.append(
         {
             "stage": s["stageId"],
@@ -77,7 +111,8 @@ tot_cpu = sum(r["cpuT_s"] for r in rows)
 tot_run = sum(r["runT_s"] for r in rows)
 tot_gc = sum(r["gc_s"] for r in rows)
 print(json.dumps({"cores": cores, "wall": round(secs, 1), "sum_cpu": round(tot_cpu, 1),
-                  "sum_run": round(tot_run, 1), "sum_gc": round(tot_gc, 1)}))
+                  "sum_run": round(tot_run, 1), "sum_gc": round(tot_gc, 1),
+                  "proc_cpu": round(proc_cpu, 1)}))
 for r in rows[:12]:
     print(json.dumps(r))
 spark.stop()

@@ -165,6 +165,14 @@ def run_once(cores: int, repl: int) -> dict:
     # and the large 1 GB/core — a GC-pressure bias AGAINST the large
     # level that a real N-vs-4N comparison doesn't have. 2 GB/core here.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(4, 2 * cores)}g")
+    # fixed GC parallelism at every level: a real cluster scales by MORE
+    # fixed-size executor JVMs (identical per-JVM GC threads at N and 4N
+    # executors); local mode conflates executor size with cluster size and
+    # would give the large level 4x the GC threads (and G1's parallel-phase
+    # termination spinning scales with them).
+    os.environ.setdefault(
+        "SPARK_GRAFT_JAVA_OPTS", "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1"
+    )
     from bench import build_spark, warmup
 
     from palladian_spark.pipeline import extract_triples
@@ -219,6 +227,16 @@ def run_once(cores: int, repl: int) -> dict:
         import atexit as _atexit
 
         _atexit.register(_shutil.rmtree, stage_dir, ignore_errors=True)
+        # identical input splits at every level: FileSourceScan's split
+        # size is min(maxPartitionBytes, max(openCost, total/minPartitionNum))
+        # and minPartitionNum DEFAULTS TO defaultParallelism — so without
+        # pinning it, local[2] read the staged table as 3 giant splits and
+        # local[8] as 8, which changed the partial-agg behavior per task
+        # (3 huge hash maps passing rows through vs 8 sort-spilling ones:
+        # 443 vs 355 MB shuffle write, 209 vs 943 task-CPU-s for the SAME
+        # extraction). Same principle as the fixed shuffle PARTITIONS: the
+        # data's layout is a property of the data, not the cluster size.
+        spark.conf.set("spark.sql.files.minPartitionNum", str(PARTITIONS))
         source = spark.read.parquet(stage_dir)
     else:
         source = replicated_source(spark, SF_DIR, repl).localCheckpoint()
