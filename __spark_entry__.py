@@ -758,10 +758,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(e, iterations=5)
 
+    # ---- code curation: type-2 clones, license gate, secret scan (the
+    # canonical pre-training curation stages over the code table; the
+    # license/secret content is injected deterministically by
+    # augment_corpus per BASELINE.json's synthesize-at-small-scale rule) ----
+    def _aug_corpus(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_curation import augment_corpus
+
+        return augment_corpus(code_corpus(_read(spark, sf_dir, "documents")))
+
+    def code_clone_groups(spark, sf_dir):
+        from palladian_spark.operators.code_curation import clone_groups
+
+        return clone_groups(_aug_corpus(spark, sf_dir))
+
+    def code_licenses(spark, sf_dir):
+        from palladian_spark.operators.code_curation import license_report
+
+        return license_report(_aug_corpus(spark, sf_dir))
+
+    def code_secret_hits(spark, sf_dir):
+        from palladian_spark.operators.code_curation import secret_hits
+
+        return secret_hits(_aug_corpus(spark, sf_dir))
+
     q["code_triples_incremental"] = code_triples_incremental
     q["kg_stats"] = kg_stats
     q["kg_clustering"] = kg_clustering
     q["code_pagerank"] = code_pagerank
+    q["code_clone_groups"] = code_clone_groups
+    q["code_licenses"] = code_licenses
+    q["code_secret_hits"] = code_secret_hits
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -1628,6 +1656,12 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.code import (
         repo_shared_deps_sql as _shared_deps_sql,
     )
+    from palladian_spark.operators.code_curation import (
+        augment_corpus_sql as _aug_corpus_sql,
+        clone_groups_sql as _clone_groups_sql,
+        license_report_sql as _license_report_sql,
+        secret_hits_sql as _secret_hits_sql,
+    )
     from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
     from palladian_spark.operators.graph import (
         common_neighbor_scores_sql as _link_pred_sql,
@@ -1934,6 +1968,24 @@ def oracle_sql() -> dict[str, str]:
         "code_exact_dupes": f"""
             with {_code_corpus_sql()}
             {_dup_files_sql()}
+        """,
+        # Code-curation twins (operators/code_curation.py *_sql renderers):
+        # the corpus augmentation (license headers + planted secrets) and
+        # every detection regex are recomputed by the second engine.
+        "code_clone_groups": f"""
+            with {_code_corpus_sql()},
+            {_aug_corpus_sql()}
+            {_clone_groups_sql()}
+        """,
+        "code_licenses": f"""
+            with {_code_corpus_sql()},
+            {_aug_corpus_sql()}
+            {_license_report_sql()}
+        """,
+        "code_secret_hits": f"""
+            with {_code_corpus_sql()},
+            {_aug_corpus_sql()}
+            {_secret_hits_sql()}
         """,
         "kg_clustering": f"""
             with {_code_corpus_sql()},
