@@ -783,11 +783,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return secret_hits(_aug_corpus(spark, sf_dir))
 
+    def code_near_clones(spark, sf_dir):
+        # type-3 near-clones (token-set Jaccard >= 0.6, prefix-filtered);
+        # the oracle twin is ALL-PAIRS, so a green row proves the Spark
+        # prefix filter lossless, not just self-consistent
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_curation import near_clone_pairs
+
+        return near_clone_pairs(code_corpus(_read(spark, sf_dir, "documents")))
+
     q["code_triples_incremental"] = code_triples_incremental
     q["kg_stats"] = kg_stats
     q["kg_clustering"] = kg_clustering
     q["code_pagerank"] = code_pagerank
     q["code_clone_groups"] = code_clone_groups
+    q["code_near_clones"] = code_near_clones
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
@@ -1660,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         augment_corpus_sql as _aug_corpus_sql,
         clone_groups_sql as _clone_groups_sql,
         license_report_sql as _license_report_sql,
+        near_clone_pairs_sql as _near_clones_sql,
         secret_hits_sql as _secret_hits_sql,
     )
     from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
@@ -1976,6 +1987,10 @@ def oracle_sql() -> dict[str, str]:
             with {_code_corpus_sql()},
             {_aug_corpus_sql()}
             {_clone_groups_sql()}
+        """,
+        "code_near_clones": f"""
+            with {_code_corpus_sql()},
+            {_near_clones_sql()}
         """,
         "code_licenses": f"""
             with {_code_corpus_sql()},

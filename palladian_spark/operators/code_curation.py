@@ -349,6 +349,153 @@ def secret_hits(source: DataFrame) -> DataFrame:
     )
 
 
+def near_clone_pairs(
+    source: DataFrame, threshold_1000: int = 600
+) -> DataFrame:
+    """Type-3 near-clone pairs: same-language files whose distinct
+    identifier-token sets have Jaccard >= threshold (SourcererCC's
+    token-bag formulation, Sajnani et al. ICSE'16; type-3 = copies with
+    statements added/removed, which type-2 hash grouping cannot see).
+
+    Output: (lang, file_a, file_b, inter, union_size, jaccard_1000),
+    file_a < file_b, integer thousandths only (engine-identical hashes).
+
+    Scale shape — prefix filtering, not all-pairs and not full token
+    blocking: for Jaccard >= t, |A∩B| >= t·|A| (from J = o/(|A|+|B|-o)
+    and |B| >= o), so if a file's first ``n - ceil(t·n) + 1`` tokens
+    under a global rarity order share nothing with the other file's
+    prefix, the pair cannot qualify. Each file therefore indexes only
+    its rarest few tokens; the candidate join hits small blocks by
+    construction (rare tokens have small document frequency), while
+    plain token blocking would pay |block|^2 on boilerplate tokens.
+    ceil(t·n) is computed in pure integer arithmetic ((t1000·n + 999)
+    div 1000) — a float 0.6·n would round differently per engine.
+    Verification touches candidates only: one array_intersect over two
+    <=~dozen-element arrays, all codegen. The token-frequency table is
+    bounded by |vocabulary| and shuffles fixed-size (lang, tok) keys.
+    """
+    from pyspark.sql.window import Window
+
+    files = source.select(
+        "lang",
+        F.concat_ws("/", "repo", "path").alias("file"),
+        token_set_col(F.col("content")).alias("toks"),
+    ).where(F.size("toks") > 0)
+
+    tok = files.select(
+        "lang",
+        "file",
+        F.size("toks").alias("n"),
+        F.explode("toks").alias("tok"),
+    )
+    tok_df = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("file").orderBy("df", "tok")
+    pref = (
+        tok.join(tok_df, ["lang", "tok"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(f"cast(({threshold_1000} * n + 999) div 1000 as int)")
+            + 1
+        )
+        .select("lang", "tok", "file")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.file") < F.col("b.file")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.file").alias("file_a"),
+            F.col("b.file").alias("file_b"),
+        )
+        .distinct()
+    )
+    fa = files.select(
+        F.col("file").alias("file_a"), F.col("toks").alias("toks_a")
+    )
+    fb = files.select(
+        F.col("file").alias("file_b"), F.col("toks").alias("toks_b")
+    )
+    return (
+        cand.join(fa, "file_a")
+        .join(fb, "file_b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
+        )
+        .withColumn(
+            "union_size",
+            (F.size("toks_a") + F.size("toks_b")).cast("bigint")
+            - F.col("inter"),
+        )
+        .where(F.col("inter") * 1000 >= F.col("union_size") * threshold_1000)
+        .select(
+            "lang",
+            "file_a",
+            "file_b",
+            "inter",
+            "union_size",
+            F.expr("cast((1000 * inter) div union_size as bigint)").alias(
+                "jaccard_1000"
+            ),
+        )
+    )
+
+
+def token_set_col(col) -> F.Column:
+    """Sorted distinct identifier tokens of a file body, structure
+    keywords (CLONE_KEYWORDS) removed — the type-3 token bag. Pure
+    codegen; array_except both filters and dedups."""
+    toks = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")),
+        F.lit(r"[A-Za-z_][A-Za-z0-9_]*"),
+        F.lit(0),
+    )
+    kw = F.array(*[F.lit(k) for k in CLONE_KEYWORDS])
+    return F.array_sort(F.array_except(toks, kw))
+
+
+def token_set_sql(col: str = "content") -> str:
+    """DuckDB rendering of :func:`token_set_col`."""
+    kw = ", ".join(f"'{k}'" for k in CLONE_KEYWORDS)
+    return (
+        f"list_sort(list_distinct(list_filter("
+        f"regexp_extract_all(coalesce({col}, ''),"
+        f" '[A-Za-z_][A-Za-z0-9_]*', 0),"
+        f" x -> x not in ({kw}))))"
+    )
+
+
+def near_clone_pairs_sql(
+    src: str = "code_src", threshold_1000: int = 600
+) -> str:
+    """Final select — DuckDB twin of :func:`near_clone_pairs`. The twin
+    is deliberately ALL-PAIRS (no prefix filter): it proves the Spark
+    side's filtering is lossless, not just self-consistent."""
+    return f"""
+    nc_toks as (
+      select lang, repo || '/' || path as file, {token_set_sql()} as toks
+      from {src}),
+    nc_pairs as (
+      select a.lang, a.file as file_a, b.file as file_b,
+             len(list_intersect(a.toks, b.toks))::bigint as inter,
+             (len(a.toks) + len(b.toks))::bigint
+               - len(list_intersect(a.toks, b.toks))::bigint as union_size
+      from nc_toks a join nc_toks b
+        on a.lang = b.lang and a.file < b.file
+      where len(a.toks) > 0 and len(b.toks) > 0)
+    select lang, file_a, file_b, inter, union_size,
+           ((1000 * inter) // union_size)::bigint as jaccard_1000
+    from nc_pairs
+    where 1000 * inter >= union_size * {threshold_1000}"""
+
+
 def secret_hits_sql(src: str = "code_aug") -> str:
     """Final select — DuckDB twin of :func:`secret_hits`."""
     scrubbed = (

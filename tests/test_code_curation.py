@@ -235,3 +235,74 @@ def test_secret_hits_oracle_twin(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     src = augment_corpus(code_corpus(docs))
     _compare(spark, secret_hits(src), secret_hits_sql())
+
+
+# ---------------------------------------------------------------------------
+# 4. type-3 near-clones: semantics + prefix-filter losslessness
+# ---------------------------------------------------------------------------
+def test_near_clone_semantics(spark):
+    from palladian_spark.operators.code_curation import near_clone_pairs
+
+    # b = a with a statement added (same identifiers + one new): type-3.
+    # c shares nothing. Token sets: a={alpha,beta,gamma,x}, b adds delta
+    # -> J = 4/5 = 0.8 >= 0.6; (a,c) and (b,c) share nothing.
+    rows = [
+        ("r", "a.py", "c1", "python",
+         "def alpha(x):\n    beta = gamma(x)\n    return beta\n"),
+        ("r", "b.py", "c2", "python",
+         "def alpha(x):\n    beta = gamma(x)\n    delta(beta)\n    return beta\n"),
+        ("r", "c.py", "c3", "python", "def other(q):\n    return q\n"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = near_clone_pairs(src).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g["file_a"], g["file_b"]) == ("r/a.py", "r/b.py")
+    assert (g["inter"], g["union_size"], g["jaccard_1000"]) == (4, 5, 800)
+
+
+def test_near_clone_prefix_filter_is_lossless(spark):
+    """Randomized proof obligation: the Spark prefix-filtered join must
+    equal the DuckDB ALL-PAIRS twin on corpora drawn from a small
+    vocabulary (worst case for blocking: heavy token collisions)."""
+    from palladian_spark.operators.code_curation import (
+        near_clone_pairs,
+        near_clone_pairs_sql,
+    )
+
+    rng = random.Random(0x7E3)
+    vocab = [f"tok{i}" for i in range(12)]
+    rows = []
+    for i in range(80):
+        body = " ".join(rng.sample(vocab, rng.randint(1, 8)))
+        rows.append(("r%d" % (i % 5), f"f{i}.py", "c", "python", body))
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    sp = (
+        near_clone_pairs(src)
+        .toPandas()
+        .astype(str)
+        .sort_values(["file_a", "file_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "code_src_t",
+        pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "lang", "content"]
+        ),
+    )
+    du = (
+        con.execute(
+            "with " + near_clone_pairs_sql(src="code_src_t")
+        )
+        .fetchdf()[list(sp.columns)]
+        .astype(str)
+        .sort_values(["file_a", "file_b"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) > 0  # the corpus must actually exercise the join
+    pd.testing.assert_frame_equal(sp, du)
