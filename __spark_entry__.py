@@ -148,6 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dataset_split(_read(spark, sf_dir, "documents"))
 
+    def doc_decontaminate(spark, sf_dir):
+        # eval-leakage gate: train docs whose 3-gram shingle set is
+        # >=50% contained in a benchmark doc's (benchmark = doc_id%20==0,
+        # broadcast side — fixed-size in production)
+        from palladian_spark.operators.curation import benchmark_overlap
+
+        return benchmark_overlap(_read(spark, sf_dir, "documents"))
+
     # ---- dedup family (SURVEY training-data ops) ----
     def doc_exact_dedup(spark, sf_dir):
         from palladian_spark.operators.dedup import exact_dedup
@@ -783,6 +791,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return secret_hits(_aug_corpus(spark, sf_dir))
 
+    def code_fork_pairs(spark, sf_dir):
+        # repo-level fork detection over the fork-injected corpus:
+        # blob-sha containment between repo pairs, boilerplate-blob
+        # degree cap mirrored in the oracle
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_curation import fork_pairs, with_forks
+
+        return fork_pairs(with_forks(code_corpus(_read(spark, sf_dir, "documents"))))
+
+    def code_curation_report(spark, sf_dir):
+        # per-repo keep/drop funnel over the fully augmented corpus
+        # (licenses + secrets + forks): exact dups, type-2 clones,
+        # secrets, copyleft files, verdict
+        from palladian_spark.operators.code_curation import (
+            curation_report,
+            with_forks,
+        )
+
+        return curation_report(with_forks(_aug_corpus(spark, sf_dir)))
+
     def code_near_clones(spark, sf_dir):
         # type-3 near-clones (token-set Jaccard >= 0.6, prefix-filtered);
         # the oracle twin is ALL-PAIRS, so a green row proves the Spark
@@ -798,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_pagerank"] = code_pagerank
     q["code_clone_groups"] = code_clone_groups
     q["code_near_clones"] = code_near_clones
+    q["code_fork_pairs"] = code_fork_pairs
+    q["code_curation_report"] = code_curation_report
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
@@ -1111,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_fingerprints=doc_fingerprints,
         doc_chunks=doc_chunks,
         doc_split=doc_split,
+        doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
         doc_dup_clusters=doc_dup_clusters,
@@ -1670,8 +1701,14 @@ def oracle_sql() -> dict[str, str]:
         augment_corpus_sql as _aug_corpus_sql,
         clone_groups_sql as _clone_groups_sql,
         license_report_sql as _license_report_sql,
+        curation_report_sql as _curation_report_sql,
+        fork_pairs_sql as _fork_pairs_sql,
         near_clone_pairs_sql as _near_clones_sql,
+        with_forks_sql as _with_forks_sql,
         secret_hits_sql as _secret_hits_sql,
+    )
+    from palladian_spark.operators.curation import (
+        benchmark_overlap_sql as _decon_sql,
     )
     from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
     from palladian_spark.operators.graph import (
@@ -1745,6 +1782,9 @@ def oracle_sql() -> dict[str, str]:
                         when substr(md5(coalesce(text, '')), 1, 2) < 'e6' then 'val'
                         else 'test' end as split
             from documents
+        """,
+        "doc_decontaminate": f"""
+            with {_decon_sql()}
         """,
         "doc_exact_dedup": """
             select doc_id, md5(text) as content_hash
@@ -1987,6 +2027,17 @@ def oracle_sql() -> dict[str, str]:
             with {_code_corpus_sql()},
             {_aug_corpus_sql()}
             {_clone_groups_sql()}
+        """,
+        "code_curation_report": f"""
+            with {_code_corpus_sql()},
+            {_aug_corpus_sql()},
+            {_with_forks_sql(src="code_aug")},
+            {_curation_report_sql()}
+        """,
+        "code_fork_pairs": f"""
+            with {_code_corpus_sql()},
+            {_with_forks_sql(src="code_src")},
+            {_fork_pairs_sql()}
         """,
         "code_near_clones": f"""
             with {_code_corpus_sql()},

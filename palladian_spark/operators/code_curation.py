@@ -349,6 +349,340 @@ def secret_hits(source: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-repo curation funnel
+# ---------------------------------------------------------------------------
+COPYLEFT = "GPL-3.0-only"
+
+
+def curation_report(source: DataFrame) -> DataFrame:
+    """The keep/drop roll-up a code corpus build reports per repo, fusing
+    every curation signal: exact-duplicate files (blob sha occurring >1
+    globally), type-2 clone files (normalized-form group spanning >1
+    distinct blob), files carrying secrets, copyleft-licensed files, and
+    the resulting verdict (drop-copyleft > redact > keep).
+
+    Output: (repo, n_files, n_dup_files, n_clone_files, n_secret_files,
+    n_copyleft_files, verdict).
+
+    Scale shape: one scan computes both hashes + boolean flags in
+    codegen; then three aggregates on uniform keys (blob sha, (lang,
+    clone hash), repo) with two joins back — every shuffle carries
+    fixed-size keys + counters, never content. Both join-back sides are
+    aggregates of the same table, so AQE sizes them at runtime.
+    """
+    per_file = source.select(
+        "repo",
+        "lang",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+            "blob_sha"
+        ),
+        F.sha2(normalized_content_col(F.col("content")), 256).alias(
+            "clone_hash"
+        ),
+        _has_secret_col().alias("has_secret"),
+        (
+            F.regexp_extract(
+                F.coalesce(F.col("content"), F.lit("")), SPDX_PATTERN, 1
+            )
+            == COPYLEFT
+        ).alias("is_copyleft"),
+    )
+    blob_counts = per_file.groupBy("blob_sha").agg(
+        F.count(F.lit(1)).alias("n_same_blob")
+    )
+    clone_spread = per_file.groupBy("lang", "clone_hash").agg(
+        F.countDistinct("blob_sha").alias("n_blobs_in_group")
+    )
+    joined = per_file.join(blob_counts, "blob_sha").join(
+        clone_spread, ["lang", "clone_hash"]
+    )
+    rep = joined.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum((F.col("n_same_blob") > 1).cast("bigint")).alias("n_dup_files"),
+        F.sum((F.col("n_blobs_in_group") > 1).cast("bigint")).alias(
+            "n_clone_files"
+        ),
+        F.sum(F.col("has_secret").cast("bigint")).alias("n_secret_files"),
+        F.sum(F.col("is_copyleft").cast("bigint")).alias("n_copyleft_files"),
+    )
+    verdict = (
+        F.when(F.col("n_copyleft_files") > 0, F.lit("drop-copyleft"))
+        .when(F.col("n_secret_files") > 0, F.lit("redact"))
+        .otherwise(F.lit("keep"))
+    )
+    return rep.select(
+        "repo",
+        "n_files",
+        "n_dup_files",
+        "n_clone_files",
+        "n_secret_files",
+        "n_copyleft_files",
+        verdict.alias("verdict"),
+    )
+
+
+def _has_secret_col() -> F.Column:
+    """True when any SECRET_PATTERNS regex matches the scrubbed content
+    (same scrub contract as :func:`secret_hits`)."""
+    scrubbed = F.regexp_replace(
+        F.coalesce(F.col("content"), F.lit("")),
+        SCRUB_NON_ASCII,
+        SECRET_SCRUB_REPL,
+    )
+    flag = F.lit(False)
+    for _, pat in SECRET_PATTERNS:
+        flag = flag | scrubbed.rlike(pat)
+    return flag
+
+
+def curation_report_sql(src: str = "code_forked") -> str:
+    """Final select — DuckDB twin of :func:`curation_report`."""
+    scrubbed = (
+        f"regexp_replace(coalesce(content, ''), {_sql_str(SCRUB_NON_ASCII)},"
+        f" {_sql_str(SECRET_SCRUB_REPL)}, 'g')"
+    )
+    has_secret = " or ".join(
+        f"regexp_matches({scrubbed}, {_sql_str(pat)})"
+        for _, pat in SECRET_PATTERNS
+    )
+    pat = _sql_str(SPDX_PATTERN)
+    return f"""
+    cr_files as (
+      select repo, lang,
+             sha256(coalesce(content, '')) as blob_sha,
+             sha256({normalized_content_sql()}) as clone_hash,
+             ({has_secret}) as has_secret,
+             regexp_extract(coalesce(content, ''), {pat}, 1)
+                 = '{COPYLEFT}' as is_copyleft
+      from {src}),
+    cr_blob as (
+      select blob_sha, count(*)::bigint as n_same_blob
+      from cr_files group by 1),
+    cr_clone as (
+      select lang, clone_hash,
+             count(distinct blob_sha)::bigint as n_blobs_in_group
+      from cr_files group by 1, 2),
+    cr_rep as (
+      select f.repo,
+             count(*)::bigint as n_files,
+             sum(case when b.n_same_blob > 1 then 1 else 0 end)::bigint
+                 as n_dup_files,
+             sum(case when c.n_blobs_in_group > 1 then 1 else 0 end)::bigint
+                 as n_clone_files,
+             sum(case when f.has_secret then 1 else 0 end)::bigint
+                 as n_secret_files,
+             sum(case when f.is_copyleft then 1 else 0 end)::bigint
+                 as n_copyleft_files
+      from cr_files f
+      join cr_blob b on b.blob_sha = f.blob_sha
+      join cr_clone c on c.lang = f.lang and c.clone_hash = f.clone_hash
+      group by 1)
+    select repo, n_files, n_dup_files, n_clone_files, n_secret_files,
+           n_copyleft_files,
+           case when n_copyleft_files > 0 then 'drop-copyleft'
+                when n_secret_files > 0 then 'redact'
+                else 'keep' end as verdict
+    from cr_rep"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fork injection + repo-level fork detection
+# ---------------------------------------------------------------------------
+# Every base repo whose numeric id is divisible by FORK_MOD gets one fork
+# "<repo>-fork": 4/5 of its files copied verbatim (fid % FORK_DROP_MOD ==
+# FORK_DROP_REM dropped — the fork deleted them), and of the kept files
+# those with fid % FORK_DROP_MOD == FORK_EDIT_REM carry a one-line patch
+# (divergent blobs). fid = did div FORK_DROP_MOD, NOT did itself: the
+# synthetic corpus assigns source repos by doc_id modulo the repo count,
+# so any affine-mod function of did is CONSTANT within a repo (a fork
+# would drop all files or none); dividing first mixes the higher bits
+# and cycles through every residue inside each repo. Keyed on ids
+# already in (repo, path), so both engines derive the forked corpus
+# from the same row without state — BASELINE.json's
+# synthesize-deterministically rule.
+FORK_MOD = 4
+FORK_DROP_MOD = 5
+FORK_DROP_REM = 4
+FORK_EDIT_REM = 2
+
+
+def _repo_num_col():
+    return F.regexp_extract("repo", r"src(\d+)", 1).cast("bigint")
+
+
+def with_forks(src: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> same ∪ injected forks.
+    Pure projection + union — no shuffle; at scale the fork branch is a
+    second map over the same scan."""
+    did = _did_col()
+    fid = F.expr(
+        f"cast(regexp_extract(path, 'src/(\\\\d+)', 1) as bigint)"
+        f" div {FORK_DROP_MOD}"
+    )
+    rn = _repo_num_col()
+    mk = F.when(F.col("lang") == "python", F.lit("#")).otherwise(F.lit("//"))
+    patch = F.when(
+        fid % FORK_DROP_MOD == FORK_EDIT_REM,
+        F.concat(mk, F.lit(" fork patch "), did.cast("string"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    forks = src.where(
+        (rn % FORK_MOD == 0) & (fid % FORK_DROP_MOD != FORK_DROP_REM)
+    ).select(
+        F.concat("repo", F.lit("-fork")).alias("repo"),
+        "path",
+        F.sha2(F.concat(F.col("commit"), F.lit("-fork")), 256)
+        .substr(1, 12)
+        .alias("commit"),
+        "lang",
+        F.concat(F.coalesce(F.col("content"), F.lit("")), patch).alias(
+            "content"
+        ),
+    )
+    return src.unionByName(forks)
+
+
+def with_forks_sql(src: str = "code_aug") -> str:
+    """CTE body `code_forked` — DuckDB twin of :func:`with_forks`."""
+    return f"""
+    code_forked as (
+      select repo, path, commit, lang, content from {src}
+      union all
+      select repo || '-fork' as repo, path,
+             substr(sha256(commit || '-fork'), 1, 12) as commit, lang,
+             coalesce(content, '')
+               || case when fid % {FORK_DROP_MOD} = {FORK_EDIT_REM}
+                       then mk || ' fork patch ' || cast(did as varchar)
+                              || chr(10)
+                       else '' end as content
+      from (select *,
+                   cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint)
+                       as did,
+                   cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint)
+                       // {FORK_DROP_MOD} as fid,
+                   cast(regexp_extract(repo, 'src(\\d+)', 1) as bigint)
+                       as rn,
+                   case when lang = 'python' then '#' else '//' end as mk
+            from {src})
+      where rn % {FORK_MOD} = 0
+        and fid % {FORK_DROP_MOD} != {FORK_DROP_REM})"""
+
+
+FORK_MIN_SHARED = 3
+FORK_RATIO_1000 = 500
+FORK_MAX_REPOS_PER_BLOB = 50
+
+
+def fork_pairs(
+    source: DataFrame,
+    min_shared: int = FORK_MIN_SHARED,
+    ratio_1000: int = FORK_RATIO_1000,
+    max_repos_per_blob: int = FORK_MAX_REPOS_PER_BLOB,
+) -> DataFrame:
+    """Repo pairs that are forks of each other: containment of distinct
+    blob-sha sets >= ratio (vs the smaller repo), >= min_shared blobs.
+
+    Scale shape: (repo, sha) distinct is one aggregate with map-side
+    combine (mega-duplicate blobs collapse before the shuffle); the
+    pair join keys on sha, with blobs appearing in > max_repos_per_blob
+    repos dropped FIRST (an oracle-mirrored parameter, not a silent
+    cap) — a vendored/empty file shared by a million repos would
+    otherwise fan out quadratically, and carries no fork signal.
+    Ratio denominators use the UNCAPPED per-repo blob counts, so the
+    cap can only lose pairs whose evidence is boilerplate blobs.
+
+    Output: (repo_a, repo_b, shared_blobs, n_a, n_b, containment_1000).
+    """
+    h = (
+        source.select(
+            "repo",
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("sha"),
+        )
+        .distinct()
+    )
+    sizes = h.groupBy("repo").agg(F.count(F.lit(1)).alias("n_blobs"))
+    degree_ok = (
+        h.groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("n_repos"))
+        .where(F.col("n_repos") <= max_repos_per_blob)
+        .select("sha")
+    )
+    hh = h.join(degree_ok, "sha")
+    shared = (
+        hh.alias("a")
+        .join(
+            hh.alias("b"),
+            (F.col("a.sha") == F.col("b.sha"))
+            & (F.col("a.repo") < F.col("b.repo")),
+        )
+        .groupBy(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_blobs"))
+    )
+    sa = sizes.select(
+        F.col("repo").alias("repo_a"), F.col("n_blobs").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("repo").alias("repo_b"), F.col("n_blobs").alias("n_b")
+    )
+    return (
+        shared.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .where(
+            (F.col("shared_blobs") >= min_shared)
+            & (
+                F.col("shared_blobs") * 1000
+                >= F.least("n_a", "n_b") * ratio_1000
+            )
+        )
+        .select(
+            "repo_a",
+            "repo_b",
+            "shared_blobs",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast((1000 * shared_blobs) div least(n_a, n_b) as bigint)"
+            ).alias("containment_1000"),
+        )
+    )
+
+
+def fork_pairs_sql(
+    src: str = "code_forked",
+    min_shared: int = FORK_MIN_SHARED,
+    ratio_1000: int = FORK_RATIO_1000,
+    max_repos_per_blob: int = FORK_MAX_REPOS_PER_BLOB,
+) -> str:
+    """Final select — DuckDB twin of :func:`fork_pairs`."""
+    return f"""
+    fp_h as (
+      select distinct repo, sha256(coalesce(content, '')) as sha from {src}),
+    fp_sizes as (
+      select repo, count(*)::bigint as n_blobs from fp_h group by repo),
+    fp_ok as (
+      select sha from fp_h group by sha
+      having count(*) <= {max_repos_per_blob}),
+    fp_shared as (
+      select a.repo as repo_a, b.repo as repo_b,
+             count(*)::bigint as shared_blobs
+      from (select * from fp_h where sha in (select sha from fp_ok)) a
+      join (select * from fp_h where sha in (select sha from fp_ok)) b
+        on a.sha = b.sha and a.repo < b.repo
+      group by 1, 2)
+    select s.repo_a, s.repo_b, s.shared_blobs,
+           sa.n_blobs as n_a, sb.n_blobs as n_b,
+           ((1000 * s.shared_blobs) // least(sa.n_blobs, sb.n_blobs))::bigint
+               as containment_1000
+    from fp_shared s
+    join fp_sizes sa on sa.repo = s.repo_a
+    join fp_sizes sb on sb.repo = s.repo_b
+    where s.shared_blobs >= {min_shared}
+      and 1000 * s.shared_blobs
+            >= least(sa.n_blobs, sb.n_blobs) * {ratio_1000}"""
+
+
 def near_clone_pairs(
     source: DataFrame, threshold_1000: int = 600
 ) -> DataFrame:

@@ -160,3 +160,112 @@ def remove_near_duplicates(
         .where(F.col("_cluster").isNull() | (F.col("_cluster") == F.col(id_col)))
         .drop("_cid", "_cluster")
     )
+
+
+DECON_BENCH_MOD = 20
+DECON_THRESHOLD_1000 = 500
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    bench_mod: int = DECON_BENCH_MOD,
+    threshold_1000: int = DECON_THRESHOLD_1000,
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination: flag training documents whose word-``n``-gram
+    shingle set is contained (>= threshold) in some benchmark document's
+    shingle set — the standard eval-leakage gate (GPT-3 appendix C /
+    PaLM-style 3-gram overlap) run before any corpus ships.
+
+    The benchmark split is carved deterministically from the same table
+    (``doc_id % bench_mod == 0``) per BASELINE.json's
+    synthesize-at-small-scale rule; in production the benchmark side is
+    whatever eval suite the run guards.
+
+    Output: (doc_id, bench_doc, inter, n_shingles, containment_1000),
+    containment = |shingles(train) ∩ shingles(bench)| / |shingles(train)|
+    in integer thousandths, one row per flagged (train, bench) pair.
+
+    Scale shape: shingles are built in one Arrow hop (dedup's
+    _make_shingle_udf — Catalyst HOF lambdas are interpreted per
+    element); the containment join BROADCASTS the benchmark side, which
+    is the decontamination invariant — eval suites are fixed-size while
+    the corpus is 100 TB, so the train side never shuffles at all and
+    the aggregate keys on (train doc, bench doc) hit map-side combine.
+    Containment (not Jaccard) is deliberate: a 50-token eval question
+    pasted into a 10k-token web page has tiny Jaccard but full
+    containment of the page's offending region; per-train-doc
+    normalization also keeps the denominator local.
+    """
+    from palladian_spark.operators.dedup import _word_shingles
+
+    shingled = (
+        _word_shingles(docs, "text", n)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode_outer("_shingles").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    bench = shingled.where(F.col("doc") % bench_mod == 0).select(
+        F.col("doc").alias("bench_doc"), "shingle"
+    )
+    train = shingled.where(F.col("doc") % bench_mod != 0).select(
+        F.col("doc").alias("doc_id"), "shingle"
+    )
+    sizes = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    inter = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .where(F.col("inter") * 1000 >= F.col("n_shingles") * threshold_1000)
+        .select(
+            "doc_id",
+            "bench_doc",
+            "inter",
+            "n_shingles",
+            F.expr("cast((1000 * inter) div n_shingles as bigint)").alias(
+                "containment_1000"
+            ),
+        )
+    )
+
+
+def benchmark_overlap_sql(
+    documents: str = "documents",
+    bench_mod: int = DECON_BENCH_MOD,
+    threshold_1000: int = DECON_THRESHOLD_1000,
+) -> str:
+    """Final select — DuckDB twin of :func:`benchmark_overlap` (3-gram
+    shingles, same first-occurrence-distinct + size>n semantics as the
+    doc_ngram_jaccard oracle)."""
+    return f"""
+    dc_sh as (
+      select doc_id as doc,
+             list_distinct(list_transform(
+                list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            (x, i) -> i <= len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+                (x, i) -> x || ' ' ||
+                          regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                          regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) as shingles
+      from {documents}),
+    dc_tok as (select doc, unnest(shingles) as shingle from dc_sh),
+    dc_bench as (select doc as bench_doc, shingle from dc_tok
+                 where doc % {bench_mod} = 0),
+    dc_train as (select doc as doc_id, shingle from dc_tok
+                 where doc % {bench_mod} != 0),
+    dc_sizes as (select doc_id, count(*)::bigint as n_shingles
+                 from dc_train group by 1),
+    dc_inter as (
+      select t.doc_id, b.bench_doc, count(*)::bigint as inter
+      from dc_train t join dc_bench b on t.shingle = b.shingle
+      group by 1, 2)
+    select i.doc_id, i.bench_doc, i.inter, s.n_shingles,
+           ((1000 * i.inter) // s.n_shingles)::bigint as containment_1000
+    from dc_inter i join dc_sizes s on s.doc_id = i.doc_id
+    where 1000 * i.inter >= s.n_shingles * {threshold_1000}"""

@@ -89,3 +89,59 @@ def test_split_duplicates_never_leak_across_splits(spark):
         .first()[0]
     )
     assert n == 1
+
+
+# ---------------------------------------------------------------------------
+# decontamination (benchmark_overlap)
+# ---------------------------------------------------------------------------
+def test_benchmark_overlap_semantics(spark):
+    from palladian_spark.operators.curation import benchmark_overlap
+
+    # doc 0 = benchmark. doc 21 is a verbatim copy (containment 1000);
+    # doc 22 embeds the benchmark text inside noise (containment < 1000
+    # but >= 500 of ITS shingles are benchmark shingles? no — the copy
+    # direction: ALL of bench's text sits in 22, but 22 has extra
+    # shingles, so containment(22 in 0) < 1000); doc 23 is disjoint.
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench),
+        (21, bench),
+        (22, bench + " iota kappa lota mu nu xi omicron pi rho sigma tau"),
+        (23, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["bench_doc"]): r for r in benchmark_overlap(df).collect()}
+    assert (21, 0) in got
+    assert got[(21, 0)]["containment_1000"] == 1000
+    assert all(d != 23 for d, _ in got)
+    # bench docs never appear on the train side
+    assert all(d % 20 != 0 for d, _ in got)
+
+
+def test_benchmark_overlap_oracle_twin(spark):
+    import duckdb
+
+    import pandas as pd
+
+    from palladian_spark.operators.curation import (
+        benchmark_overlap,
+        benchmark_overlap_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = benchmark_overlap(spark.read.parquet(f"{sf}/documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from"
+        f" read_parquet('{sf}/documents.parquet')"
+    )
+    cols = list(df.columns)
+    sp = df.toPandas()[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    du = (
+        con.execute(f"with {benchmark_overlap_sql()}")
+        .fetchdf()[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sp, du)
