@@ -172,7 +172,9 @@ SECRET_MODS = {"email": 11, "aws-key": 13, "ipv4": 17, "private-key": 19}
 
 
 def _did_col():
-    return F.regexp_extract("path", r"src/(\d+)", 1).cast("bigint")
+    # try_cast: hostile rows (path not matching src/<n>) extract '' which
+    # ANSI cast refuses; null id rows then fall out of mod-keyed filters.
+    return F.regexp_extract("path", r"src/(\d+)", 1).try_cast("bigint")
 
 
 def augment_corpus(src: DataFrame) -> DataFrame:
@@ -508,7 +510,7 @@ FORK_EDIT_REM = 2
 
 
 def _repo_num_col():
-    return F.regexp_extract("repo", r"src(\d+)", 1).cast("bigint")
+    return F.regexp_extract("repo", r"src(\d+)", 1).try_cast("bigint")
 
 
 def with_forks(src: DataFrame) -> DataFrame:
@@ -517,7 +519,7 @@ def with_forks(src: DataFrame) -> DataFrame:
     second map over the same scan."""
     did = _did_col()
     fid = F.expr(
-        f"cast(regexp_extract(path, 'src/(\\\\d+)', 1) as bigint)"
+        f"try_cast(regexp_extract(path, 'src/(\\\\d+)', 1) as bigint)"
         f" div {FORK_DROP_MOD}"
     )
     rn = _repo_num_col()
