@@ -148,6 +148,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dataset_split(_read(spark, sf_dir, "documents"))
 
+    def doc_repetition(spark, sf_dir):
+        # Gopher-style within-doc repetition gate: dup-word and
+        # top-bigram fractions + keep/drop verdict, one Arrow hop
+        from palladian_spark.operators.curation import repetition_stats
+
+        return repetition_stats(_read(spark, sf_dir, "documents"))
+
+    def doc_pii_redact(spark, sf_dir):
+        # PII counts + full-masked-text hash over the deterministically
+        # PII-injected corpus (emails / ipv4 / phones planted by doc_id
+        # mod; production runs the same redactor on the raw corpus)
+        from palladian_spark.operators.curation import pii_redact, with_pii
+
+        return pii_redact(with_pii(_read(spark, sf_dir, "documents")))
+
     def doc_decontaminate(spark, sf_dir):
         # eval-leakage gate: train docs whose 3-gram shingle set is
         # >=50% contained in a benchmark doc's (benchmark = doc_id%20==0,
@@ -811,6 +826,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return curation_report(with_forks(_aug_corpus(spark, sf_dir)))
 
+    def code_quality(spark, sf_dir):
+        # StarCoder-class per-file quality gates over the corpus with
+        # generated-banner and long-line injection: line stats, alnum
+        # fraction, keep/drop verdict
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_curation import (
+            code_quality as quality,
+        )
+        from palladian_spark.operators.code_curation import with_generated
+
+        return quality(with_generated(code_corpus(_read(spark, sf_dir, "documents"))))
+
     def code_near_clones(spark, sf_dir):
         # type-3 near-clones (token-set Jaccard >= 0.6, prefix-filtered);
         # the oracle twin is ALL-PAIRS, so a green row proves the Spark
@@ -828,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_near_clones"] = code_near_clones
     q["code_fork_pairs"] = code_fork_pairs
     q["code_curation_report"] = code_curation_report
+    q["code_quality"] = code_quality
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
@@ -1141,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_fingerprints=doc_fingerprints,
         doc_chunks=doc_chunks,
         doc_split=doc_split,
+        doc_repetition=doc_repetition,
+        doc_pii_redact=doc_pii_redact,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -1701,14 +1731,25 @@ def oracle_sql() -> dict[str, str]:
         augment_corpus_sql as _aug_corpus_sql,
         clone_groups_sql as _clone_groups_sql,
         license_report_sql as _license_report_sql,
+        code_quality_sql as _code_quality_sql,
         curation_report_sql as _curation_report_sql,
         fork_pairs_sql as _fork_pairs_sql,
+        with_generated_sql as _with_generated_sql,
         near_clone_pairs_sql as _near_clones_sql,
         with_forks_sql as _with_forks_sql,
         secret_hits_sql as _secret_hits_sql,
     )
     from palladian_spark.operators.curation import (
         benchmark_overlap_sql as _decon_sql,
+    )
+    from palladian_spark.operators.curation import (
+        pii_redact_sql as _pii_redact_sql,
+    )
+    from palladian_spark.operators.curation import (
+        with_pii_sql as _with_pii_sql,
+    )
+    from palladian_spark.operators.curation import (
+        repetition_stats_sql as _repetition_sql,
     )
     from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
     from palladian_spark.operators.graph import (
@@ -1785,6 +1826,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_decontaminate": f"""
             with {_decon_sql()}
+        """,
+        "doc_pii_redact": f"""
+            with {_with_pii_sql()}
+            {_pii_redact_sql()}
+        """,
+        "doc_repetition": f"""
+            with {_repetition_sql()}
         """,
         "doc_exact_dedup": """
             select doc_id, md5(text) as content_hash
@@ -2042,6 +2090,11 @@ def oracle_sql() -> dict[str, str]:
         "code_near_clones": f"""
             with {_code_corpus_sql()},
             {_near_clones_sql()}
+        """,
+        "code_quality": f"""
+            with {_code_corpus_sql()},
+            {_with_generated_sql(src="code_src")},
+            {_code_quality_sql()}
         """,
         "code_licenses": f"""
             with {_code_corpus_sql()},

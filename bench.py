@@ -46,6 +46,12 @@ HEADLINE = [
     "code_exact_dupes",
     "code_components",
     "code_pagerank",
+    "code_clone_groups",
+    "code_near_clones",
+    "code_fork_pairs",
+    "code_curation_report",
+    "code_licenses",
+    "code_secret_hits",
     "code_triples_incremental",
     "kg_stats",
     "kg_clustering",
@@ -74,6 +80,7 @@ HEADLINE = [
     "embedding_quantize",
     "doc_chunks",
     "doc_split",
+    "doc_decontaminate",
     "doc_token_counts",
     "tpch_pricing",
     "join_customer_orders",

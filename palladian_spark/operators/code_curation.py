@@ -849,3 +849,163 @@ def secret_hits_sql(src: str = "code_aug") -> str:
            count(*)::bigint as n_hits, min(hit) as sample_hit
     from ({branches})
     group by 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Per-file quality gates (StarCoder/The-Stack-style filters)
+# ---------------------------------------------------------------------------
+# The synthetic corpus has neither generated-file markers nor long
+# lines, so :func:`with_generated` plants both deterministically
+# (keyed on the doc id in ``path``): every GEN_MOD-th file gets a
+# "DO NOT EDIT" banner, every LONGLINE_MOD-th a LONGLINE_LEN-char line
+# (the minified/vendored-bundle signature these filters exist to catch).
+GEN_MOD = 17
+LONGLINE_MOD = 23
+LONGLINE_LEN = 200
+
+QUALITY_MAX_LINE = 150
+QUALITY_MIN_ALNUM_1000 = 250
+
+
+def with_generated(src: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> same rows with
+    deterministic generated-file banners and over-long lines planted.
+    Pure codegen projection, no shuffle."""
+    did = _did_col()
+    mk = F.when(F.col("lang") == "python", F.lit("#")).otherwise(F.lit("//"))
+    banner = F.when(
+        did % GEN_MOD == 0,
+        F.concat(mk, F.lit(" DO NOT EDIT: generated by codegen\n")),
+    ).otherwise(F.lit(""))
+    longline = F.when(
+        did % LONGLINE_MOD == 0,
+        F.concat(mk, F.lit(" "), F.repeat(F.lit("x"), LONGLINE_LEN), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    content = F.concat(banner, F.coalesce(F.col("content"), F.lit("")), longline)
+    return src.select("repo", "path", "commit", "lang", content.alias("content"))
+
+
+def with_generated_sql(src: str = "code_src") -> str:
+    """CTE body ``code_gen`` — DuckDB twin of :func:`with_generated`."""
+    return f"""
+    code_gen as (
+      select repo, path, commit, lang,
+             case when did % {GEN_MOD} = 0
+                  then mk || ' DO NOT EDIT: generated by codegen' || chr(10)
+                  else '' end
+             || coalesce(content, '')
+             || case when did % {LONGLINE_MOD} = 0
+                     then mk || ' ' || repeat('x', {LONGLINE_LEN}) || chr(10)
+                     else '' end as content
+      from (select *,
+                   cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did,
+                   case when lang = 'python' then '#' else '//' end as mk
+            from {src}))"""
+
+
+def code_quality(
+    source: DataFrame,
+    max_line: int = QUALITY_MAX_LINE,
+    min_alnum_1000: int = QUALITY_MIN_ALNUM_1000,
+) -> DataFrame:
+    """Per-file quality metrics + keep/drop verdict — the StarCoder-class
+    filters a code corpus applies before training: (repo, path, lang,
+    n_lines, max_line_len, avg_line_len_1000, alnum_frac_1000,
+    is_generated, verdict).
+
+    verdict: 'drop-generated' (DO NOT EDIT banner), 'drop-long-lines'
+    (any line over ``max_line`` chars — the minified/vendored signature),
+    'drop-low-alnum' (alphanumeric fraction under ``min_alnum_1000``
+    thousandths), else 'keep'.
+
+    Scale shape: file-level metrics (alnum fraction, banner flag) are one
+    codegen projection in the scan; line metrics explode the line array
+    and aggregate back on (repo, path) — uniform keys, map-side combine,
+    one shuffle whose rows are single lines, never whole blobs. Split
+    semantics (trailing empty line kept) are engine-identical between
+    Java split(limit=-1) and DuckDB string_split.
+    """
+    content = F.coalesce(F.col("content"), F.lit(""))
+    alnum = F.when(
+        F.length(content) > 0,
+        F.expr(
+            "(1000 * length(regexp_replace(coalesce(content, ''),"
+            " '[^A-Za-z0-9]', ''))) div length(coalesce(content, ''))"
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    is_gen = content.contains("DO NOT EDIT").cast("int")
+    lines = (
+        source.select(
+            "repo",
+            "path",
+            "lang",
+            alnum.alias("alnum_frac_1000"),
+            is_gen.alias("is_generated"),
+            F.explode(F.split(content, "\n", -1)).alias("_line"),
+        )
+        .groupBy("repo", "path", "lang", "alnum_frac_1000", "is_generated")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max(F.length("_line")).cast("bigint").alias("max_line_len"),
+            F.sum(F.length("_line")).alias("_sum_len"),
+        )
+    )
+    return lines.select(
+        "repo",
+        "path",
+        "lang",
+        "n_lines",
+        "max_line_len",
+        F.expr("(1000 * _sum_len) div n_lines").cast("bigint").alias(
+            "avg_line_len_1000"
+        ),
+        "alnum_frac_1000",
+        "is_generated",
+        F.when(F.col("is_generated") == 1, F.lit("drop-generated"))
+        .when(F.col("max_line_len") > max_line, F.lit("drop-long-lines"))
+        .when(
+            F.col("alnum_frac_1000") < min_alnum_1000,
+            F.lit("drop-low-alnum"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+def code_quality_sql(
+    src: str = "code_gen",
+    max_line: int = QUALITY_MAX_LINE,
+    min_alnum_1000: int = QUALITY_MIN_ALNUM_1000,
+) -> str:
+    """Final select — DuckDB twin of :func:`code_quality`."""
+    return f"""
+    q_base as (
+      select repo, path, lang,
+             case when length(coalesce(content, '')) > 0
+                  then (1000 * length(regexp_replace(coalesce(content, ''),
+                                      '[^A-Za-z0-9]', '', 'g')))
+                       // length(coalesce(content, ''))
+                  else 0 end::bigint as alnum_frac_1000,
+             (coalesce(content, '') like '%DO NOT EDIT%')::int
+               as is_generated,
+             string_split(coalesce(content, ''), chr(10)) as lines
+      from {src}),
+    q_lines as (
+      select repo, path, lang, alnum_frac_1000, is_generated,
+             unnest(lines) as line
+      from q_base),
+    q_agg as (
+      select repo, path, lang, alnum_frac_1000, is_generated,
+             count(*)::bigint as n_lines,
+             max(length(line))::bigint as max_line_len,
+             sum(length(line))::bigint as sum_len
+      from q_lines group by 1, 2, 3, 4, 5)
+    select repo, path, lang, n_lines, max_line_len,
+           ((1000 * sum_len) // n_lines)::bigint as avg_line_len_1000,
+           alnum_frac_1000, is_generated,
+           case when is_generated = 1 then 'drop-generated'
+                when max_line_len > {max_line} then 'drop-long-lines'
+                when alnum_frac_1000 < {min_alnum_1000}
+                then 'drop-low-alnum'
+                else 'keep' end as verdict
+    from q_agg"""

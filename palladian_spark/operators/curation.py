@@ -236,6 +236,303 @@ def benchmark_overlap(
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality gate)
+# ---------------------------------------------------------------------------
+# Integer-thousandths thresholds (Rae et al. 2021 "Gopher" §A1.1 uses
+# 0.20 for the most-common-2-gram character fraction; the synthetic
+# corpus tops out lower, so the defaults here are tuned to exercise all
+# three verdicts on it — both are oracle-mirrored parameters).
+REP_TOP_BIGRAM_1000 = 100
+REP_DUP_WORD_1000 = 680
+# Fraction thresholds are meaningless on tiny documents (3 unique
+# bigrams already read 333 thousandths); Gopher applies its repetition
+# filters only above a minimum length, mirrored here.
+REP_MIN_WORDS = 20
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_1000: int = REP_TOP_BIGRAM_1000,
+    dup_word_1000: int = REP_DUP_WORD_1000,
+    min_words: int = REP_MIN_WORDS,
+) -> DataFrame:
+    """Within-document repetition metrics, the Gopher-style filter every
+    LLM corpus runs: (doc_id, n_words, n_distinct_words,
+    dup_word_frac_1000, top_bigram_frac_1000, verdict).
+
+    dup_word_frac = (n_words - n_distinct) / n_words; top_bigram_frac =
+    count of the modal word 2-gram / (n_words - 1). verdict:
+    'drop-repetitive' (top bigram over threshold), 'drop-low-diversity'
+    (dup words over threshold), else 'keep'; documents under
+    ``min_words`` always keep (fractions are noise at that length).
+
+    Scale shape: ONE Arrow hop, zero shuffles — the metrics are
+    row-local, so a pandas UDF computes all four counters per document
+    inside the scan stage (a pure-SQL plan would explode every word and
+    shuffle on (doc, bigram); repetition needs no cross-document state,
+    so it never should). Tokenization is the dedup family's
+    ``[a-z0-9]+`` over lower(), byte-identical in Python re / RE2, so
+    the DuckDB oracle recomputes everything from raw text.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .util import spread
+
+    out_t = StructType(
+        [
+            StructField("n_words", LongType()),
+            StructField("n_distinct_words", LongType()),
+            StructField("n_bigrams", LongType()),
+            StructField("top_bigram_cnt", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def stats(texts):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        rows = []
+        for t in texts:
+            ws = re.findall(r"[a-z0-9]+", (t or "").lower())
+            bigs = Counter(zip(ws, ws[1:]))
+            rows.append(
+                (
+                    len(ws),
+                    len(set(ws)),
+                    max(len(ws) - 1, 0),
+                    max(bigs.values()) if bigs else 0,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words",
+                "n_distinct_words",
+                "n_bigrams",
+                "top_bigram_cnt",
+            ],
+        )
+
+    dup = F.when(
+        F.col("n_words") > 0,
+        F.expr("(1000 * (n_words - n_distinct_words)) div n_words"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    top = F.when(
+        F.col("n_bigrams") > 0,
+        F.expr("(1000 * top_bigram_cnt) div n_bigrams"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        spread(docs)
+        .select(F.col(id_col), stats(F.col(text_col)).alias("_s"))
+        .select(id_col, "_s.*")
+        .withColumn("dup_word_frac_1000", dup)
+        .withColumn("top_bigram_frac_1000", top)
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            "dup_word_frac_1000",
+            "top_bigram_frac_1000",
+            F.when(F.col("n_words") < min_words, F.lit("keep"))
+            .when(
+                F.col("top_bigram_frac_1000") >= top_bigram_1000,
+                F.lit("drop-repetitive"),
+            )
+            .when(
+                F.col("dup_word_frac_1000") >= dup_word_1000,
+                F.lit("drop-low-diversity"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
+def repetition_stats_sql(
+    documents: str = "documents",
+    top_bigram_1000: int = REP_TOP_BIGRAM_1000,
+    dup_word_1000: int = REP_DUP_WORD_1000,
+    min_words: int = REP_MIN_WORDS,
+) -> str:
+    """Final select — DuckDB twin of :func:`repetition_stats`."""
+    return f"""
+    rep_words as (
+      select doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+               as ws
+      from {documents}),
+    rep_base as (
+      select doc_id, len(ws)::bigint as n_words,
+             len(list_distinct(ws))::bigint as n_distinct_words,
+             list_filter(list_transform(ws,
+                 (x, i) -> case when i < len(ws)
+                                then x || ' ' || ws[i+1] end),
+               x -> x is not null) as bigs
+      from rep_words),
+    rep_top as (
+      select doc_id, max(cnt)::bigint as top_bigram_cnt
+      from (select doc_id, b, count(*) as cnt
+            from (select doc_id, unnest(bigs) as b from rep_base)
+            group by 1, 2)
+      group by 1)
+    select doc_id, n_words, n_distinct_words,
+           case when n_words > 0
+                then (1000 * (n_words - n_distinct_words)) // n_words
+                else 0 end::bigint as dup_word_frac_1000,
+           case when len(bigs) > 0
+                then (1000 * coalesce(top_bigram_cnt, 0)) // len(bigs)
+                else 0 end::bigint as top_bigram_frac_1000,
+           case when n_words < {min_words} then 'keep'
+                when (case when len(bigs) > 0
+                           then (1000 * coalesce(top_bigram_cnt, 0))
+                                // len(bigs)
+                           else 0 end) >= {top_bigram_1000}
+                then 'drop-repetitive'
+                when (case when n_words > 0
+                           then (1000 * (n_words - n_distinct_words))
+                                // n_words
+                           else 0 end) >= {dup_word_1000}
+                then 'drop-low-diversity'
+                else 'keep' end as verdict
+    from rep_base left join rep_top using (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# PII injection + redaction
+# ---------------------------------------------------------------------------
+# The synthetic documents table contains no PII, so :func:`with_pii`
+# plants it deterministically (keyed on doc_id) per BASELINE.json's
+# synthesize-at-small-scale rule — the same injector pattern as
+# code_curation.augment_corpus. In production the redactor runs over the
+# raw corpus directly.
+PII_MODS = {"email": 3, "ipv4": 5, "phone": 7}
+
+# (kind, pattern, mask) applied IN ORDER (order is part of the contract;
+# counts are taken per-kind on the UNredacted text, so they are
+# order-independent — only the masked text depends on order). Patterns
+# stay in the RE2 ∩ java.util.regex common subset; the ipv4 ``\b`` is
+# engine-identical only over ASCII, so the scan scrubs non-ASCII runs
+# first (SCRUB_NON_ASCII, same invariant as the code secret scan).
+PII_PATTERNS = [
+    ("email", r"[\w.+-]+@[\w-]+\.[\w.-]+", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def with_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text) -> same rows with deterministic planted PII
+    trailers (email for id%3==0, ipv4 for id%5==0, phone for id%7==0).
+    Pure codegen projection, no shuffle."""
+    did = F.col(id_col)
+
+    def planted(kind):
+        if kind == "email":
+            body = F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            )
+        elif kind == "ipv4":
+            body = F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.1")
+            )
+        else:  # phone
+            body = F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            )
+        return F.when(did % PII_MODS[kind] == 0, body).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.coalesce(F.col(text_col), F.lit("")),
+        *[planted(k) for k in PII_MODS],
+    )
+    return docs.select(did.alias(id_col), text.alias(text_col))
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The PII redaction pass (cf. BigCode/The-Stack PII pipeline):
+    (doc_id, n_email, n_ipv4, n_phone, redacted_hash) where the hash is
+    md5 of the text after every pattern is masked in PII_PATTERNS order.
+
+    Scale shape: one codegen projection inside the scan — counting and
+    masking are row-local regexp work, zero shuffles, no Python. The
+    masked corpus itself would be written by the same projection; the
+    contract query emits its hash so the oracle can verify the full
+    masked text without hauling it through the compare."""
+    from palladian_spark.operators.code_curation import SCRUB_NON_ASCII
+
+    scrub = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), SCRUB_NON_ASCII, ":"
+    )
+    counts = [
+        F.size(F.regexp_extract_all(scrub, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    red = scrub
+    for _, pat, mask in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, mask)
+    return docs.select(
+        F.col(id_col), *counts, F.md5(red).alias("redacted_hash")
+    )
+
+
+def with_pii_sql(documents: str = "documents") -> str:
+    """CTE body ``pii_src`` — DuckDB twin of :func:`with_pii`."""
+    planted = {
+        "email": "' contact user' || cast(doc_id as varchar)"
+        " || '@example.com'",
+        "ipv4": "' from 10.' || cast(doc_id % 256 as varchar) || '.0.1'",
+        "phone": "' call +1-555-' ||"
+        " lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-0199'",
+    }
+    trailers = " || ".join(
+        f"case when doc_id % {PII_MODS[k]} = 0 then {planted[k]}"
+        f" else '' end"
+        for k in PII_MODS
+    )
+    return f"""
+    pii_src as (
+      select doc_id, coalesce(text, '') || {trailers} as text
+      from {documents})"""
+
+
+def pii_redact_sql(src: str = "pii_src") -> str:
+    """Final select — DuckDB twin of :func:`pii_redact`."""
+    from palladian_spark.operators.code import _sql_str
+    from palladian_spark.operators.code_curation import SCRUB_NON_ASCII
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(scrub, {_sql_str(pat)}))::bigint"
+        f" as n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "scrub"
+    for _, pat, mask in PII_PATTERNS:
+        red = f"regexp_replace({red}, {_sql_str(pat)}, '{mask}', 'g')"
+    return f"""
+    select doc_id, {counts}, md5({red}) as redacted_hash
+    from (select doc_id,
+                 regexp_replace(coalesce(text, ''),
+                                {_sql_str(SCRUB_NON_ASCII)}, ':', 'g')
+                   as scrub
+          from {src})"""
+
+
 def benchmark_overlap_sql(
     documents: str = "documents",
     bench_mod: int = DECON_BENCH_MOD,

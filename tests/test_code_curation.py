@@ -406,3 +406,93 @@ def test_curation_report_semantics(spark):
     assert (clean["n_files"], clean["n_dup_files"], clean["n_clone_files"]) == (
         3, 2, 3,
     )
+
+
+def test_code_quality_verdicts(spark):
+    from palladian_spark.operators.code_curation import code_quality
+
+    rows = [
+        ("r", "src/1.py", "c1", "python",
+         "# DO NOT EDIT: generated by codegen\nimport os\n"),
+        ("r", "src/2.py", "c2", "python", "short\n" + "y" * 200 + "\nend\n"),
+        ("r", "src/3.py", "c3", "python", "def f(x):\n    return x\n"),
+        ("r", "src/4.py", "c4", "python", ";;; ;;; ;;;\n"),
+        ("r", "src/5.py", "c5", "python", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string"
+    )
+    got = {r["path"]: r for r in code_quality(df).collect()}
+    assert got["src/1.py"]["verdict"] == "drop-generated"
+    assert got["src/1.py"]["is_generated"] == 1
+    assert got["src/2.py"]["verdict"] == "drop-long-lines"
+    assert got["src/2.py"]["max_line_len"] == 200
+    assert got["src/3.py"]["verdict"] == "keep"
+    # "def f(x):\n    return x\n" -> lines of 9, 12, 0 chars
+    assert got["src/3.py"]["n_lines"] == 3
+    assert got["src/3.py"]["avg_line_len_1000"] == (1000 * 21) // 3
+    assert got["src/4.py"]["verdict"] == "drop-low-alnum"
+    assert got["src/5.py"]["n_lines"] == 1  # null -> '' -> one empty line
+    assert got["src/5.py"]["alnum_frac_1000"] == 0
+
+
+def test_with_generated_injection_mods(spark):
+    from palladian_spark.operators.code import code_corpus
+    from palladian_spark.operators.code_curation import (
+        GEN_MOD,
+        LONGLINE_MOD,
+        with_generated,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta eps zeta eta theta", "s")
+         for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["path"]: r["content"]
+        for r in with_generated(code_corpus(docs)).collect()
+    }
+
+    def did(path):
+        import re
+
+        return int(re.search(r"src/(\d+)", path).group(1))
+
+    for p, c in got.items():
+        assert ("DO NOT EDIT" in c) == (did(p) % GEN_MOD == 0), p
+        assert ("x" * 200 in c) == (did(p) % LONGLINE_MOD == 0), p
+
+
+def test_code_quality_oracle_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from palladian_spark.operators.code import code_corpus, code_corpus_sql
+    from palladian_spark.operators.code_curation import (
+        code_quality,
+        code_quality_sql,
+        with_generated,
+        with_generated_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = code_quality(with_generated(code_corpus(docs)))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from"
+        f" read_parquet('{sf}/documents.parquet')"
+    )
+    sql = (
+        f"with {code_corpus_sql()}, {with_generated_sql(src='code_src')},"
+        f" {code_quality_sql()}"
+    )
+    cols = list(df.columns)
+    sp = df.toPandas()[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    du = (
+        con.execute(sql).fetchdf()[cols].astype(str).sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sp, du)

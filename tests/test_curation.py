@@ -145,3 +145,103 @@ def test_benchmark_overlap_oracle_twin(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sp, du)
+
+
+def test_pii_redact_counts_and_mask(spark):
+    from palladian_spark.operators.curation import pii_redact
+
+    text = (
+        "reach me at jo.doe+x@mail.example.org or +1-555-012-0199,"
+        " server 10.1.2.3 says hi"
+    )
+    df = spark.createDataFrame([(1, text), (2, "no pii here"), (3, None)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 1)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 0, 0)
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+    masked = (
+        "reach me at <EMAIL> or <PHONE>, server <IP> says hi"
+    )
+    assert got[1]["redacted_hash"] == hashlib.md5(masked.encode()).hexdigest()
+    assert got[3]["redacted_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_pii_injection_mods(spark):
+    from palladian_spark.operators.curation import with_pii
+
+    df = spark.createDataFrame(
+        [(i, "base") for i in range(1, 22)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in with_pii(df).collect()}
+    assert "@example.com" in got[3] and "@example.com" not in got[4]
+    assert "from 10." in got[5] and "from 10." not in got[6]
+    assert "+1-555-" in got[7] and "+1-555-" not in got[8]
+    # id 15 = 3*5: both email and ipv4
+    assert "@example.com" in got[15] and "from 10." in got[15]
+    assert got[1] == "base"
+
+
+def test_repetition_metrics(spark):
+    from palladian_spark.operators.curation import repetition_stats
+
+    words = " ".join(f"w{i}" for i in range(24))
+    rows = [
+        (1, "spam ham " * 12),        # 24 words: top bigram (ham,spam) x11/23
+        (2, words),                   # 24 distinct words
+        (3, ""),
+        (4, None),
+        (5, words + " " + words),     # 48 words, 24 distinct: dup 500
+        (6, "a a a a b"),             # 5 words < min: fractions ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 24 and got[1]["n_distinct_words"] == 2
+    assert got[1]["top_bigram_frac_1000"] == (1000 * 12) // 23
+    assert got[1]["verdict"] == "drop-repetitive"
+    assert got[2]["dup_word_frac_1000"] == 0
+    assert got[2]["verdict"] == "keep"
+    assert got[3]["n_words"] == 0 and got[3]["verdict"] == "keep"
+    assert got[4]["n_words"] == 0
+    assert got[5]["dup_word_frac_1000"] == 500
+    # dup 500 < 680 and top bigram 2/47 -> keeps despite full duplication
+    assert got[5]["verdict"] == "keep"
+    assert got[6]["top_bigram_frac_1000"] == 750
+    assert got[6]["verdict"] == "keep"  # under min_words
+
+
+def test_pii_and_repetition_oracle_twins(spark):
+    import duckdb
+    import pandas as pd
+
+    from palladian_spark.operators.curation import (
+        pii_redact,
+        pii_redact_sql,
+        repetition_stats,
+        repetition_stats_sql,
+        with_pii,
+        with_pii_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from"
+        f" read_parquet('{sf}/documents.parquet')"
+    )
+
+    def cmp(df, sql):
+        cols = list(df.columns)
+        sp = (
+            df.toPandas()[cols].astype(str).sort_values(cols)
+            .reset_index(drop=True)
+        )
+        du = (
+            con.execute(sql).fetchdf()[cols].astype(str).sort_values(cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(sp, du)
+
+    cmp(pii_redact(with_pii(docs)), f"with {with_pii_sql()} {pii_redact_sql()}")
+    cmp(repetition_stats(docs), f"with {repetition_stats_sql()}")
