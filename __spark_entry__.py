@@ -847,6 +847,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_clone_pairs(code_corpus(_read(spark, sf_dir, "documents")))
 
+    def code_docstrings(spark, sf_dir):
+        # documented-by triples: doc comments injected on every DOC_MOD-th
+        # file, extracted by per-language patterns (python docstring,
+        # go Package comment, /*..*/ blocks) — zero-shuffle scan projection
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_enrich import (
+            doc_triples,
+            with_docstrings,
+        )
+
+        return doc_triples(with_docstrings(code_corpus(_read(spark, sf_dir, "documents"))))
+
+    def code_test_links(spark, sf_dir):
+        # tests triples: test twins injected for every TEST_MOD-th file,
+        # then linked back to their source file by the tests/test_<id>
+        # path convention (equi-join on (repo, file-id), unique per side)
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_enrich import test_links, with_tests
+
+        return test_links(with_tests(code_corpus(_read(spark, sf_dir, "documents"))))
+
+    def code_api_usage(spark, sf_dir):
+        # cross-repo module popularity: per (lang, module) distinct-repo /
+        # distinct-file / total-mention counts — the dependency-entity
+        # ranking table (aggregate-only; no cross-repo join)
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_enrich import api_usage
+
+        return api_usage(code_corpus(_read(spark, sf_dir, "documents")))
+
     q["code_triples_incremental"] = code_triples_incremental
     q["kg_stats"] = kg_stats
     q["kg_clustering"] = kg_clustering
@@ -856,6 +886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_fork_pairs"] = code_fork_pairs
     q["code_curation_report"] = code_curation_report
     q["code_quality"] = code_quality
+    q["code_docstrings"] = code_docstrings
+    q["code_test_links"] = code_test_links
+    q["code_api_usage"] = code_api_usage
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
@@ -1739,6 +1772,13 @@ def oracle_sql() -> dict[str, str]:
         with_forks_sql as _with_forks_sql,
         secret_hits_sql as _secret_hits_sql,
     )
+    from palladian_spark.operators.code_enrich import (
+        api_usage_sql as _api_usage_sql,
+        doc_triples_sql as _doc_triples_sql,
+        test_links_sql as _test_links_sql,
+        with_docstrings_sql as _with_docstrings_sql,
+        with_tests_sql as _with_tests_sql,
+    )
     from palladian_spark.operators.curation import (
         benchmark_overlap_sql as _decon_sql,
     )
@@ -2095,6 +2135,21 @@ def oracle_sql() -> dict[str, str]:
             with {_code_corpus_sql()},
             {_with_generated_sql(src="code_src")},
             {_code_quality_sql()}
+        """,
+        "code_docstrings": f"""
+            with {_code_corpus_sql()},
+            {_with_docstrings_sql(src="code_src")}
+            {_doc_triples_sql(src="code_docsrc")}
+        """,
+        "code_test_links": f"""
+            with {_code_corpus_sql()},
+            {_with_tests_sql(src="code_src")}
+            {_test_links_sql(src="code_testsrc")}
+        """,
+        "code_api_usage": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()}
+            {_api_usage_sql(ents="code_ents")}
         """,
         "code_licenses": f"""
             with {_code_corpus_sql()},

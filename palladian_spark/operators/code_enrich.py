@@ -1,0 +1,276 @@
+"""Derived KG predicates over the source-code table: doc-comment
+extraction (`documented-by`), test-to-source linkage (`tests`), and the
+cross-repo API-usage roll-up.
+
+Reference analogue: Palladian's extraction stack materializes text
+mentions into typed KG edges (`semantics/WordDB.java` stores
+synonym/hypernym edges; `extraction/entity` produces the mentions); on
+the code table the equivalent enrichment edges are *documentation*
+(which files carry doc comments and what they say), *test coverage*
+(which test file exercises which source file — the path-convention join
+every code-search KG ships), and *API popularity* (how widely each
+imported module is used across repositories — the aggregate that ranks
+entities by support, cf. the reference's dictionary likelihood ordering
+in `PalladianNer.java` setEntityDictionary).
+
+The synthetic corpus templates (operators/code.py TEMPLATES) contain no
+doc comments and no test files, so :func:`with_docstrings` /
+:func:`with_tests` inject both deterministically (keyed on the doc id
+parsed from ``path`` — the augment_corpus idiom), per BASELINE.json's
+"synthesise it deterministically at small scale" input rule. Production
+runs the same extractors on the raw table.
+
+Everything is dual-rendered from single sources of truth
+(:data:`DOC_PATTERNS`, the injection constants): once as Spark Column
+expressions, once as DuckDB SQL, so the driver's oracle recomputes the
+whole derivation + extraction independently. Patterns stay in the
+RE2 ∩ java.util.regex common subset (no lookaround, lazy quantifiers
+and inline (?s)/(?m) only — both engines support them identically).
+
+Scale shape: doc extraction is a pure codegen projection + explode in
+the scan stage (zero shuffles); test linkage filters the path column
+twice and equi-joins on (repo, file-id) — a key that is unique per side,
+so no skew and no fan-out; API usage is two hash aggregates on bounded
+keys ((repo, path, module) then (lang, module)) with map-side combine —
+the module-popularity key is the one key that crosses repositories, and
+it lands in an aggregate, never a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from palladian_spark.operators.code import (
+    _sql_str,
+    extract_code_entities,
+)
+from palladian_spark.operators.code_curation import _did_col
+
+# ---------------------------------------------------------------------------
+# Doc-comment injection + extraction
+# ---------------------------------------------------------------------------
+DOC_MOD = 3  # every DOC_MOD-th file gains a doc comment
+
+# lang -> (pred fixed to 'documented-by') extraction pattern with ONE
+# capture group. python: module docstring at byte 0; go: the `// Package`
+# doc-comment convention; everything else: the first /* ... */ or
+# /** ... */ block. Lazy bounded quantifiers keep the match linear and
+# identical across RE2 / java.util.regex.
+_BLOCK = r"(?s)/\*\*?(.{0,200}?)\*/"
+DOC_PATTERNS = {
+    "python": r'(?s)^"""(.{0,200}?)"""',
+    "go": r"(?m)^// (Package[^\n]{0,200})",
+    "java": _BLOCK,
+    "javascript": _BLOCK,
+    "rust": _BLOCK,
+    "c": _BLOCK,
+    # dispatch-only languages (never derived by the synthetic corpus;
+    # see operators/code.py PATTERNS note)
+    "typescript": _BLOCK,
+    "php": _BLOCK,
+    "ruby": r"(?m)^# :doc: ([^\n]{0,200})",
+}
+
+
+def with_docstrings(src: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> same rows with a
+    language-shaped doc comment planted on every DOC_MOD-th file.
+    Pure codegen projection, no shuffle."""
+    did = _did_col()
+    body = F.concat(F.lit("Module util "), did.cast("string"), F.lit("."))
+    comment = (
+        F.when(F.col("lang") == "python", F.concat(F.lit('"""'), body, F.lit('"""\n')))
+        .when(F.col("lang") == "go", F.concat(F.lit("// Package util "), did.cast("string"), F.lit(".\n")))
+        .otherwise(F.concat(F.lit("/** "), body, F.lit(" */\n")))
+    )
+    content = F.concat(
+        F.when(did % DOC_MOD == 0, comment).otherwise(F.lit("")),
+        F.coalesce(F.col("content"), F.lit("")),
+    )
+    return src.select("repo", "path", "commit", "lang", content.alias("content"))
+
+
+def with_docstrings_sql(src: str = "code_src") -> str:
+    """CTE body ``code_docsrc`` — DuckDB twin of :func:`with_docstrings`."""
+    return f"""
+    code_docsrc as (
+      select repo, path, commit, lang,
+             case when did % {DOC_MOD} = 0 then
+               case lang
+                 when 'python' then repeat(chr(34), 3) || 'Module util ' || did || '.' || repeat(chr(34), 3) || chr(10)
+                 when 'go' then '// Package util ' || did || '.' || chr(10)
+                 else '/** Module util ' || did || '. */' || chr(10)
+               end
+             else '' end || coalesce(content, '') as content
+      from (select *,
+                   try_cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did
+            from {src}))"""
+
+
+def doc_triples(source: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> `documented-by` triples:
+    (subj=repo/path, pred, obj=trimmed doc text, lang).
+
+    One codegen projection (CASE on lang over regexp_extract_all) plus an
+    explode — stays in the scan stage, zero shuffles. Explode is over a
+    JVM expression, so the InferFiltersFromGenerate UDF hazard does not
+    apply."""
+    content = F.coalesce(F.col("content"), F.lit(""))
+    docs = None
+    for lang in sorted(DOC_PATTERNS):
+        arr = F.regexp_extract_all(content, F.lit(DOC_PATTERNS[lang]), F.lit(1))
+        cond = F.col("lang") == lang
+        docs = F.when(cond, arr) if docs is None else docs.when(cond, arr)
+    docs = docs.otherwise(F.array().cast("array<string>"))
+    return source.select(
+        F.concat_ws("/", "repo", "path").alias("subj"),
+        F.lit("documented-by").alias("pred"),
+        F.explode(docs).alias("_d"),
+        "lang",
+    ).select("subj", "pred", F.trim(F.col("_d")).alias("obj"), "lang")
+
+
+def doc_triples_sql(src: str = "code_docsrc") -> str:
+    """Final SELECT — DuckDB twin of :func:`doc_triples` (per-lang
+    branches unioned, the code_entities_sql idiom)."""
+    branches = []
+    for lang in sorted(DOC_PATTERNS):
+        pat = _sql_str(DOC_PATTERNS[lang])
+        branches.append(
+            f"select repo || '/' || path as subj,"
+            f" 'documented-by' as pred,\n"
+            f"       unnest(regexp_extract_all(coalesce(content, ''),"
+            f" {pat}, 1)) as raw, lang\n"
+            f"from {src} where lang = '{lang}'"
+        )
+    body = "\nunion all\n".join(branches)
+    return f"select subj, pred, trim(raw) as obj, lang\nfrom ({body})"
+
+
+# ---------------------------------------------------------------------------
+# Test-to-source linkage
+# ---------------------------------------------------------------------------
+TEST_MOD = 4  # every TEST_MOD-th source file gains a test twin
+
+
+def with_tests(src: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> same ∪ derived test files
+    (`tests/test_<id><ext>`) for every TEST_MOD-th file. Projection +
+    union over one scan, no shuffle."""
+    did = _did_col()
+    ext = F.regexp_extract("path", r"(\.\w+)$", 0)
+    mk = F.when(F.col("lang") == "python", F.lit("#")).otherwise(F.lit("//"))
+    tests = src.where(did % TEST_MOD == 0).select(
+        "repo",
+        F.concat(F.lit("tests/test_"), did.cast("string"), ext).alias("path"),
+        F.sha2(F.concat(F.col("commit"), F.lit("-test")), 256)
+        .substr(1, 12)
+        .alias("commit"),
+        "lang",
+        F.concat(
+            mk, F.lit(" test for src/"), did.cast("string"), F.lit("\n")
+        ).alias("content"),
+    )
+    return src.unionByName(tests)
+
+
+def with_tests_sql(src: str = "code_src") -> str:
+    """CTE body ``code_testsrc`` — DuckDB twin of :func:`with_tests`."""
+    return f"""
+    code_testsrc as (
+      select repo, path, commit, lang, content from {src}
+      union all
+      select repo,
+             'tests/test_' || did || regexp_extract(path, '(\\.\\w+)$', 0) as path,
+             substr(sha256(commit || '-test'), 1, 12) as commit,
+             lang,
+             case when lang = 'python' then '#' else '//' end
+               || ' test for src/' || did || chr(10) as content
+      from (select *,
+                   try_cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did
+            from {src})
+      where did % {TEST_MOD} = 0)"""
+
+
+def test_links(source: DataFrame) -> DataFrame:
+    """corpus-with-tests -> `tests` triples: (subj=repo/test-path, pred,
+    obj=repo/source-path, lang) by the test_<id> path convention.
+
+    Two path-column filters over one scan, then an equi-join on
+    (repo, file-id) — unique on both sides, so no skew, no fan-out; at
+    10^12 files this is a co-partitioned sort-merge join on repo-hash,
+    touching only path strings (content is pruned from the scan)."""
+    tid = F.regexp_extract("path", r"^tests/test_(\d+)\.", 1).try_cast("bigint")
+    sid = _did_col()
+    tests = source.where(tid.isNotNull()).select(
+        "repo", tid.alias("fid"), F.col("path").alias("test_path"), "lang"
+    )
+    srcs = source.where(
+        F.col("path").startswith("src/") & sid.isNotNull()
+    ).select("repo", sid.alias("fid"), F.col("path").alias("src_path"))
+    return tests.join(srcs, ["repo", "fid"]).select(
+        F.concat_ws("/", "repo", "test_path").alias("subj"),
+        F.lit("tests").alias("pred"),
+        F.concat_ws("/", "repo", "src_path").alias("obj"),
+        "lang",
+    )
+
+
+def test_links_sql(src: str = "code_testsrc") -> str:
+    """Final SELECT — DuckDB twin of :func:`test_links`."""
+    return f"""
+    select t.repo || '/' || t.path as subj, 'tests' as pred,
+           s.repo || '/' || s.path as obj, t.lang
+    from (select *, try_cast(regexp_extract(path, '^tests/test_(\\d+)\\.', 1)
+                             as bigint) as fid
+          from {src}) t
+    join (select *, try_cast(regexp_extract(path, 'src/(\\d+)', 1)
+                             as bigint) as fid
+          from {src}
+          where path like 'src/%') s
+      on t.repo = s.repo and t.fid = s.fid
+    where t.fid is not null and s.fid is not null"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-repo API usage
+# ---------------------------------------------------------------------------
+def api_usage(source: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> per-module usage roll-up:
+    (lang, module, n_repos, n_files, n_mentions).
+
+    The popularity table a code KG ranks dependency entities by (the
+    code twin of the reference's dictionary likelihood ordering). Two
+    hash aggregates: per-(repo, path, lang, module) dedupe (map-side
+    combine absorbs mega-file repetition), then the (lang, module)
+    roll-up — the only key in the code suite that crosses repositories,
+    deliberately an aggregate, never a join, so ubiquitous modules cost
+    partial-agg rows, not fan-out."""
+    ents = extract_code_entities(source).where(F.col("pred") == "imports")
+    per_file = ents.groupBy("lang", "obj", "repo", "path").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_file.groupBy("lang", F.col("obj").alias("module"))
+        .agg(
+            F.countDistinct("repo").alias("n_repos"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").alias("n_mentions"),
+        )
+    )
+
+
+def api_usage_sql(ents: str = "code_ents") -> str:
+    """Final SELECT — DuckDB twin of :func:`api_usage` (consumes the
+    code_entities_sql CTE)."""
+    return f"""
+    select lang, obj as module,
+           count(distinct repo)::bigint as n_repos,
+           count(*)::bigint as n_files,
+           sum(n)::bigint as n_mentions
+    from (select lang, obj, repo, path, count(*)::bigint as n
+          from {ents}
+          where pred = 'imports'
+          group by 1, 2, 3, 4)
+    group by 1, 2"""

@@ -1,0 +1,193 @@
+"""Derived code-KG predicates: doc-comment triples, test-to-source
+linkage, API-usage roll-up (operators/code_enrich.py).
+
+Three layers, the test_code_curation posture:
+1. Semantic unit checks over a hand-built corpus — extraction patterns
+   hit the planted doc comments / test twins and only those; goldens
+   are hand-computed.
+2. Engine parity — every DOC_PATTERN runs over an adversarial corpus in
+   BOTH Spark (java.util.regex) and DuckDB (RE2), element-for-element.
+3. End-to-end twins — the three contract queries hash-equal their
+   oracle SQL at sf0.001 (the driver re-checks at sf0.01/sf0.1).
+"""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from palladian_spark.operators.code import _sql_str
+from palladian_spark.operators.code_enrich import (
+    DOC_MOD,
+    DOC_PATTERNS,
+    TEST_MOD,
+    api_usage,
+    doc_triples,
+    with_docstrings,
+    with_tests,
+)
+from palladian_spark.operators.code_enrich import test_links as link_tests
+
+COLS = "repo string, path string, commit string, lang string, content string"
+
+
+def _corpus(spark):
+    rows = [
+        # did 0: python, DOC_MOD hit (0 % 3 == 0), TEST_MOD hit
+        ("corpus/a", "src/0.py", "c0", "python",
+         "import os\nfrom x import y\n\ndef f(a):\n    return os.y(a)\n"),
+        # did 1: java, no doc, no test
+        ("corpus/a", "src/1.java", "c1", "java",
+         "import a.b;\n\npublic class C {\n    void m() {\n        b.q();\n    }\n}\n"),
+        # did 3: go, DOC_MOD hit
+        ("corpus/b", "src/3.go", "c3", "go",
+         'package p\n\nimport "a/b"\n\nfunc f() {\n    b.g()\n}\n'),
+        # did 4: javascript, TEST_MOD hit
+        ("corpus/b", "src/4.js", "c4", "javascript",
+         "const a = require('m');\n\nfunction f() {\n    return a.g();\n}\n"),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_with_docstrings_plants_per_language(spark):
+    out = {
+        r["path"]: r["content"]
+        for r in with_docstrings(_corpus(spark)).collect()
+    }
+    assert out["src/0.py"].startswith('"""Module util 0."""\n')
+    assert out["src/3.go"].startswith("// Package util 3.\n")
+    assert out["src/1.java"].startswith("import a.b;")  # did 1: untouched
+    assert out["src/4.js"].startswith("const a")        # did 4: untouched
+
+
+def test_doc_triples_golden(spark):
+    rows = sorted(
+        (r["subj"], r["pred"], r["obj"], r["lang"])
+        for r in doc_triples(with_docstrings(_corpus(spark))).collect()
+    )
+    assert rows == [
+        ("corpus/a/src/0.py", "documented-by", "Module util 0.", "python"),
+        ("corpus/b/src/3.go", "documented-by", "Package util 3.", "go"),
+    ]
+
+
+def test_doc_triples_block_comment_and_no_false_hits(spark):
+    df = spark.createDataFrame(
+        [
+            ("r", "src/1.java", "c", "java",
+             "/** Adds two numbers. */\nint add(int a, int b);\n"),
+            ("r", "src/2.java", "c", "java", "int x; // line comment only\n"),
+            # unterminated block never matches (lazy needs the closer)
+            ("r", "src/5.c", "c", "c", "/* dangling\nint y;\n"),
+        ],
+        COLS,
+    )
+    rows = sorted((r["subj"], r["obj"]) for r in doc_triples(df).collect())
+    assert rows == [("r/src/1.java", "Adds two numbers.")]
+
+
+def test_with_tests_and_links_golden(spark):
+    src = with_tests(_corpus(spark))
+    paths = sorted(r["path"] for r in src.collect())
+    # did 0 and 4 gain twins (0 % 4 == 0, 4 % 4 == 0)
+    assert [p for p in paths if p.startswith("tests/")] == [
+        "tests/test_0.py",
+        "tests/test_4.js",
+    ]
+    body = {r["path"]: r["content"] for r in src.collect()}
+    assert body["tests/test_0.py"] == "# test for src/0\n"
+    assert body["tests/test_4.js"] == "// test for src/4\n"
+    links = sorted(
+        (r["subj"], r["pred"], r["obj"], r["lang"])
+        for r in link_tests(src).collect()
+    )
+    assert links == [
+        ("corpus/a/tests/test_0.py", "tests", "corpus/a/src/0.py", "python"),
+        ("corpus/b/tests/test_4.js", "tests", "corpus/b/src/4.js", "javascript"),
+    ]
+
+
+def test_test_links_respect_repo_boundary(spark):
+    # same file id in two repos: links stay within-repo (no cross join)
+    df = spark.createDataFrame(
+        [
+            ("corpus/a", "src/0.py", "c", "python", "x = 1\n"),
+            ("corpus/a", "tests/test_0.py", "c", "python", "# test for src/0\n"),
+            ("corpus/b", "src/0.py", "c", "python", "x = 2\n"),
+        ],
+        COLS,
+    )
+    links = [(r["subj"], r["obj"]) for r in link_tests(df).collect()]
+    assert links == [("corpus/a/tests/test_0.py", "corpus/a/src/0.py")]
+
+
+def test_api_usage_golden(spark):
+    rows = sorted(
+        (r["lang"], r["module"], r["n_repos"], r["n_files"], r["n_mentions"])
+        for r in api_usage(_corpus(spark)).collect()
+    )
+    # python src/0: imports os, x; java src/1: a.b; go src/3: a/b; js src/4: m
+    assert rows == [
+        ("go", "a/b", 1, 1, 1),
+        ("java", "a.b", 1, 1, 1),
+        ("javascript", "m", 1, 1, 1),
+        ("python", "os", 1, 1, 1),
+        ("python", "x", 1, 1, 1),
+    ]
+
+
+def test_api_usage_counts_distinct_repos_and_files(spark):
+    df = spark.createDataFrame(
+        [
+            ("corpus/a", "src/0.py", "c", "python", "import os\nimport os\n"),
+            ("corpus/a", "src/6.py", "c", "python", "import os\n"),
+            ("corpus/b", "src/12.py", "c", "python", "import os\n"),
+        ],
+        COLS,
+    )
+    rows = [
+        (r["n_repos"], r["n_files"], r["n_mentions"])
+        for r in api_usage(df).collect()
+    ]
+    assert rows == [(2, 3, 4)]
+
+
+# ---------------------------------------------------------------------------
+# Engine parity: every DOC_PATTERN, Spark vs DuckDB, adversarial corpus
+# ---------------------------------------------------------------------------
+ADVERSARIAL = [
+    '"""doc"""\ncode',
+    '"""unterminated\ncode',
+    '"" ""\n"""late"""',          # docstring not at byte 0: python pattern misses
+    "/** a */ code /** b */",     # two blocks: both extracted
+    "/* nested /* inner */ tail",  # lazy stops at first closer
+    "/**/",                        # empty block
+    "// Package x\n// Package y\n",
+    "# :doc: one\nplain\n# :doc: two",
+    "unicode é中 /** café */",
+    "",
+]
+
+
+def test_doc_patterns_engine_parity(spark):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"content": ADVERSARIAL}))
+    df = spark.createDataFrame([(t,) for t in ADVERSARIAL], "content string")
+    for lang, pat in sorted(DOC_PATTERNS.items()):
+        got_spark = [
+            r["m"]
+            for r in df.select(
+                F.regexp_extract_all("content", F.lit(pat), F.lit(1)).alias("m")
+            ).collect()
+        ]
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"select regexp_extract_all(content, {_sql_str(pat)}, 1) from t"
+            ).fetchall()
+        ]
+        assert got_spark == got_duck, f"{lang}: {got_spark} != {got_duck}"
+
+
+def test_mods_are_wired():
+    # the injection keys the oracle twins replicate
+    assert DOC_MOD == 3 and TEST_MOD == 4
