@@ -868,6 +868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return test_links(with_tests(code_corpus(_read(spark, sf_dir, "documents"))))
 
+    def code_winnow_pairs(spark, sf_dir):
+        # MOSS winnowing (Schleimer et al. 2003): partial-copy pairs via
+        # shared window-min k-gram fingerprints; the oracle recomputes
+        # selection through an independent SQL window-function formulation
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.winnow import winnow_pairs
+
+        return winnow_pairs(code_corpus(_read(spark, sf_dir, "documents")))
+
     def code_api_usage(spark, sf_dir):
         # cross-repo module popularity: per (lang, module) distinct-repo /
         # distinct-file / total-mention counts — the dependency-entity
@@ -889,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_docstrings"] = code_docstrings
     q["code_test_links"] = code_test_links
     q["code_api_usage"] = code_api_usage
+    q["code_winnow_pairs"] = code_winnow_pairs
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
@@ -1782,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.curation import (
         benchmark_overlap_sql as _decon_sql,
     )
+    from palladian_spark.operators.winnow import winnow_pairs_sql as _winnow_sql
     from palladian_spark.operators.curation import (
         pii_redact_sql as _pii_redact_sql,
     )
@@ -2150,6 +2161,10 @@ def oracle_sql() -> dict[str, str]:
             with {_code_corpus_sql()},
             {_code_entities_sql()}
             {_api_usage_sql(ents="code_ents")}
+        """,
+        "code_winnow_pairs": f"""
+            with {_code_corpus_sql()},
+            {_winnow_sql(src="code_src")}
         """,
         "code_licenses": f"""
             with {_code_corpus_sql()},

@@ -52,6 +52,10 @@ HEADLINE = [
     "code_curation_report",
     "code_licenses",
     "code_secret_hits",
+    "code_quality",
+    "code_docstrings",
+    "code_test_links",
+    "code_api_usage",
     "code_triples_incremental",
     "kg_stats",
     "kg_clustering",

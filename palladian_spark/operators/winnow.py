@@ -1,0 +1,217 @@
+"""Winnowing fingerprints (MOSS) for partial-copy detection over the
+source-code table.
+
+The published algorithm (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+plagiarism detector): normalize content, hash every character k-gram,
+slide a window of w consecutive k-gram hashes and keep each window's
+MINIMUM — the selected fingerprints are a deterministic ~2/(w+1)
+subsample with the guarantee that any shared substring of length
+>= t = w + k - 1 produces at least one shared fingerprint. This catches
+PARTIAL copies (a copied function inside an otherwise-different file),
+which whole-file hashing (code_exact_dupes), type-2 normalization
+hashing (code_clone_groups) and whole-file token Jaccard
+(code_near_clones) all miss.
+
+Complements, not duplicates: exact dedup = identical blobs; type-2 =
+identical up to renaming; type-3 = whole-file token-set similarity;
+winnowing = shared *substrings* anywhere in the pair.
+
+Spark path: fingerprint selection is per-document local (the paper's
+point — no cross-row context), so it runs as ONE Arrow hop (numpy
+sliding-window minima over md5-based gram hashes) with no shuffle
+before the pair join; the pair join is fingerprint-blocked with an
+explicit ubiquitous-fingerprint cap (the minhash/fork posture). The
+DuckDB oracle recomputes selection through an algorithmically
+INDEPENDENT formulation — positions unnested in SQL, `min() over
+(order by pos rows between current row and w-1 following)` — so a green
+row checks the algorithm, not a transliteration of the plan. Hashes are
+the portable md5-slice bigint (`('0x' || substr(md5(g),1,15))::bigint`
+== hashlib md5 hexdigest[:15] base-16), identical across engines.
+
+Scale shape: normalization + fingerprinting is a linear map over the
+content scan (bounded by WINNOW_MAX_CHARS per file, oracle-mirrored);
+distinct (file, fp) rows are fingerprint-subsampled (~2/(w+1) of
+grams); the self-join is blocked on fp with `max_files_per_fp`
+dropping boilerplate fingerprints (cap documented in the contract, the
+resolve_calls / fork_pairs posture); verification is arithmetic over
+the pair aggregate — content never crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+WINNOW_K = 8  # char k-gram length over normalized content
+WINNOW_W = 4  # window size; guarantee threshold t = WINNOW_W + WINNOW_K - 1
+WINNOW_MAX_CHARS = 20_000  # normalized-prefix bound (hostile megabyte rows)
+WINNOW_MAX_FILES_PER_FP = 50  # ubiquitous-fingerprint cap (boilerplate)
+WINNOW_MIN_SHARED = 2  # pairs reported at >= this many shared fingerprints
+
+_NORM = re.compile(r"[^A-Za-z0-9]+")
+
+
+def _normalize(text: str) -> str:
+    """Lowercased alphanumeric stream (the MOSS text normalization),
+    bounded to WINNOW_MAX_CHARS."""
+    return _NORM.sub("", text or "").lower()[:WINNOW_MAX_CHARS]
+
+
+def _gram_hash(gram: str) -> int:
+    """Portable 60-bit hash — equals DuckDB
+    ('0x' || substr(md5(g), 1, 15))::bigint."""
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def winnow_select(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list:
+    """The paper's selection over one document: distinct window-min
+    k-gram hashes (the distinct VALUE set is invariant to the
+    rightmost-tie rule, so no tie-breaking is needed). Kernel shared by
+    the Arrow batch path and the unit tests."""
+    norm = _normalize(text)
+    n_grams = len(norm) - k + 1
+    if n_grams < w:  # no full window -> no fingerprints (full-window rule)
+        return []
+    h = np.fromiter(
+        (_gram_hash(norm[i : i + k]) for i in range(n_grams)),
+        dtype=np.int64,
+        count=n_grams,
+    )
+    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return sorted(int(x) for x in np.unique(mins))
+
+
+def winnow_fingerprints(
+    source: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(repo, path, ..., content) -> distinct (f, fp) fingerprint rows.
+    One Arrow hop over the content scan, zero shuffles (the explode is
+    *_outer + null-guarded per the InferFiltersFromGenerate rule)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _fps(contents: pd.Series) -> pd.Series:
+        return pd.Series([winnow_select(c, k, w) for c in contents])
+
+    rows = source.select(
+        F.concat_ws("/", "repo", "path").alias("f"),
+        F.explode_outer(_fps(F.col("content"))).alias("fp"),
+    )
+    return rows.where(F.col("fp").isNotNull()).distinct()
+
+
+def winnow_pairs(
+    source: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_files_per_fp: int = WINNOW_MAX_FILES_PER_FP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Partial-copy candidate pairs: files sharing >= min_shared
+    winnowing fingerprints, with the fingerprint-set Jaccard in integer
+    thousandths. Output: (file_a, file_b, n_shared, n_a, n_b,
+    jaccard_1000), file_a < file_b.
+
+    Fingerprints selected by more than ``max_files_per_fp`` files are
+    dropped before the self-join (boilerplate headers select the same
+    minima everywhere; the cap is part of the contract and mirrored in
+    the oracle) — the fork_pairs / resolve_calls fan-out posture."""
+    fps = winnow_fingerprints(source, k, w).localCheckpoint(eager=False)
+    # localCheckpoint: sizes + both self-join sides consume fps; without
+    # the cut the Arrow fingerprint hop runs three times per file.
+    good = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nf"))
+        .where(F.col("_nf") <= max_files_per_fp)
+        .select("fp")
+    )
+    kept = fps.join(good, "fp", "left_semi").localCheckpoint(eager=False)
+    sizes = kept.groupBy("f").agg(F.count(F.lit(1)).alias("sz"))
+    shared = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.fp") == F.col("y.fp")) & (F.col("x.f") < F.col("y.f")),
+        )
+        .groupBy(F.col("x.f").alias("file_a"), F.col("y.f").alias("file_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("f").alias("file_a"), F.col("sz").alias("n_a")), "file_a")
+        .join(sizes.select(F.col("f").alias("file_b"), F.col("sz").alias("n_b")), "file_b")
+        .select(
+            "file_a",
+            "file_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast((1000 * n_shared) div (n_a + n_b - n_shared) as bigint)"
+            ).alias("jaccard_1000"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB rendering — independent window-function formulation
+# ---------------------------------------------------------------------------
+def winnow_pairs_sql(
+    src: str = "code_src",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
+    max_files_per_fp: int = WINNOW_MAX_FILES_PER_FP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> str:
+    """CTE chain + final select — DuckDB twin of :func:`winnow_pairs`,
+    via explicit positions + windowed minima (not a port of the numpy
+    kernel)."""
+    return f"""
+    wn_norm as (
+      select repo || '/' || path as f,
+             substr(lower(regexp_replace(coalesce(content, ''),
+                                         '[^A-Za-z0-9]+', '', 'g')),
+                    1, {max_chars}) as norm
+      from {src}),
+    wn_grams as (
+      select f, length(norm) - {k} + 1 as n_grams,
+             unnest(generate_series(1, length(norm) - {k} + 1)) as pos,
+             norm
+      from wn_norm
+      where length(norm) - {k} + 1 >= {w}),
+    wn_mins as (
+      select f, n_grams, pos,
+             min(('0x' || substr(md5(substr(norm, pos, {k})), 1, 15))::bigint)
+               over (partition by f order by pos
+                     rows between current row and {w - 1} following) as fp
+      from wn_grams),
+    wn_fps as (
+      select distinct f, fp from wn_mins
+      where pos <= n_grams - {w} + 1),
+    wn_good as (
+      select fp from wn_fps group by fp
+      having count(*) <= {max_files_per_fp}),
+    wn_kept as (
+      select f, fp from wn_fps where fp in (select fp from wn_good)),
+    wn_sizes as (
+      select f, count(*)::bigint as sz from wn_kept group by f),
+    wn_shared as (
+      select a.f as file_a, b.f as file_b, count(*)::bigint as n_shared
+      from wn_kept a
+      join wn_kept b on a.fp = b.fp and a.f < b.f
+      group by 1, 2)
+    select s.file_a, s.file_b, s.n_shared,
+           sa.sz as n_a, sb.sz as n_b,
+           ((1000 * s.n_shared) // (sa.sz + sb.sz - s.n_shared))::bigint
+               as jaccard_1000
+    from wn_shared s
+    join wn_sizes sa on sa.f = s.file_a
+    join wn_sizes sb on sb.f = s.file_b
+    where s.n_shared >= {min_shared}"""

@@ -1,0 +1,140 @@
+"""Winnowing fingerprints (operators/winnow.py) — kernel properties from
+the paper (Schleimer et al., SIGMOD 2003), engine parity, and pair
+semantics with hand-computed goldens."""
+
+import duckdb
+import pandas as pd
+
+from palladian_spark.operators.winnow import (
+    WINNOW_K,
+    WINNOW_W,
+    _gram_hash,
+    _normalize,
+    winnow_pairs,
+    winnow_select,
+)
+
+COLS = "repo string, path string, commit string, lang string, content string"
+
+
+def test_normalize():
+    assert _normalize("Hello,  World! 42") == "helloworld42"
+    assert _normalize(None) == ""
+    assert len(_normalize("x" * 100_000)) == 20_000
+
+
+def test_short_input_has_no_fingerprints():
+    # needs at least one FULL window: k + w - 1 normalized chars
+    t = WINNOW_K + WINNOW_W - 1
+    assert winnow_select("a" * (t - 1)) == []
+    assert len(winnow_select("abcdefghijk"[:t] + "")) == 1
+
+
+def test_guarantee_shared_substring_yields_shared_fingerprint():
+    # the paper's guarantee: any shared substring of length
+    # >= t = w + k - 1 (normalized) produces >= 1 shared fingerprint
+    shared = "thequickbrownfoxjumpsoverthelazydog"  # 35 >= t = 11
+    a = "zzzz" + shared + "qqqqqqqqqqqq"
+    b = "mmmmmmmmmmmmmm" + shared + "aaaa"
+    fa, fb = set(winnow_select(a)), set(winnow_select(b))
+    assert fa & fb, "guarantee violated"
+
+
+def test_disjoint_inputs_share_nothing():
+    fa = set(winnow_select("abcdefghijklmnopqrstuvwxyz"))
+    fb = set(winnow_select("0123456789012345678901234567"))
+    assert not (fa & fb)
+
+
+def test_density_subsamples_grams():
+    # expected density 2/(w+1); just pin that selection is a strict,
+    # non-empty subsample on a long random-ish string
+    text = _normalize("the rain in spain falls mainly on the plain " * 20)
+    n_grams = len(text) - WINNOW_K + 1
+    fps = winnow_select(text)
+    assert 0 < len(fps) < n_grams
+
+
+def test_kernel_matches_duckdb_window_formulation():
+    # the two independent formulations (numpy sliding minima vs SQL
+    # positions + windowed min) select the same fingerprint sets
+    texts = [
+        "def add(a, b):\n    return a + b\n" * 3,
+        "public class Foo { void bar() { baz.qux(); } }",
+        "short",
+        "",
+        "x" * 200,
+        "unicode café 中文 stream with SYMBOLS !!! 123",
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(texts)), "content": texts}))
+    got = con.execute(f"""
+        with n as (
+          select i, substr(lower(regexp_replace(coalesce(content, ''),
+                     '[^A-Za-z0-9]+', '', 'g')), 1, 20000) as norm from t),
+        g as (
+          select i, length(norm) - {WINNOW_K} + 1 as ng,
+                 unnest(generate_series(1, length(norm) - {WINNOW_K} + 1)) as pos,
+                 norm
+          from n where length(norm) - {WINNOW_K} + 1 >= {WINNOW_W}),
+        m as (
+          select i, ng, pos,
+                 min(('0x' || substr(md5(substr(norm, pos, {WINNOW_K})), 1, 15))::bigint)
+                   over (partition by i order by pos
+                         rows between current row and {WINNOW_W - 1} following) as fp
+          from g)
+        select i, list_sort(list(distinct fp)) from m
+        where pos <= ng - {WINNOW_W} + 1 group by i
+    """).fetchall()
+    duck = {i: fps for i, fps in got}
+    for i, text in enumerate(texts):
+        assert winnow_select(text) == duck.get(i, []), f"text {i}"
+
+
+def test_gram_hash_matches_duckdb():
+    con = duckdb.connect()
+    for g in ["abcdefgh", "12345678", "pppppppp"]:
+        want = con.execute(
+            "select ('0x' || substr(md5(?), 1, 15))::bigint", [g]
+        ).fetchone()[0]
+        assert _gram_hash(g) == want
+
+
+def test_pairs_golden(spark):
+    # two files sharing one long substring; one unrelated file
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("r", "src/1.py", "c", "python", "AAA " + shared + " BBB"),
+        ("r", "src/2.py", "c", "python", "CCCCC " + shared + " DD"),
+        ("r", "src/3.py", "c", "python",
+         "completely unrelated content 0987654321 zyxwvuts"),
+    ]
+    out = winnow_pairs(
+        spark.createDataFrame(rows, COLS), min_shared=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["file_a"], r["file_b"]) == ("r/src/1.py", "r/src/2.py")
+    assert r["n_shared"] >= 1
+    assert 0 < r["jaccard_1000"] <= 1000
+
+
+def test_pairs_identical_files_jaccard_1000(spark):
+    body = "def f(x):\n    return x + 1\n" * 4
+    rows = [
+        ("r", "src/1.py", "c", "python", body),
+        ("r", "src/2.py", "c", "python", body),
+    ]
+    out = winnow_pairs(spark.createDataFrame(rows, COLS), min_shared=1).collect()
+    assert len(out) == 1 and out[0]["jaccard_1000"] == 1000
+
+
+def test_ubiquitous_fingerprint_cap(spark):
+    # every file identical -> every fingerprint is in all files; with a
+    # cap below the file count, no pairs survive
+    body = "the same boilerplate header everywhere " * 3
+    rows = [("r", f"src/{i}.py", "c", "python", body) for i in range(6)]
+    out = winnow_pairs(
+        spark.createDataFrame(rows, COLS), max_files_per_fp=5, min_shared=1
+    ).collect()
+    assert out == []
