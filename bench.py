@@ -56,6 +56,7 @@ HEADLINE = [
     "code_docstrings",
     "code_test_links",
     "code_api_usage",
+    "code_winnow_pairs",
     "code_triples_incremental",
     "kg_stats",
     "kg_clustering",
@@ -85,6 +86,8 @@ HEADLINE = [
     "doc_chunks",
     "doc_split",
     "doc_decontaminate",
+    "doc_repetition",
+    "doc_pii_redact",
     "doc_token_counts",
     "tpch_pricing",
     "join_customer_orders",
