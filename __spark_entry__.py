@@ -877,6 +877,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return winnow_pairs(code_corpus(_read(spark, sf_dir, "documents")))
 
+    def kg_export_nodes(spark, sf_dir):
+        # graph-materialize handoff: node dictionary with portable
+        # two-long (120-bit) md5 ids + in/out degree over the code
+        # triple graph (GraphFrames-style consumption shape)
+        from palladian_spark.operators.code import code_corpus, code_triples
+        from palladian_spark.operators.graph import export_nodes
+
+        return export_nodes(code_triples(code_corpus(_read(spark, sf_dir, "documents"))))
+
+    def kg_export_edges(spark, sf_dir):
+        # id-keyed edge list: ids recomputed per row (pure projection,
+        # no node-dictionary join), so the export never shuffles
+        from palladian_spark.operators.code import code_corpus, code_triples
+        from palladian_spark.operators.graph import export_edges
+
+        return export_edges(code_triples(code_corpus(_read(spark, sf_dir, "documents"))))
+
     def code_api_usage(spark, sf_dir):
         # cross-repo module popularity: per (lang, module) distinct-repo /
         # distinct-file / total-mention counts — the dependency-entity
@@ -899,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_test_links"] = code_test_links
     q["code_api_usage"] = code_api_usage
     q["code_winnow_pairs"] = code_winnow_pairs
+    q["kg_export_nodes"] = kg_export_nodes
+    q["kg_export_edges"] = kg_export_edges
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
@@ -1793,6 +1812,26 @@ def oracle_sql() -> dict[str, str]:
         benchmark_overlap_sql as _decon_sql,
     )
     from palladian_spark.operators.winnow import winnow_pairs_sql as _winnow_sql
+
+    # shared DuckDB CTE: the code_triples derivation (also the base of the
+    # export twins) — identical text to the code_triples oracle body
+    _CODE_TRIP_CTE = """code_file_agg as (
+              select repo, path, pred, obj,
+                     min(sha) as content_sha256, count(*)::bigint as support
+              from (select e.*, sha256(s.content) as sha
+                    from code_ents e
+                    join code_src s using (repo, path, lang))
+              group by 1, 2, 3, 4),
+            code_trip as (
+              select repo || '/' || path as subj, pred, obj,
+                     content_sha256, support
+              from code_file_agg
+              union all
+              select repo as subj, 'depends-on' as pred, obj,
+                     min(content_sha256) as content_sha256,
+                     count(*)::bigint as support
+              from code_file_agg where pred = 'imports'
+              group by 1, 2, 3)"""
     from palladian_spark.operators.curation import (
         pii_redact_sql as _pii_redact_sql,
     )
@@ -1801,6 +1840,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from palladian_spark.operators.curation import (
         repetition_stats_sql as _repetition_sql,
+    )
+    from palladian_spark.operators.graph import (
+        export_edges_sql as _export_edges_sql,
+    )
+    from palladian_spark.operators.graph import (
+        export_nodes_sql as _export_nodes_sql,
     )
     from palladian_spark.operators.graph import triangle_counts_sql as _triangles_sql
     from palladian_spark.operators.graph import (
@@ -2165,6 +2210,18 @@ def oracle_sql() -> dict[str, str]:
         "code_winnow_pairs": f"""
             with {_code_corpus_sql()},
             {_winnow_sql(src="code_src")}
+        """,
+        "kg_export_nodes": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_CODE_TRIP_CTE}
+            {_export_nodes_sql(src="code_trip")}
+        """,
+        "kg_export_edges": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_CODE_TRIP_CTE}
+            {_export_edges_sql(src="code_trip")}
         """,
         "code_licenses": f"""
             with {_code_corpus_sql()},

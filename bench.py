@@ -57,6 +57,8 @@ HEADLINE = [
     "code_test_links",
     "code_api_usage",
     "code_winnow_pairs",
+    "kg_export_nodes",
+    "kg_export_edges",
     "code_triples_incremental",
     "kg_stats",
     "kg_clustering",

@@ -533,3 +533,95 @@ def k_hop_counts_sql(edges_cte: str, k: int = 2) -> str:
     body = ",".join(parts)
     return f"""{body}
     select node, count(*)::bigint as n_reach from {prev} group by 1"""
+
+
+# ---------------------------------------------------------------------------
+# Graph export: node/edge id tables (the materialize handoff)
+# ---------------------------------------------------------------------------
+# The north rule's "graph materialize" stage ends in (subj, pred, obj)
+# triple tables; downstream graph engines (GraphFrames/GraphX-style)
+# want integer node ids and an id-keyed edge list instead of repeated
+# string labels. Node ids are the portable two-long md5 split
+# (id_lo = bits of md5[0:15], id_hi = md5[15:30] — the simhash_wide
+# idiom): 120 bits keeps the birthday bound negligible at 10^12 nodes,
+# where a single 60-bit slice would collide with probability ~0.4, and
+# both engines compute it bit-identically. Pure projections + one
+# node-grain aggregate — label strings cross the shuffle exactly once
+# (the node dictionary build), never per edge per iteration.
+
+
+def _id_lo(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _id_hi(col):
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
+def export_nodes(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, ...) -> node dictionary:
+    (node, id_lo, id_hi, n_out, n_in). One union of two
+    column-pruned projections + one hash aggregate on the node label."""
+    outs = triples.select(
+        F.col("subj").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    )
+    ins = triples.select(
+        F.col("obj").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")
+    )
+    deg = (
+        outs.unionByName(ins)
+        .groupBy("node")
+        .agg(F.sum("o").alias("n_out"), F.sum("i").alias("n_in"))
+    )
+    return deg.select(
+        "node",
+        _id_lo(F.col("node")).alias("id_lo"),
+        _id_hi(F.col("node")).alias("id_hi"),
+        "n_out",
+        "n_in",
+    )
+
+
+def export_edges(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, support, ...) -> id-keyed edge list:
+    (src_lo, src_hi, dst_lo, dst_hi, pred, support). A pure projection
+    over the triple table — ids are recomputed per row (two md5 calls),
+    NOT joined through the node dictionary, so the export never
+    shuffles; at 10^12 triples it is a map over the triple scan."""
+    return triples.select(
+        _id_lo(F.col("subj")).alias("src_lo"),
+        _id_hi(F.col("subj")).alias("src_hi"),
+        _id_lo(F.col("obj")).alias("dst_lo"),
+        _id_hi(F.col("obj")).alias("dst_hi"),
+        "pred",
+        F.col("support").cast("bigint").alias("support"),
+    )
+
+
+def _sql_id(col: str, lo: bool) -> str:
+    off = 1 if lo else 16
+    return f"('0x' || substr(md5({col}), {off}, 15))::bigint"
+
+
+def export_nodes_sql(src: str) -> str:
+    """Final SELECT — DuckDB twin of :func:`export_nodes` over a triple
+    CTE named ``src``."""
+    return f"""
+    select node, {_sql_id('node', True)} as id_lo,
+           {_sql_id('node', False)} as id_hi,
+           sum(o)::bigint as n_out, sum(i)::bigint as n_in
+    from (select subj as node, 1 as o, 0 as i from {src}
+          union all
+          select obj as node, 0 as o, 1 as i from {src})
+    group by 1"""
+
+
+def export_edges_sql(src: str) -> str:
+    """Final SELECT — DuckDB twin of :func:`export_edges`."""
+    return f"""
+    select {_sql_id('subj', True)} as src_lo,
+           {_sql_id('subj', False)} as src_hi,
+           {_sql_id('obj', True)} as dst_lo,
+           {_sql_id('obj', False)} as dst_hi,
+           pred, support::bigint as support
+    from {src}"""

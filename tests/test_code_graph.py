@@ -548,3 +548,49 @@ def test_clustering_dual_render_parity(spark, parity_docs):
         ).df()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Graph export (operators/graph.py export_nodes / export_edges)
+# ---------------------------------------------------------------------------
+def test_export_nodes_and_edges_golden(spark):
+    import duckdb
+
+    from palladian_spark.operators.graph import export_edges, export_nodes
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "calls", "b", 2),
+            ("a", "calls", "c", 1),
+            ("b", "imports", "c", 5),
+        ],
+        "subj string, pred string, obj string, support bigint",
+    )
+    nodes = {r["node"]: r for r in export_nodes(triples).collect()}
+    assert set(nodes) == {"a", "b", "c"}
+    assert (nodes["a"]["n_out"], nodes["a"]["n_in"]) == (2, 0)
+    assert (nodes["b"]["n_out"], nodes["b"]["n_in"]) == (1, 1)
+    assert (nodes["c"]["n_out"], nodes["c"]["n_in"]) == (0, 2)
+    # ids match the DuckDB portable formula bit-for-bit
+    con = duckdb.connect()
+    for n, r in nodes.items():
+        lo, hi = con.execute(
+            "select ('0x' || substr(md5(?), 1, 15))::bigint,"
+            " ('0x' || substr(md5(?), 16, 15))::bigint",
+            [n, n],
+        ).fetchone()
+        assert (r["id_lo"], r["id_hi"]) == (lo, hi)
+    edges = export_edges(triples).collect()
+    assert len(edges) == 3
+    by_pred = {(e["pred"], e["support"]) for e in edges}
+    assert by_pred == {("calls", 2), ("calls", 1), ("imports", 5)}
+    # edge ids are consistent with the node dictionary
+    e0 = [e for e in edges if e["support"] == 5][0]
+    assert (e0["src_lo"], e0["src_hi"]) == (
+        nodes["b"]["id_lo"],
+        nodes["b"]["id_hi"],
+    )
+    assert (e0["dst_lo"], e0["dst_hi"]) == (
+        nodes["c"]["id_lo"],
+        nodes["c"]["id_hi"],
+    )
