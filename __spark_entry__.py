@@ -163,6 +163,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pii_redact(with_pii(_read(spark, sf_dir, "documents")))
 
+    def doc_term_corpus(spark, sf_dir):
+        # reference TermCorpus (AbstractTermCorpus.java idf store) as one
+        # distinct+count aggregate: (term, df, n_docs), min_df=2
+        from palladian_spark.operators.termcorpus import term_corpus
+
+        return term_corpus(_read(spark, sf_dir, "documents"))
+
+    def doc_keywords(spark, sf_dir):
+        # top-3 keywords per doc by the integer tf/(df+1) rarity score
+        # (float tf-idf semantics are kernel-level, pytest-pinned against
+        # TfIdfSimilarity.java)
+        from palladian_spark.operators.termcorpus import doc_keywords as kw
+
+        return kw(_read(spark, sf_dir, "documents"))
+
     def doc_decontaminate(spark, sf_dir):
         # eval-leakage gate: train docs whose 3-gram shingle set is
         # >=50% contained in a benchmark doc's (benchmark = doc_id%20==0,
@@ -1233,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_split=doc_split,
         doc_repetition=doc_repetition,
         doc_pii_redact=doc_pii_redact,
+        doc_term_corpus=doc_term_corpus,
+        doc_keywords=doc_keywords,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -1835,6 +1852,11 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.curation import (
         pii_redact_sql as _pii_redact_sql,
     )
+    from palladian_spark.operators.termcorpus import (
+        doc_keywords_sql as _doc_keywords_sql,
+        doc_terms_sql as _doc_terms_sql,
+        term_corpus_sql as _term_corpus_sql,
+    )
     from palladian_spark.operators.curation import (
         with_pii_sql as _with_pii_sql,
     )
@@ -1922,6 +1944,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_decontaminate": f"""
             with {_decon_sql()}
+        """,
+        "doc_term_corpus": f"""
+            with {_doc_terms_sql()}
+            {_term_corpus_sql()}
+        """,
+        "doc_keywords": f"""
+            with {_doc_terms_sql()}
+            {_doc_keywords_sql()}
         """,
         "doc_pii_redact": f"""
             with {_with_pii_sql()}

@@ -91,6 +91,8 @@ HEADLINE = [
     "doc_repetition",
     "doc_pii_redact",
     "doc_token_counts",
+    "doc_term_corpus",
+    "doc_keywords",
     "tpch_pricing",
     "join_customer_orders",
     "events_sessionize",

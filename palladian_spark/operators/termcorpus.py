@@ -1,0 +1,192 @@
+"""TermCorpus (document-frequency corpus) and tf-idf keyword extraction.
+
+Reference surface: `extraction/feature/TermCorpus.java` /
+`AbstractTermCorpus.java` (document-frequency store;
+`getIdf(term, smoothing) = ln(numDocs / (df + smoothing))`,
+AbstractTermCorpus.java:8-10) and
+`extraction/text/similarity/TfIdfSimilarity.java` (tf = count/len;
+vector component = tf * ln(idf) — the reference applies ln TWICE,
+TfIdfSimilarity.java:63-66, and we reproduce that quirk exactly in the
+kernel). The distributed twins below build the corpus as one
+distinct+count aggregate and extract per-document keywords by a
+tf/df ranking.
+
+Cross-engine determinism: the CONTRACT queries never emit floats — the
+keyword rank uses the integer score ``(tf * 1_000_000) div (df + 1)``
+(monotone in tf/(df+1); documented engine-exact variant), while the
+reference's float tf·ln(ln(N/(df+1))) semantics live in
+:func:`tfidf_similarity` / :func:`tfidf_weight`, pytest-pinned against
+hand-computed values. Terms are lowercase ``[a-z]+`` runs minus the
+small English stop list (STOPWORDS_EN_SMALL — 21 words, inlined in the
+SQL twin like the language-marker lists).
+
+Scale shape: the corpus build is one distinct + one count aggregate on
+the term key (vocabulary-sized output, map-side combine absorbs
+mega-doc repetition). Keyword extraction joins doc terms to the
+df table on ``term`` — an equi-join against a vocabulary-sized relation
+(broadcast-able after a min_df cut at any realistic vocabulary) — then
+one per-doc window top-k. No content ever crosses a shuffle twice.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from palladian_spark.kernels.stopwords_en_small import STOPWORDS_EN_SMALL
+
+WORD_REGEX = "[a-z]+"
+KEYWORD_TOP_K = 3
+CORPUS_MIN_DF = 2
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, term, tf) — lowercase word runs minus stopwords; one scan."""
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(WORD_REGEX), F.lit(0)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(words).alias("term"))
+        .where(~F.col("term").isin(*sorted(STOPWORDS_EN_SMALL)))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = CORPUS_MIN_DF,
+) -> DataFrame:
+    """documents -> (term, df, n_docs): the reference TermCorpus as one
+    aggregate (MapTermCorpus.addTermsFromDocument counts each term once
+    per document — the distinct is the groupBy(doc, term))."""
+    terms = _doc_terms(df, text_col, id_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    # n_docs is a scalar (the reference stores it as a field); the only
+    # driver-side value, same posture as pagerank's node count
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .withColumn("n_docs", F.lit(int(n_docs)).cast("bigint"))
+    )
+
+
+def doc_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = KEYWORD_TOP_K,
+) -> DataFrame:
+    """documents -> top-k keywords per doc:
+    (doc, term, tf, df, score_1e6, rnk).
+
+    score_1e6 = (tf * 1_000_000) div (df + 1) — integer, engine-exact,
+    monotone in the tf/(df+1) rarity ratio (the float tf-idf semantics
+    are kernel-level; see module docstring). Ties break on term asc, so
+    the window is deterministic in both engines."""
+    terms = _doc_terms(df, text_col, id_col).localCheckpoint(eager=False)
+    # localCheckpoint: df-aggregate and join side both consume terms
+    dfs = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = terms.join(dfs, "term").withColumn(
+        "score_1e6",
+        F.expr("cast((tf * 1000000) div (df + 1) as bigint)"),
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_1e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("doc", "term", "tf", "df", "score_1e6", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact float kernel (pytest-pinned, not contract-emitted)
+# ---------------------------------------------------------------------------
+def _tokenize(text: str) -> list:
+    import re
+
+    return [
+        w
+        for w in re.findall(WORD_REGEX, (text or "").lower())
+        if w not in STOPWORDS_EN_SMALL
+    ]
+
+
+def tfidf_weight(tf_count: int, n_terms: int, df: int, n_docs: int) -> float:
+    """One vector component, exactly TfIdfSimilarity.createVector
+    (TfIdfSimilarity.java:55-66): tf = count / len; idf =
+    ln(numDocs / (df + 1)) (smoothing=true, AbstractTermCorpus.java:8-10);
+    component = tf * ln(idf) — the double-log is the reference's code."""
+    if n_terms == 0:
+        return 0.0
+    tf = tf_count / n_terms
+    idf = math.log(n_docs / (df + 1))
+    return tf * math.log(idf) if idf > 0 else float("nan")
+
+
+def tfidf_similarity(t1: str, t2: str, df_by_term: dict, n_docs: int) -> float:
+    """TfIdfSimilarity.getSimilarity: cosine of the two tf·ln(idf)
+    vectors over the union vocabulary."""
+    w1, w2 = _tokenize(t1), _tokenize(t2)
+    vocab = sorted(set(w1) | set(w2))
+    v1 = [tfidf_weight(w1.count(t), len(w1), df_by_term.get(t, 0), n_docs) for t in vocab]
+    v2 = [tfidf_weight(w2.count(t), len(w2), df_by_term.get(t, 0), n_docs) for t in vocab]
+    dot = sum(a * b for a, b in zip(v1, v2))
+    na = math.sqrt(sum(a * a for a in v1))
+    nb = math.sqrt(sum(b * b for b in v2))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+# ---------------------------------------------------------------------------
+# DuckDB rendering
+# ---------------------------------------------------------------------------
+def _stop_sql() -> str:
+    return ",".join(f"'{w}'" for w in sorted(STOPWORDS_EN_SMALL))
+
+
+def doc_terms_sql(documents: str = "documents") -> str:
+    """CTE body ``tc_terms`` — DuckDB twin of :func:`_doc_terms`."""
+    return f"""
+    tc_terms as (
+      select doc_id as doc, term, count(*)::bigint as tf
+      from (select doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '{WORD_REGEX}')) as term
+            from {documents})
+      where term not in ({_stop_sql()})
+      group by 1, 2)"""
+
+
+def term_corpus_sql(
+    documents: str = "documents", min_df: int = CORPUS_MIN_DF
+) -> str:
+    """Final SELECT (appended after :func:`doc_terms_sql`)."""
+    return f"""
+    select term, count(*)::bigint as df,
+           (select count(*) from {documents})::bigint as n_docs
+    from tc_terms
+    group by 1
+    having count(*) >= {min_df}"""
+
+
+def doc_keywords_sql(top_k: int = KEYWORD_TOP_K) -> str:
+    """Final SELECT (appended after :func:`doc_terms_sql`)."""
+    return f"""
+    select doc, term, tf, df, score_1e6, rnk
+    from (
+      select t.doc, t.term, t.tf, d.df,
+             ((t.tf * 1000000) // (d.df + 1))::bigint as score_1e6,
+             row_number() over (partition by t.doc
+                                order by ((t.tf * 1000000) // (d.df + 1)) desc,
+                                         t.term asc) as rnk
+      from tc_terms t
+      join (select term, count(*)::bigint as df from tc_terms group by 1) d
+        using (term))
+    where rnk <= {top_k}"""

@@ -1,0 +1,79 @@
+"""TermCorpus + tf-idf keywords (operators/termcorpus.py): hand-computed
+goldens for the distributed operators, and reference-exact float kernel
+pins (TfIdfSimilarity.java:55-66, AbstractTermCorpus.java:8-10)."""
+
+import math
+
+from palladian_spark.operators.termcorpus import (
+    doc_keywords,
+    term_corpus,
+    tfidf_similarity,
+    tfidf_weight,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown cat sleeps"),
+    (2, "a lazy dog and a lazy cat"),
+    (3, "quantum entanglement of photons"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_term_corpus_golden(spark):
+    rows = {r["term"]: (r["df"], r["n_docs"]) for r in term_corpus(_df(spark)).collect()}
+    # stopwords (the, over, a, and, of) never count; min_df=2 keeps only
+    # terms in >= 2 docs
+    assert rows == {
+        "quick": (2, 4),
+        "brown": (2, 4),
+        "lazy": (2, 4),
+        "dog": (2, 4),
+        "cat": (2, 4),
+    }
+
+
+def test_doc_keywords_golden(spark):
+    out = doc_keywords(_df(spark)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append((r["rnk"], r["term"], r["tf"], r["df"], r["score_1e6"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 2 ('a' is NOT in the reference's small stop list): a tf=2 df=1
+    # -> 1,000,000; lazy tf=2 df=2 -> 666,666; cat/dog tie at 333,333
+    # and cat wins on term asc
+    assert by_doc[2] == [
+        (1, "a", 2, 1, 1000000),
+        (2, "lazy", 2, 2, 666666),
+        (3, "cat", 1, 2, 333333),
+    ]
+    # doc 3: all unique terms df=1 -> 500000 each, ties break on term asc
+    assert [t for _, t, *_ in by_doc[3]] == ["entanglement", "photons", "quantum"]
+    # top_k respected
+    assert all(len(v) <= 3 for v in by_doc.values())
+    # doc 0 has 6 non-stop terms; only 3 kept
+    assert len(by_doc[0]) == 3
+
+
+def test_tfidf_weight_reference_semantics():
+    # tf = count/len; idf = ln(N/(df+1)); component = tf * ln(idf)
+    # (the reference's double-log, TfIdfSimilarity.java:66)
+    w = tfidf_weight(2, 10, 3, 100)
+    idf = math.log(100 / 4)
+    assert w == (2 / 10) * math.log(idf)
+    assert tfidf_weight(0, 0, 1, 10) == 0.0
+
+
+def test_tfidf_similarity_kernel():
+    dfm = {"quick": 2, "brown": 2, "fox": 1, "cat": 1}
+    # identical inputs -> cosine 1
+    assert abs(tfidf_similarity("quick brown fox", "quick brown fox", dfm, 100) - 1.0) < 1e-12
+    # orthogonal vocab -> 0 (no shared terms)
+    assert tfidf_similarity("quick", "cat", dfm, 100) == 0.0
+    sym_a = tfidf_similarity("quick brown", "brown cat", dfm, 100)
+    sym_b = tfidf_similarity("brown cat", "quick brown", dfm, 100)
+    assert abs(sym_a - sym_b) < 1e-12 and 0 < sym_a < 1
