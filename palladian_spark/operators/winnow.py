@@ -19,9 +19,10 @@ winnowing = shared *substrings* anywhere in the pair.
 
 Spark path: fingerprint selection is per-document local (the paper's
 point — no cross-row context), so it runs as ONE Arrow hop (numpy
-sliding-window minima over md5-based gram hashes) with no shuffle
-before the pair join; the pair join is fingerprint-blocked with an
-explicit ubiquitous-fingerprint cap (the minhash/fork posture). The
+sliding-window minima over md5-based gram hashes); the only shuffles
+are the fingerprint-grain dedup/cap aggregates and the
+fingerprint-blocked pair join with an explicit ubiquitous-fingerprint
+cap (the minhash/fork posture). The
 DuckDB oracle recomputes selection through an algorithmically
 INDEPENDENT formulation — positions unnested in SQL, `min() over
 (order by pos rows between current row and w-1 following)` — so a green
@@ -92,8 +93,12 @@ def winnow_fingerprints(
     source: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> DataFrame:
     """(repo, path, ..., content) -> distinct (f, fp) fingerprint rows.
-    One Arrow hop over the content scan, zero shuffles (the explode is
-    *_outer + null-guarded per the InferFiltersFromGenerate rule)."""
+    One Arrow hop over the content scan (explode is *_outer +
+    null-guarded per the InferFiltersFromGenerate rule). winnow_select
+    already returns a unique list per document, so the trailing
+    distinct() is a no-op on well-formed corpora; it stays as the
+    dedup guard for duplicated (repo, path) input rows, matching the
+    oracle's `select distinct f, fp`."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _fps(contents: pd.Series) -> pd.Series:
