@@ -177,6 +177,12 @@ def _did_col():
     return F.regexp_extract("path", r"src/(\d+)", 1).try_cast("bigint")
 
 
+def did_sql() -> str:
+    """DuckDB twin of :func:`_did_col` — the ONE load-bearing file-id
+    extraction snippet (import this instead of re-inlining the regex)."""
+    return "try_cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint)"
+
+
 def augment_corpus(src: DataFrame) -> DataFrame:
     """code_corpus output -> same shape with deterministic license
     headers and planted secrets, keyed on the doc id parsed from

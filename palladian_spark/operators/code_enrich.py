@@ -45,7 +45,7 @@ from palladian_spark.operators.code import (
     _sql_str,
     extract_code_entities,
 )
-from palladian_spark.operators.code_curation import _did_col
+from palladian_spark.operators.code_curation import _did_col, did_sql
 
 # ---------------------------------------------------------------------------
 # Doc-comment injection + extraction
@@ -82,6 +82,9 @@ def with_docstrings(src: DataFrame) -> DataFrame:
     comment = (
         F.when(F.col("lang") == "python", F.concat(F.lit('"""'), body, F.lit('"""\n')))
         .when(F.col("lang") == "go", F.concat(F.lit("// Package util "), did.cast("string"), F.lit(".\n")))
+        # ruby's extractor is the `# :doc:` line convention — the injector
+        # must agree (a /*..*/ block would plant an unextractable comment)
+        .when(F.col("lang") == "ruby", F.concat(F.lit("# :doc: "), body, F.lit("\n")))
         .otherwise(F.concat(F.lit("/** "), body, F.lit(" */\n")))
     )
     content = F.concat(
@@ -100,11 +103,11 @@ def with_docstrings_sql(src: str = "code_src") -> str:
                case lang
                  when 'python' then repeat(chr(34), 3) || 'Module util ' || did || '.' || repeat(chr(34), 3) || chr(10)
                  when 'go' then '// Package util ' || did || '.' || chr(10)
+                 when 'ruby' then '# :doc: Module util ' || did || '.' || chr(10)
                  else '/** Module util ' || did || '. */' || chr(10)
                end
              else '' end || coalesce(content, '') as content
-      from (select *,
-                   try_cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did
+      from (select *, {did_sql()} as did
             from {src}))"""
 
 
@@ -187,8 +190,7 @@ def with_tests_sql(src: str = "code_src") -> str:
              lang,
              case when lang = 'python' then '#' else '//' end
                || ' test for src/' || did || chr(10) as content
-      from (select *,
-                   try_cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did
+      from (select *, {did_sql()} as did
             from {src})
       where did % {TEST_MOD} = 0)"""
 
@@ -201,7 +203,12 @@ def test_links(source: DataFrame) -> DataFrame:
     (repo, file-id) — unique on both sides, so no skew, no fan-out; at
     10^12 files this is a co-partitioned sort-merge join on repo-hash,
     touching only path strings (content is pruned from the scan)."""
-    tid = F.regexp_extract("path", r"^tests/test_(\d+)\.", 1).try_cast("bigint")
+    # optional extension: with_tests copies the source file's extension,
+    # which is empty for extensionless raw-corpus paths — those twins
+    # must still link (the `$` anchor keeps test_12x.py unlinked)
+    tid = F.regexp_extract(
+        "path", r"^tests/test_(\d+)(?:\.\w+)?$", 1
+    ).try_cast("bigint")
     sid = _did_col()
     tests = source.where(tid.isNotNull()).select(
         "repo", tid.alias("fid"), F.col("path").alias("test_path"), "lang"
@@ -222,11 +229,11 @@ def test_links_sql(src: str = "code_testsrc") -> str:
     return f"""
     select t.repo || '/' || t.path as subj, 'tests' as pred,
            s.repo || '/' || s.path as obj, t.lang
-    from (select *, try_cast(regexp_extract(path, '^tests/test_(\\d+)\\.', 1)
+    from (select *, try_cast(regexp_extract(path,
+                             '^tests/test_(\\d+)(?:\\.\\w+)?$', 1)
                              as bigint) as fid
           from {src}) t
-    join (select *, try_cast(regexp_extract(path, 'src/(\\d+)', 1)
-                             as bigint) as fid
+    join (select *, {did_sql()} as fid
           from {src}
           where path like 'src/%') s
       on t.repo = s.repo and t.fid = s.fid

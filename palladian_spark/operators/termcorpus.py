@@ -123,12 +123,23 @@ def tfidf_weight(tf_count: int, n_terms: int, df: int, n_docs: int) -> float:
     """One vector component, exactly TfIdfSimilarity.createVector
     (TfIdfSimilarity.java:55-66): tf = count / len; idf =
     ln(numDocs / (df + 1)) (smoothing=true, AbstractTermCorpus.java:8-10);
-    component = tf * ln(idf) — the double-log is the reference's code."""
+    component = tf * ln(idf) — the double-log is the reference's code,
+    IEEE semantics and all: Java's Math.log(0) is -Infinity and
+    Math.log(negative) is NaN (Python's math.log raises instead, so both
+    cases are emulated explicitly). Consequence, faithfully reproduced:
+    any term with df >= N/e - 1 makes idf <= 1 so ln(idf) <= 0, and
+    df + 1 >= N makes the component NaN/-Inf — on small corpora the
+    reference's similarity NaN-poisons (see test_termcorpus pins)."""
     if n_terms == 0:
         return 0.0
     tf = tf_count / n_terms
-    idf = math.log(n_docs / (df + 1))
-    return tf * math.log(idf) if idf > 0 else float("nan")
+    idf = math.log(n_docs / (df + 1)) if n_docs > 0 and df + 1 > 0 else float("nan")
+    if idf > 0:
+        return tf * math.log(idf)
+    if idf == 0:
+        # Java: tf * Math.log(0.0) = tf * -Inf -> -Inf for tf > 0, NaN for tf == 0
+        return float("-inf") if tf > 0 else float("nan")
+    return float("nan")  # Math.log(negative) = NaN; NaN propagates through *
 
 
 def tfidf_similarity(t1: str, t2: str, df_by_term: dict, n_docs: int) -> float:

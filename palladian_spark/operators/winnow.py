@@ -59,10 +59,10 @@ WINNOW_MIN_SHARED = 2  # pairs reported at >= this many shared fingerprints
 _NORM = re.compile(r"[^A-Za-z0-9]+")
 
 
-def _normalize(text: str) -> str:
+def _normalize(text: str, max_chars: int = WINNOW_MAX_CHARS) -> str:
     """Lowercased alphanumeric stream (the MOSS text normalization),
-    bounded to WINNOW_MAX_CHARS."""
-    return _NORM.sub("", text or "").lower()[:WINNOW_MAX_CHARS]
+    bounded to ``max_chars``."""
+    return _NORM.sub("", text or "").lower()[:max_chars]
 
 
 def _gram_hash(gram: str) -> int:
@@ -71,12 +71,17 @@ def _gram_hash(gram: str) -> int:
     return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
 
 
-def winnow_select(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list:
+def winnow_select(
+    text: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
+) -> list:
     """The paper's selection over one document: distinct window-min
     k-gram hashes (the distinct VALUE set is invariant to the
     rightmost-tie rule, so no tie-breaking is needed). Kernel shared by
     the Arrow batch path and the unit tests."""
-    norm = _normalize(text)
+    norm = _normalize(text, max_chars)
     n_grams = len(norm) - k + 1
     if n_grams < w:  # no full window -> no fingerprints (full-window rule)
         return []
@@ -90,7 +95,10 @@ def winnow_select(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list:
 
 
 def winnow_fingerprints(
-    source: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+    source: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
 ) -> DataFrame:
     """(repo, path, ..., content) -> distinct (f, fp) fingerprint rows.
     One Arrow hop over the content scan (explode is *_outer +
@@ -102,7 +110,7 @@ def winnow_fingerprints(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _fps(contents: pd.Series) -> pd.Series:
-        return pd.Series([winnow_select(c, k, w) for c in contents])
+        return pd.Series([winnow_select(c, k, w, max_chars) for c in contents])
 
     rows = source.select(
         F.concat_ws("/", "repo", "path").alias("f"),
@@ -115,6 +123,7 @@ def winnow_pairs(
     source: DataFrame,
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
     max_files_per_fp: int = WINNOW_MAX_FILES_PER_FP,
     min_shared: int = WINNOW_MIN_SHARED,
 ) -> DataFrame:
@@ -127,7 +136,7 @@ def winnow_pairs(
     dropped before the self-join (boilerplate headers select the same
     minima everywhere; the cap is part of the contract and mirrored in
     the oracle) — the fork_pairs / resolve_calls fan-out posture."""
-    fps = winnow_fingerprints(source, k, w).localCheckpoint(eager=False)
+    fps = winnow_fingerprints(source, k, w, max_chars).localCheckpoint(eager=False)
     # localCheckpoint: sizes + both self-join sides consume fps; without
     # the cut the Arrow fingerprint hop runs three times per file.
     good = (
@@ -180,7 +189,7 @@ def winnow_pairs_sql(
     kernel)."""
     return f"""
     wn_norm as (
-      select repo || '/' || path as f,
+      select distinct repo || '/' || path as f,
              substr(lower(regexp_replace(coalesce(content, ''),
                                          '[^A-Za-z0-9]+', '', 'g')),
                     1, {max_chars}) as norm
@@ -192,9 +201,14 @@ def winnow_pairs_sql(
       from wn_norm
       where length(norm) - {k} + 1 >= {w}),
     wn_mins as (
+      -- partition by (f, norm), not f alone: duplicated (repo, path)
+      -- rows with DIFFERENT content must window each variant's gram
+      -- stream separately (identical duplicates are collapsed by the
+      -- distinct in wn_norm) — this is what keeps the formulation
+      -- equal to the Spark per-row kernel + distinct under dup input
       select f, n_grams, pos,
              min(('0x' || substr(md5(substr(norm, pos, {k})), 1, 15))::bigint)
-               over (partition by f order by pos
+               over (partition by f, norm order by pos
                      rows between current row and {w - 1} following) as fp
       from wn_grams),
     wn_fps as (

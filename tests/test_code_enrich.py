@@ -191,3 +191,35 @@ def test_doc_patterns_engine_parity(spark):
 def test_mods_are_wired():
     # the injection keys the oracle twins replicate
     assert DOC_MOD == 3 and TEST_MOD == 4
+
+
+def test_test_links_extensionless_paths(spark):
+    # review finding (round 4): raw-corpus files without an extension get
+    # test twins 'tests/test_<id>' (ext = ''); those must still link,
+    # while 'tests/test_12x.py' (id glued to junk) must not
+    df = spark.createDataFrame(
+        [
+            ("r", "src/7", "c", "python", "x = 1\n"),
+            ("r", "src/12", "c", "python", "y = 2\n"),
+            ("r", "tests/test_12x.py", "c", "python", "# junk\n"),
+        ],
+        COLS,
+    )
+    links = sorted(
+        (r["subj"], r["obj"]) for r in link_tests(with_tests(df)).collect()
+    )
+    # src/12 gains a twin (12 % 4 == 0) and links despite no extension;
+    # src/7 gets no twin (7 % 4 != 0); test_12x.py links nowhere
+    assert links == [("r/tests/test_12", "r/src/12")]
+
+
+def test_with_docstrings_ruby_injector_matches_extractor(spark):
+    # review finding (round 4): ruby's extractor is the '# :doc:' line
+    # convention; the injector must plant that form, not a /*..*/ block
+    df = spark.createDataFrame(
+        [("r", "src/9.rb", "c", "ruby", "def f\n  1\nend\n")], COLS
+    )
+    out = doc_triples(with_docstrings(df)).collect()
+    assert [(r["subj"], r["obj"], r["lang"]) for r in out] == [
+        ("r/src/9.rb", "Module util 9.", "ruby")
+    ]

@@ -77,3 +77,21 @@ def test_tfidf_similarity_kernel():
     sym_a = tfidf_similarity("quick brown", "brown cat", dfm, 100)
     sym_b = tfidf_similarity("brown cat", "quick brown", dfm, 100)
     assert abs(sym_a - sym_b) < 1e-12 and 0 < sym_a < 1
+
+
+def test_tfidf_weight_ieee_edge_cases():
+    # review finding (round 4): the kernel must reproduce Java's IEEE
+    # semantics exactly. df + 1 == N -> idf = ln(1) = 0:
+    # tf > 0 -> tf * Math.log(0) = -Inf; tf == 0 -> 0 * -Inf = NaN.
+    assert tfidf_weight(1, 2, 2, 3) == float("-inf")
+    assert math.isnan(tfidf_weight(0, 2, 2, 3))
+    # df + 1 > N -> idf < 0 -> Math.log(negative) = NaN either way
+    assert math.isnan(tfidf_weight(1, 2, 5, 3))
+    assert math.isnan(tfidf_weight(0, 2, 5, 3))
+
+
+def test_tfidf_similarity_small_corpus_nan_is_reference_faithful():
+    # with n_docs=3 and df('quick')=2, idf('quick') = ln(3/3) = 0 and the
+    # reference's own cosine NaN-poisons — we reproduce, not "fix", that
+    sim = tfidf_similarity("quick fox", "quick fox", {"quick": 2, "fox": 1}, 3)
+    assert math.isnan(sim)

@@ -138,3 +138,39 @@ def test_ubiquitous_fingerprint_cap(spark):
         spark.createDataFrame(rows, COLS), max_files_per_fp=5, min_shared=1
     ).collect()
     assert out == []
+
+
+def test_dup_input_rows_oracle_parity(spark):
+    # review finding (round 4): the oracle window used to partition by f
+    # alone, interleaving duplicated rows' gram streams. Duplicated
+    # identical rows AND same-path-different-content rows must now agree
+    # with the Spark kernel+distinct path.
+    import duckdb
+
+    from palladian_spark.operators.winnow import winnow_pairs_sql
+
+    rows = [
+        ("r", "src/1.py", "c", "python", "def add(a, b):\n    return a + b\n" * 3),
+        ("r", "src/1.py", "c", "python", "def add(a, b):\n    return a + b\n" * 3),
+        ("r", "src/2.py", "c", "python", "def add(a, b):\n    return a + b\n" * 3),
+        # same path, different content (pathological duplicate)
+        ("r", "src/2.py", "c", "python", "completely different content here 123"),
+    ]
+    got = sorted(
+        (r["file_a"], r["file_b"], r["n_shared"], r["n_a"], r["n_b"], r["jaccard_1000"])
+        for r in winnow_pairs(spark.createDataFrame(rows, COLS), min_shared=1).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create table code_src as select * from (values "
+        + ",".join("(?,?,?,?,?)" for _ in rows)
+        + ") t(repo, path, commit, lang, content)",
+        [v for row in rows for v in row],
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        "with " + winnow_pairs_sql(src="code_src", min_shared=1)
+    ).fetchall())
+    assert got == want
+    # and the duplicated-identical pair is a full-overlap pair
+    full = [g for g in got if g[0] == "r/src/1.py" and g[1] == "r/src/2.py"]
+    assert full and full[0][5] < 1000  # src/2 has the extra variant's fps
