@@ -178,6 +178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return kw(_read(spark, sf_dir, "documents"))
 
+    def doc_dup_spans(spark, sf_dir):
+        # exact substring-duplication spans (Lee et al. 2022 semantics,
+        # hash-blocked 40-grams, cross-doc only): per-doc span count +
+        # duplicated-char fraction
+        from palladian_spark.operators.curation import dup_span_stats
+
+        return dup_span_stats(_read(spark, sf_dir, "documents"))
+
     def doc_decontaminate(spark, sf_dir):
         # eval-leakage gate: train docs whose 3-gram shingle set is
         # >=50% contained in a benchmark doc's (benchmark = doc_id%20==0,
@@ -1248,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_split=doc_split,
         doc_repetition=doc_repetition,
         doc_pii_redact=doc_pii_redact,
+        doc_dup_spans=doc_dup_spans,
         doc_term_corpus=doc_term_corpus,
         doc_keywords=doc_keywords,
         doc_decontaminate=doc_decontaminate,
@@ -1850,6 +1859,9 @@ def oracle_sql() -> dict[str, str]:
               from code_file_agg where pred = 'imports'
               group by 1, 2, 3)"""
     from palladian_spark.operators.curation import (
+        dup_span_stats_sql as _dup_spans_sql,
+    )
+    from palladian_spark.operators.curation import (
         pii_redact_sql as _pii_redact_sql,
     )
     from palladian_spark.operators.termcorpus import (
@@ -1944,6 +1956,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_decontaminate": f"""
             with {_decon_sql()}
+        """,
+        "doc_dup_spans": f"""
+            {_dup_spans_sql()}
         """,
         "doc_term_corpus": f"""
             with {_doc_terms_sql()}

@@ -88,6 +88,7 @@ HEADLINE = [
     "doc_chunks",
     "doc_split",
     "doc_decontaminate",
+    "doc_dup_spans",
     "doc_repetition",
     "doc_pii_redact",
     "doc_token_counts",

@@ -566,3 +566,157 @@ def benchmark_overlap_sql(
            ((1000 * i.inter) // s.n_shingles)::bigint as containment_1000
     from dc_inter i join dc_sizes s on s.doc_id = i.doc_id
     where 1000 * i.inter >= s.n_shingles * {threshold_1000}"""
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication spans (Lee et al. 2022 semantics)
+# ---------------------------------------------------------------------------
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# ACL 2022) removes every substring of length >= L that appears more than
+# once in the corpus. The published implementation is a suffix array — a
+# single-machine structure; the distributable equivalent used here is
+# hash-blocking every L-gram position: positions whose L-gram hash occurs
+# in >= 2 DISTINCT documents are duplicated, and runs of duplicated
+# positions closer than L merge into maximal spans (the islands-and-gaps
+# window trick, same as events_sessionize). Cross-document only: a
+# within-doc repeat is the doc_repetition gate's job.
+#
+# Scale shape: gram hashing is pure codegen (explode(sequence) +
+# substring + md5-slice) bounded by DUP_SPAN_MAX_CHARS per doc; the one
+# heavy shuffle is the gram-hash aggregate — rows are (60-bit hash,
+# doc, pos), map-side combine collapses within-partition repeats, and the
+# min!=max distinct-doc test avoids a countDistinct expand. The span
+# merge is a per-doc window over duplicated positions only (a small
+# subset after the semi-join). At 100 TB this is the same cost class as
+# MinHash shingling — linear scan + one wide aggregate — which is what
+# makes it the practical stand-in for a corpus-wide suffix array.
+DUP_SPAN_L = 40
+DUP_SPAN_MAX_CHARS = 2000
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = DUP_SPAN_L,
+    max_chars: int = DUP_SPAN_MAX_CHARS,
+) -> DataFrame:
+    """documents -> per-doc duplicated-span stats:
+    (doc_id, n_chars, n_spans, dup_chars, dup_frac_1000).
+
+    A span is a maximal run of positions whose ``gram_len``-gram also
+    appears in another document; dup_chars is the total character count
+    covered by spans (what Lee et al. would cut)."""
+    from pyspark.sql import Window
+
+    t = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars)
+    base = df.select(F.col(id_col).alias("doc"), t.alias("_t")).localCheckpoint(
+        eager=False
+    )
+    # localCheckpoint: grams + the final left join both consume base
+    grams = base.where(F.length("_t") >= gram_len).select(
+        "doc",
+        F.explode(
+            F.sequence(F.lit(1), F.length("_t") - gram_len + 1)
+        ).alias("pos"),
+        "_t",
+    ).select(
+        "doc",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(_t, pos, {gram_len})")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.min("doc").alias("_mn"), F.max("doc").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    dup_pos = grams.join(dup_h, "h", "left_semi").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > gram_len)).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "_run", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc", "_run")
+        .agg(
+            (F.max("pos") - F.min("pos") + gram_len).alias("_len"),
+        )
+    )
+    per_doc = runs.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"), F.sum("_len").alias("dup_chars")
+    )
+    return (
+        base.select("doc", F.length("_t").alias("n_chars"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_chars",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.expr(
+                "cast((1000 * coalesce(dup_chars, 0))"
+                " div greatest(n_chars, 1) as bigint)"
+            ).alias("dup_frac_1000"),
+        )
+    )
+
+
+def dup_span_stats_sql(
+    documents: str = "documents",
+    gram_len: int = DUP_SPAN_L,
+    max_chars: int = DUP_SPAN_MAX_CHARS,
+) -> str:
+    """Final SELECT — DuckDB twin of :func:`dup_span_stats`."""
+    return f"""
+    with ds_base as (
+      select doc_id as doc,
+             substr(coalesce(text, ''), 1, {max_chars}) as t
+      from {documents}),
+    ds_grams as (
+      select doc, pos,
+             ('0x' || substr(md5(substr(t, pos, {gram_len})), 1, 15))::bigint as h
+      from (select doc, t,
+                   unnest(generate_series(1, length(t) - {gram_len} + 1)) as pos
+            from ds_base
+            where length(t) >= {gram_len})),
+    ds_dup_h as (
+      select h from ds_grams group by h
+      having min(doc) <> max(doc)),
+    ds_dup_pos as (
+      select doc, pos from ds_grams where h in (select h from ds_dup_h)),
+    ds_runs as (
+      select doc, run_id,
+             max(pos) - min(pos) + {gram_len} as len
+      from (
+        select doc, pos,
+               sum(case when prev is null or pos - prev > {gram_len}
+                        then 1 else 0 end)
+                 over (partition by doc order by pos
+                       rows between unbounded preceding and current row) as run_id
+        from (select doc, pos,
+                     lag(pos) over (partition by doc order by pos) as prev
+              from ds_dup_pos))
+      group by 1, 2),
+    ds_per_doc as (
+      select doc, count(*)::bigint as n_spans, sum(len)::bigint as dup_chars
+      from ds_runs group by 1)
+    select b.doc as doc_id, length(b.t)::bigint as n_chars,
+           coalesce(p.n_spans, 0)::bigint as n_spans,
+           coalesce(p.dup_chars, 0)::bigint as dup_chars,
+           ((1000 * coalesce(p.dup_chars, 0)) // greatest(length(b.t), 1))::bigint
+               as dup_frac_1000
+    from ds_base b
+    left join ds_per_doc p on p.doc = b.doc"""
