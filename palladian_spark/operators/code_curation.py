@@ -262,8 +262,7 @@ def augment_corpus_sql(src: str = "code_src") -> str:
     code_aug as (
       select repo, path, commit, lang,
              {header} || coalesce(content, '') || {trailers} as content
-      from (select *,
-                   cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did,
+      from (select *, {did_sql()} as did,
                    case when lang = 'python' then '#' else '//' end as mk
             from {src}))"""
 
@@ -903,8 +902,7 @@ def with_generated_sql(src: str = "code_src") -> str:
              || case when did % {LONGLINE_MOD} = 0
                      then mk || ' ' || repeat('x', {LONGLINE_LEN}) || chr(10)
                      else '' end as content
-      from (select *,
-                   cast(regexp_extract(path, 'src/(\\d+)', 1) as bigint) as did,
+      from (select *, {did_sql()} as did,
                    case when lang = 'python' then '#' else '//' end as mk
             from {src}))"""
 

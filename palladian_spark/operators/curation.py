@@ -602,18 +602,31 @@ def dup_span_stats(
     max_chars: int = DUP_SPAN_MAX_CHARS,
 ) -> DataFrame:
     """documents -> per-doc duplicated-span stats:
-    (doc_id, n_chars, n_spans, dup_chars, dup_frac_1000).
+    (doc_id, n_chars, analyzed_chars, n_spans, dup_chars, dup_frac_1000).
 
     A span is a maximal run of positions whose ``gram_len``-gram also
     appears in another document; dup_chars is the total character count
-    covered by spans (what Lee et al. would cut)."""
+    covered by spans (what Lee et al. would cut). OUTPUT CONTRACT for the
+    ``max_chars`` bound: only the first ``max_chars`` characters are
+    analyzed (the bound is part of the operator contract, mirrored in the
+    oracle); n_chars is the TRUE document length, analyzed_chars the
+    analyzed prefix length, and dup_frac_1000 is relative to
+    analyzed_chars — so a consumer can always see when truncation
+    occurred instead of mistaking a capped doc for a short one."""
     from pyspark.sql import Window
 
+    from palladian_spark.operators.dedup import portable_token_hash
+
+    full_len = F.length(F.coalesce(F.col(text_col), F.lit("")))
     t = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars)
-    base = df.select(F.col(id_col).alias("doc"), t.alias("_t")).localCheckpoint(
-        eager=False
-    )
-    # localCheckpoint: grams + the final left join both consume base
+    base = df.select(
+        F.col(id_col).alias("doc"), full_len.alias("_full"), t.alias("_t")
+    ).localCheckpoint(eager=False)
+    # localCheckpoint: the gram branch and the final stats join both read
+    # base; the GRAM table itself is deliberately NOT materialized — at
+    # content scale, recomputing a codegen projection is cheaper than
+    # storing ~(doc, pos, hash) per character (the recompute-vs-store
+    # call every 100 TB design makes).
     grams = base.where(F.length("_t") >= gram_len).select(
         "doc",
         F.explode(
@@ -623,21 +636,18 @@ def dup_span_stats(
     ).select(
         "doc",
         "pos",
-        F.conv(
-            F.substring(F.md5(F.expr(f"substring(_t, pos, {gram_len})")), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        portable_token_hash(F.expr(f"substring(_t, pos, {gram_len})")).alias("h"),
     )
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.min("doc").alias("_mn"), F.max("doc").alias("_mx"))
+    # ONE shuffle for duplicate detection: window min/max doc per hash
+    # (same exchange a groupBy(h) would cost, but no second gram scan and
+    # no hash self-join afterwards)
+    wh = Window.partitionBy("h")
+    dup_pos = (
+        grams.withColumn("_mn", F.min("doc").over(wh))
+        .withColumn("_mx", F.max("doc").over(wh))
         .where(F.col("_mn") != F.col("_mx"))
-        .select("h")
+        .select("doc", "pos")
     )
-    dup_pos = grams.join(dup_h, "h", "left_semi").select("doc", "pos")
     w = Window.partitionBy("doc").orderBy("pos")
     runs = (
         dup_pos.withColumn("_prev", F.lag("pos").over(w))
@@ -659,16 +669,21 @@ def dup_span_stats(
         F.count(F.lit(1)).alias("n_spans"), F.sum("_len").alias("dup_chars")
     )
     return (
-        base.select("doc", F.length("_t").alias("n_chars"))
+        base.select(
+            "doc",
+            F.col("_full").alias("n_chars"),
+            F.length("_t").alias("analyzed_chars"),
+        )
         .join(per_doc, "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
-            "n_chars",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("analyzed_chars").cast("bigint").alias("analyzed_chars"),
             F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
             F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
             F.expr(
                 "cast((1000 * coalesce(dup_chars, 0))"
-                " div greatest(n_chars, 1) as bigint)"
+                " div greatest(analyzed_chars, 1) as bigint)"
             ).alias("dup_frac_1000"),
         )
     )
@@ -683,6 +698,7 @@ def dup_span_stats_sql(
     return f"""
     with ds_base as (
       select doc_id as doc,
+             length(coalesce(text, '')) as full_len,
              substr(coalesce(text, ''), 1, {max_chars}) as t
       from {documents}),
     ds_grams as (
@@ -713,7 +729,8 @@ def dup_span_stats_sql(
     ds_per_doc as (
       select doc, count(*)::bigint as n_spans, sum(len)::bigint as dup_chars
       from ds_runs group by 1)
-    select b.doc as doc_id, length(b.t)::bigint as n_chars,
+    select b.doc as doc_id, b.full_len::bigint as n_chars,
+           length(b.t)::bigint as analyzed_chars,
            coalesce(p.n_spans, 0)::bigint as n_spans,
            coalesce(p.dup_chars, 0)::bigint as dup_chars,
            ((1000 * coalesce(p.dup_chars, 0)) // greatest(length(b.t), 1))::bigint

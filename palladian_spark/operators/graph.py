@@ -551,11 +551,15 @@ def k_hop_counts_sql(edges_cte: str, k: int = 2) -> str:
 
 
 def _id_lo(col):
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from palladian_spark.operators.dedup import portable_token_hash
+
+    return portable_token_hash(col)
 
 
 def _id_hi(col):
-    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+    from palladian_spark.operators.dedup import portable_token_hash_hi
+
+    return portable_token_hash_hi(col)
 
 
 def export_nodes(triples: DataFrame) -> DataFrame:

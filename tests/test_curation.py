@@ -278,6 +278,29 @@ def test_dup_span_stats_golden(spark):
     assert out[3] == (4, 0, 0, 0)
 
 
+def test_dup_span_stats_truncation_is_visible(spark):
+    from palladian_spark.operators.curation import dup_span_stats
+
+    # duplication beyond the analyzed prefix is invisible BY CONTRACT,
+    # but the output must show both the true length and the analyzed
+    # prefix so consumers can see the cap was hit
+    shared = "Z" * 100
+    docs = [(0, "a" * 3000 + shared), (1, "b" * 10 + shared)]
+    out = {
+        r["doc_id"]: (
+            r["n_chars"], r["analyzed_chars"], r["n_spans"], r["dup_frac_1000"]
+        )
+        for r in dup_span_stats(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            max_chars=2000,
+        ).collect()
+    }
+    assert out[0] == (3100, 2000, 0, 0)  # dup block lies beyond the prefix
+    # doc 1 fits in the prefix: its half of the pair is also unmatched
+    # (the partner's copy was truncated away), so no spans either
+    assert out[1] == (110, 110, 0, 0)
+
+
 def test_dup_span_stats_within_doc_repeat_not_flagged(spark):
     from palladian_spark.operators.curation import dup_span_stats
 
