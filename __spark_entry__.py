@@ -103,7 +103,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from palladian_spark.pipeline import documents_as_source, extract_triples
 
     docs = _read(spark, "/root/testdata/sf0.001", "documents")
-    source = documents_as_source(_capitalized_corpus(docs).withColumnRenamed("content", "text"))
+    source = documents_as_source(_capitalized_corpus(docs))
     return extract_triples(source, model=None, canonicalize=True)
 
 
@@ -425,9 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from palladian_spark.pipeline import documents_as_source, extract_triples
 
         docs = _read(spark, sf_dir, "documents")
-        source = documents_as_source(
-            _capitalized_corpus(docs).withColumnRenamed("content", "text")
-        )
+        source = documents_as_source(_capitalized_corpus(docs))
         return extract_triples(source, model=None, canonicalize=True)
 
     def kg_triples_incremental(spark, sf_dir):
@@ -444,9 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _read(spark, sf_dir, "documents")
-        source = documents_as_source(
-            _capitalized_corpus(docs).withColumnRenamed("content", "text")
-        )
+        source = documents_as_source(_capitalized_corpus(docs))
         parts = [
             extract_triples(
                 source.where(F.pmod(F.xxhash64("path"), F.lit(2)) == i),

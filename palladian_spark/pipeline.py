@@ -59,8 +59,12 @@ def extract_triples(
     else:
         # four downstream branches (mentioned-in, co-occurrence, instance-of,
         # canonicalization) all consume mentions; without a cache each branch
-        # would re-run the regex-UDF scan over every content blob
-        mentions = build_mentions().persist()
+        # would re-run the regex-UDF scan over every content blob.
+        # localCheckpoint, not persist: repeated extract_triples calls in one
+        # session would otherwise pin mention caches forever (no unpersist
+        # placement exists — the returned plan is consumed lazily by the
+        # caller); checkpointed blocks are GC-reclaimed with the DataFrame.
+        mentions = build_mentions().localCheckpoint(eager=False)
 
     parts = [T.mentioned_in_triples(mentions), T.co_occurrence_triples(mentions)]
     if model is not None:
@@ -169,12 +173,15 @@ def verify_lineage(source: DataFrame, triples: DataFrame, content_col: str = "co
 
 def documents_as_source(documents: DataFrame) -> DataFrame:
     """Adapt the synthetic documents table (doc_id, text, lang, source,
-    n_chars) to the source-code-table shape from BASELINE.json input_hint."""
+    n_chars) to the source-code-table shape from BASELINE.json input_hint.
+    The body column may be named either `text` (raw table) or `content`
+    (already-adapted corpora) — both map to `content` in the output."""
+    text_col = "text" if "text" in documents.columns else "content"
     source_col = F.col("source") if "source" in documents.columns else F.lit("synthetic")
     return documents.select(
         F.concat(F.lit("corpus/"), source_col).alias("repo"),
         F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
         F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 12).alias("commit"),
         F.col("lang"),
-        F.col("text").alias("content"),
+        F.col(text_col).alias("content"),
     )

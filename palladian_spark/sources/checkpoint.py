@@ -1,43 +1,95 @@
 """Checkpoint-resumable stage store with per-partition lineage + metrics.
 
 Spark has no built-in resumability; each pipeline stage writes its output
-parquet plus a `_manifest.json` (row count, schema, content-hash aggregate)
-and a `_metrics` parquet (per-partition counts). On restart, a stage whose
-manifest validates is skipped and its output re-read — the north rule's
-"resumable from checkpoint with per-partition lineage + metrics".
+parquet plus a `_manifest.json` (row count, schema, content-hash aggregate,
+pipeline-config fingerprint) and a `_metrics` parquet (per-partition
+counts). On restart, a stage whose manifest validates — status complete AND
+the config fingerprint matches the current run's — is skipped and its
+output re-read: the north rule's "resumable from checkpoint with
+per-partition lineage + metrics".
+
+All paths (stage parquet, metrics parquet, manifest JSON) resolve through
+the Hadoop FileSystem of the checkpoint root, NOT the driver's local
+filesystem: on a cluster whose defaultFS is HDFS/S3A the stage parquet
+lands there via Spark, so the manifest must live beside it or resume from
+a different driver node would see no manifests at all.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 class StageStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, config: dict | None = None):
+        """``config``: fingerprint of every flag that changes a stage's
+        semantics (model dir, canonicalize, code extraction, ...). A stage
+        checkpointed under a different fingerprint is rebuilt, never
+        silently reused — resuming a --model-dir run on top of a
+        candidate-tagger checkpoint would otherwise emit wrong triples
+        that verify_lineage cannot catch (same input ⇒ same hashes)."""
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root = root.rstrip("/")
+        self.config = config
+        fs, jroot = self._fs(self.root)
+        fs.mkdirs(jroot)
+
+    # -- Hadoop FS plumbing (path scheme decides the filesystem) --
+
+    def _fs(self, path: str):
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _read_text(self, path: str) -> str | None:
+        fs, jpath = self._fs(path)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def _write_text(self, path: str, text: str) -> None:
+        fs, jpath = self._fs(path)
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    def _exists(self, path: str) -> bool:
+        fs, jpath = self._fs(path)
+        return fs.exists(jpath)
+
+    # -- stage store API --
 
     def _paths(self, stage: str) -> tuple[str, str, str]:
-        base = os.path.join(self.root, stage)
+        base = f"{self.root}/{stage}"
         return base, base + "_manifest.json", base + "_metrics"
 
     def is_complete(self, stage: str) -> bool:
         base, manifest_path, _ = self._paths(stage)
-        if not os.path.exists(manifest_path):
+        text = self._read_text(manifest_path)
+        if text is None:
             return False
         try:
-            with open(manifest_path, encoding="utf-8") as f:
-                manifest = json.load(f)
-        except (OSError, json.JSONDecodeError):
+            manifest = json.loads(text)
+        except json.JSONDecodeError:
             return False
-        if not os.path.isdir(base):
+        if not self._exists(base):
             return False
-        return manifest.get("status") == "complete"
+        if manifest.get("status") != "complete":
+            return False
+        if self.config is not None and manifest.get("config") != self.config:
+            return False
+        return True
 
     def read(self, stage: str) -> DataFrame:
         base, _, _ = self._paths(stage)
@@ -45,42 +97,48 @@ class StageStore:
 
     def write(self, stage: str, df: DataFrame, lineage_col: str | None = None) -> DataFrame:
         """Materialize a stage: parquet + metrics + manifest. Returns the
-        re-read DataFrame (a clean lineage cut for the next stage)."""
+        re-read DataFrame (a clean lineage cut for the next stage).
+
+        The freshly written output is scanned exactly once: the
+        per-partition metrics aggregate also carries the per-partition
+        lineage partial sums, and row count / lineage hash fold from the
+        collected (partition-count-sized) metrics rows driver-side.
+        """
         base, manifest_path, metrics_path = self._paths(stage)
         df.write.mode("overwrite").parquet(base)
         out = self.spark.read.parquet(base)
 
-        metrics = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("rows"),
-            *(
-                [F.count(lineage_col).alias("lineage_non_null")]
-                if lineage_col and lineage_col in out.columns
-                else []
-            ),
-        )
+        has_lineage = bool(lineage_col) and lineage_col in out.columns
+        aggs = [F.count("*").alias("rows")]
+        if has_lineage:
+            # order-insensitive aggregate of per-row content hashes: the
+            # cross-stage invariant checked against the source table.
+            # Partial per partition; the total folds in Python (arbitrary
+            # precision — no decimal overflow at any table size).
+            aggs += [
+                F.count(lineage_col).alias("lineage_non_null"),
+                F.sum(
+                    F.conv(F.substring(lineage_col, 1, 15), 16, 10).cast("decimal(38,0)")
+                ).alias("lineage_sum"),
+            ]
+        metrics = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
         metrics.write.mode("overwrite").parquet(metrics_path)
 
-        row_count = out.count()
+        mrows = self.spark.read.parquet(metrics_path).collect()
+        row_count = sum(r["rows"] for r in mrows)
         lineage_hash = None
-        if lineage_col and lineage_col in out.columns:
-            # order-insensitive aggregate of per-row content hashes: the
-            # cross-stage invariant checked against the source table
-            lineage_hash = (
-                out.select(
-                    F.sum(F.conv(F.substring(lineage_col, 1, 15), 16, 10).cast("decimal(38,0)"))
-                    .cast("string")
-                    .alias("h")
-                ).first()["h"]
-            )
+        if has_lineage:
+            terms = [int(r["lineage_sum"]) for r in mrows if r["lineage_sum"] is not None]
+            lineage_hash = str(sum(terms)) if terms else None
         manifest = {
             "stage": stage,
             "status": "complete",
             "rows": row_count,
             "schema": out.schema.jsonValue(),
             "lineage_hash": lineage_hash,
+            "config": self.config,
         }
-        with open(manifest_path, "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=2)
+        self._write_text(manifest_path, json.dumps(manifest, indent=2))
         return out
 
     def run(self, stage: str, build, lineage_col: str | None = None) -> DataFrame:
@@ -91,5 +149,7 @@ class StageStore:
 
     def manifest(self, stage: str) -> dict:
         _, manifest_path, _ = self._paths(stage)
-        with open(manifest_path, encoding="utf-8") as f:
-            return json.load(f)
+        text = self._read_text(manifest_path)
+        if text is None:
+            raise FileNotFoundError(manifest_path)
+        return json.loads(text)

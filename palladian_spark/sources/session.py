@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf, SparkContext
 from pyspark.sql import SparkSession
 
 
@@ -14,31 +15,56 @@ def get_spark(
 ) -> SparkSession:
     """Session with AQE, Arrow, and sane shuffle sizing.
 
-    On a real cluster the master/resource flags come from spark-submit; the
-    knobs here (AQE, skew-join handling, Arrow batching) are the ones that
-    matter at 100 TB as much as on local[*].
+    On a real cluster the master/resource/parallelism flags come from
+    spark-submit and MUST win: builder options override submitted conf, so
+    ``.master()`` is only called when an explicit local knob asks for it
+    (the ``master`` argument, or the bench-local SPARK_GRAFT_MASTER /
+    SPARK_GRAFT_CPUS env vars — unset on a cluster). Otherwise the
+    submitted ``spark.master`` system property decides (spark-submit
+    itself defaults it to local[*], so plain ``python`` runs are
+    unchanged). Likewise shuffle.partitions and driver.memory defaults
+    yield to any value already submitted via ``--conf``.
+
+    The unconditional knobs (AQE, skew-join handling, Arrow batching) are
+    the ones that matter at 100 TB as much as on local[*].
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
-    if shuffle_partitions is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    # Launch the gateway so SparkConf(loadDefaults) reflects the JVM system
+    # properties spark-submit set; getOrCreate would launch it anyway.
+    SparkContext._ensure_initialized()
+    submitted = SparkConf(loadDefaults=True)
+    builder = SparkSession.builder.appName(app_name)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (cpus and f"local[{cpus}]")
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None and not submitted.contains("spark.sql.shuffle.partitions"):
         shuffle_partitions = int(cpus) if cpus else 32
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # Adaptive execution: runtime shuffle coalescing + skew-join splits.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas UDFs; bound batches by rows — `content` blobs can
         # be MBs each, so keep batches small enough to fit executor memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # Broadcast dictionaries up to 64 MB before falling back to shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # driver.memory only takes effect before the driver JVM launches —
+    # meaningful for in-process local runs, a silent no-op (and a conf
+    # override) under spark-submit, so gate it the same way.
+    if not submitted.contains("spark.driver.memory"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
     return builder.getOrCreate()
 
 

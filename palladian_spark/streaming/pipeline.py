@@ -119,8 +119,15 @@ def start_triple_stream(
     """Wire stream_documents -> stream_triples -> parquet append sink.
 
     complete/update modes cannot write parquet; the per-batch aggregate
-    runs inside foreachBatch and appends, making the sink an immutable
-    triple log (exactly-once per batch via the checkpoint + batch id).
+    runs inside foreachBatch, making the sink an immutable triple log.
+
+    Idempotence: foreachBatch is at-least-once — a batch whose parquet
+    commit lands but whose streaming-checkpoint commit does not is re-run
+    with the SAME batch_id on restart. A plain append would then double
+    every triple's support at compaction. Each batch therefore OVERWRITES
+    its own batch-id-keyed partition directory (`ingest_batch=<id>`):
+    replaying a batch rewrites identical data over itself, so the log is
+    exactly-once as observed by compact_triples.
     """
     docs = stream_documents(
         spark, input_dir, max_files_per_trigger=max_files_per_trigger
@@ -132,8 +139,8 @@ def start_triple_stream(
                 batch_df, gazetteer=gazetteer,
                 gazetteer_case_sensitive=gazetteer_case_sensitive,
             )
-            .write.mode("append")
-            .parquet(output_dir)
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/ingest_batch={batch_id}")
         )
 
     writer = (
@@ -169,7 +176,11 @@ def compact_triples(
     (pipeline.merge_triples) so the compacted log gains the synonym-of
     edges a full batch recompute would emit — canonicalization is
     deferred to compaction because components can merge as new
-    micro-batches arrive (canonicalize-on-read)."""
+    micro-batches arrive (canonicalize-on-read).
+
+    The log is hive-layout (`ingest_batch=<id>` partition dirs, one per
+    micro-batch — see start_triple_stream); partition discovery adds the
+    batch id as a column, and the fold aggregates it away."""
     log = spark.read.parquet(triple_log_dir)
     if canonicalize:
         from ..pipeline import merge_triples

@@ -3,17 +3,22 @@ Structured-Streaming twin of the batch ``events_sessionize`` contract
 query, built on ``applyInPandasWithState`` (arbitrary stateful
 processing with a per-user GroupState).
 
-Semantics match the batch window exactly: events sort by (ts, event_id)
-per user; a gap > ``gap_seconds`` (or the first event ever) starts a new
-session. State per user = (last event micros, session count so far,
-event count so far); each micro-batch emits the user's updated running
-totals, so the LAST emitted row per user equals the batch aggregate —
-verified stream-vs-batch in tests/test_streaming.py.
+Semantics match the batch window EXACTLY, under any cross-batch arrival
+order: per-user state is the list of session intervals (start/end micros)
+merged so far, and each incoming event either lands inside an existing
+interval's gap-reach, bridges two intervals (late data can MERGE sessions
+— the running session count may decrease), or opens a new one. Because a
+session interval only guarantees internal gaps <= gap, the gap-clustered
+partition of the observed point set is recoverable from intervals alone,
+so the fold is order-independent: the LAST emitted row per user equals
+the batch aggregate over the same events — verified stream-vs-batch
+(in-order and shuffled arrival) in tests/test_streaming.py.
 
-Watermarking: callers feeding real unbounded streams should
-``withWatermark("ts", ...)`` upstream so state for long-idle users can
-be timed out via ``state.setTimeoutTimestamp``; with file-drop replay
-(availableNow) no watermark is needed and state lives for the run.
+State size is O(open sessions per user). For real unbounded streams pass
+``idle_timeout_seconds``: state for users idle that long (processing
+time) is emitted once more and dropped — re-appearing users restart their
+counts, the standard state-eviction trade. Default (None) keeps state for
+the life of the query, the right shape for availableNow file-drop replay.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -31,8 +37,8 @@ from pyspark.sql.types import (
 
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("last_us", LongType()),
-        StructField("n_sessions", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
         StructField("n_events", LongType()),
     ]
 )
@@ -46,9 +52,26 @@ SESSION_OUTPUT_SCHEMA = StructType(
 )
 
 
+def _merge_intervals(
+    starts: list[int], ends: list[int], new_us: list[int], gap_us: int
+) -> tuple[list[int], list[int]]:
+    """Fold new event times into gap-merged session intervals. Each new
+    point is a degenerate [p, p] interval; two intervals belong to the
+    same session iff they are within gap_us of each other."""
+    items = sorted(list(zip(starts, ends)) + [(p, p) for p in new_us])
+    merged: list[list[int]] = []
+    for s, e in items:
+        if merged and s - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return [s for s, _ in merged], [e for _, e in merged]
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
+    idle_timeout_seconds: int | None = None,
 ) -> DataFrame:
     """events(user_id, event_id, us) stream -> running (user_id,
     n_sessions, n_events) via per-user GroupState."""
@@ -59,24 +82,37 @@ def sessionize_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle eviction: emit the final totals once, drop the state
+            starts, ends, n_events = state.get
+            yield pd.DataFrame(
+                [(key[0], len(starts), n_events)],
+                columns=["user_id", "n_sessions", "n_events"],
+            )
+            state.remove()
+            return
         if state.exists:
-            last_us, n_sessions, n_events = state.get
+            starts, ends, n_events = state.get
+            starts, ends = list(starts), list(ends)
         else:
-            last_us, n_sessions, n_events = None, 0, 0
+            starts, ends, n_events = [], [], 0
         rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(["us", "event_id"])
-        for us in rows["us"]:
-            us = int(us)
-            if last_us is None or us - last_us > gap_us:
-                n_sessions += 1
-            n_events += 1
-            last_us = us
-        state.update((last_us, n_sessions, n_events))
+        new_us = [int(u) for u in rows["us"]]
+        starts, ends = _merge_intervals(starts, ends, new_us, gap_us)
+        n_events += len(new_us)
+        state.update((starts, ends, n_events))
+        if idle_timeout_seconds is not None:
+            state.setTimeoutDuration(idle_timeout_seconds * 1000)
         yield pd.DataFrame(
-            [(key[0], n_sessions, n_events)],
+            [(key[0], len(starts), n_events)],
             columns=["user_id", "n_sessions", "n_events"],
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "event_id", "us")
         .groupBy("user_id")
@@ -85,6 +121,6 @@ def sessionize_stream(
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -170,3 +170,154 @@ def test_compact_with_canonicalize_adds_synonym_edges(spark, tmp_path):
         r["pred"] for r in compact_triples(spark, log_dir).collect()
     }
     assert "synonym-of" not in plain
+
+
+def test_sessionize_out_of_order_and_bridging(spark, tmp_path):
+    """Cross-batch OUT-OF-ORDER arrival: interval-merge state keeps the
+    stream equal to the batch aggregate. Covers both failure modes of a
+    last-event-only state: a late event spuriously opening an extra
+    session for the next on-time event (user 1), and a late event
+    BRIDGING two previously-separate sessions so the running count
+    decreases (user 2)."""
+    from pyspark.sql.window import Window
+
+    from palladian_spark.streaming.sessions import sessionize_stream
+
+    GAP_US = 1800 * 1_000_000
+    S = 1_000_000  # one second in micros
+    # user 1: arrival order 0, 3600s, then LATE 10s, then 3700s
+    #   batch truth over {0,10,3600,3700}s = 2 sessions
+    # user 2: arrival order 0, 3000s, then LATE 1500s which bridges them
+    #   batch truth over {0,1500,3000}s = 1 session (count shrinks 2 -> 1)
+    drops = [
+        [(1, 10, 0), (2, 20, 0)],
+        [(1, 11, 3600 * S), (2, 21, 3000 * S)],
+        [(1, 12, 10 * S), (2, 22, 1500 * S)],
+        [(1, 13, 3700 * S)],
+    ]
+    in_dir = str(tmp_path / "ooo_in")
+    schema = "user_id long, event_id long, us long"
+    for rows in drops:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("select user_id, n_sessions, n_events from sess_ooo").toPandas()
+    final = {}
+    for _, r in out.iterrows():
+        final[int(r["user_id"])] = (int(r["n_sessions"]), int(r["n_events"]))
+
+    all_rows = [r for batch in drops for r in batch]
+    ev = spark.createDataFrame(all_rows, schema)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    batch = (
+        ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .collect()
+    )
+    want = {int(r["user_id"]): (int(r["n_sessions"]), int(r["n_events"])) for r in batch}
+    assert final == want
+    assert final[1] == (2, 4)
+    assert final[2] == (1, 3)
+
+
+def test_merge_intervals_order_independent():
+    """The interval fold is exact for any arrival split of the same
+    point set: every 2-way split of the events yields the same final
+    intervals as one-shot folding."""
+    from itertools import combinations
+
+    from palladian_spark.streaming.sessions import _merge_intervals
+
+    gap = 10
+    points = [0, 5, 30, 42, 100, 103, 7]
+    ref_starts, ref_ends = _merge_intervals([], [], points, gap)
+    assert len(ref_starts) == 4  # {0,5,7}, {30}, {42} (gap 12 > 10), {100,103}
+    for k in range(len(points) + 1):
+        for first in combinations(points, k):
+            rest = list(points)
+            for p in first:
+                rest.remove(p)
+            s1, e1 = _merge_intervals([], [], list(first), gap)
+            s2, e2 = _merge_intervals(s1, e1, rest, gap)
+            assert (s2, e2) == (ref_starts, ref_ends), (first, rest)
+
+
+def test_triple_log_batch_replay_idempotent(spark, tmp_path, doc_rows):
+    """foreachBatch is at-least-once: re-running a committed batch with
+    the same batch_id (parquet landed, stream checkpoint did not) must
+    not change the compacted log — the sink overwrites its own
+    batch-id partition instead of appending."""
+    from palladian_spark.streaming.pipeline import (
+        compact_triples,
+        start_triple_stream,
+        stream_triples_batch,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, doc_rows, in_dir)
+    q = start_triple_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    before = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in compact_triples(spark, out_dir).collect()
+    }
+    # simulate the replay: recompute batch 0's triples from the same
+    # documents and write them over the same ingest_batch partition,
+    # exactly as write_batch would on restart-after-partial-commit
+    docs = spark.read.parquet(in_dir)
+    stream_triples_batch(docs).write.mode("overwrite").parquet(
+        f"{out_dir}/ingest_batch=0"
+    )
+    after = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in compact_triples(spark, out_dir).collect()
+    }
+    assert after == before
+
+
+def test_stage_store_config_fingerprint(spark, tmp_path):
+    """A checkpointed stage is reused only under the SAME pipeline
+    config; a different fingerprint forces a rebuild instead of silently
+    serving stale (semantically wrong) output."""
+    from palladian_spark.sources.checkpoint import StageStore
+
+    root = str(tmp_path / "stages")
+    df_a = spark.range(3).withColumnRenamed("id", "v")
+    df_b = spark.range(7).withColumnRenamed("id", "v")
+
+    store_a = StageStore(spark, root, config={"model_dir": None, "code": False})
+    store_a.run("s", lambda: df_a)
+    assert store_a.is_complete("s")
+    assert store_a.manifest("s")["config"] == {"model_dir": None, "code": False}
+
+    # same config -> resume (build not called)
+    assert store_a.run("s", lambda: (_ for _ in ()).throw(AssertionError)).count() == 3
+
+    # different config -> manifest invalid, stage rebuilt
+    store_b = StageStore(spark, root, config={"model_dir": "/m", "code": False})
+    assert not store_b.is_complete("s")
+    assert store_b.run("s", lambda: df_b).count() == 7
+    assert store_b.is_complete("s")
+    # and the original fingerprint no longer validates
+    assert not store_a.is_complete("s")

@@ -75,7 +75,7 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         docs = entrymod._capitalized_corpus(spark.read.parquet(docs_path))
-        source = documents_as_source(docs.withColumnRenamed("content", "text"))
+        source = documents_as_source(docs)
     else:
         from palladian_spark.sources.reader import read_source_table
 
@@ -89,7 +89,17 @@ def main() -> None:
 
         model = load_model(spark, args.model_dir)
 
-    store = StageStore(spark, args.checkpoint_dir)
+    # fingerprint every flag that changes stage semantics: a checkpoint
+    # built under different flags is rebuilt, never silently reused
+    store = StageStore(
+        spark,
+        args.checkpoint_dir,
+        config={
+            "model_dir": args.model_dir,
+            "canonicalize": not args.no_canonicalize,
+            "code_entities": bool(args.code_entities),
+        },
+    )
     t0 = time.perf_counter()
     triples = extract_triples(
         source,
@@ -114,7 +124,7 @@ def main() -> None:
         "lineage_violations": violations,
         "stages": {
             s: store.manifest(s)["rows"]
-            for s in ("mentions", "triples", "code_triples")
+            for s in ("mentions", "canonical", "triples", "code_triples")
             if store.is_complete(s)
         },
     }
