@@ -102,42 +102,36 @@ HEADLINE = [
 
 
 def build_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    """The SAME engine configuration the contract check verifies
+    (sources/session.get_spark: AQE + skew join, Arrow 512-row batches,
+    64 MB broadcast threshold), plus bench-host-specific knobs layered via
+    extra_conf — the benchmark must measure the production session, not a
+    drifted twin."""
+    from palladian_spark.sources.session import get_spark
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("palladian-spark-bench")
-        .config(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)),
-        )
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # measured on this sandbox: a huge heap (e.g. 2 GB x 32 slots) makes
-        # local[32] shuffle jobs ~15x SLOWER (GC over tens of GB of freshly
-        # faulted pages); a moderate heap is strictly better
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # e.g. -XX:ParallelGCThreads=N: local mode conflates executor size
-        # with cluster size — a real cluster scales by MORE fixed-size
-        # JVMs, so scaling comparisons pin GC parallelism per level
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
-        )
-        .config("spark.ui.enabled", "false")
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-        )
-        .getOrCreate()
+    return get_spark(
+        "palladian-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))),
+        extra_conf={
+            # measured on this sandbox: a huge heap (e.g. 2 GB x 32 slots)
+            # makes local[32] shuffle jobs ~15x SLOWER (GC over tens of GB
+            # of freshly faulted pages); a moderate heap is strictly better
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            # e.g. -XX:ParallelGCThreads=N: local mode conflates executor
+            # size with cluster size — a real cluster scales by MORE
+            # fixed-size JVMs, so scaling comparisons pin GC parallelism
+            "spark.driver.extraJavaOptions": os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+            "spark.local.dir": "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        },
     )
 
 
-def force(df) -> int:
+def force(df) -> tuple[int, int]:
     """Execute the full plan with every output column materialized; return
-    row count. xxhash64(*cols) references all columns, so Catalyst cannot
-    prune any of them out of the scan/UDF stages the way count() allows."""
+    (row count, value-hash total). xxhash64(*cols) references all columns,
+    so Catalyst cannot prune any of them out of the scan/UDF stages the
+    way count() allows."""
     from pyspark.sql import functions as F
 
     row = df.agg(
@@ -146,7 +140,7 @@ def force(df) -> int:
         # long overflow, and raw 64-bit hashes overflow after ~2 rows
         F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000_007))).alias("h"),
     ).collect()[0]
-    return row["n"]
+    return row["n"], (row["h"] if row["h"] is not None else 0)
 
 
 def warmup(spark) -> None:
@@ -184,22 +178,35 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
+    nondeterministic: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
+        seen: set[tuple[int, int]] = set()
         for i in range(runs):
             t0 = time.perf_counter()
-            rows[name] = force(fn(spark, SF_DIR))
+            n, h = force(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0
+            rows[name] = n
+            seen.add((n, h))
             if i == 0:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
+        if len(seen) > 1:
+            # the best-of-N timing is only meaningful if every run computed
+            # the same answer — flag value drift instead of hiding it
+            nondeterministic.append(name)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     triples_sec = None
     if timings.get("kg_triples"):
         triples_sec = round(rows["kg_triples"] / timings["kg_triples"], 1)
+    if nondeterministic:
+        print(
+            f"WARNING: cross-run value drift in {nondeterministic}",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -218,6 +225,7 @@ def main() -> None:
         "cpus": CPUS,
         "runs_per_query": runs,
         "queries_first_run": cold,
+        "nondeterministic": nondeterministic,
     }
     print(json.dumps(out))
     spark.stop()

@@ -742,3 +742,58 @@ def test_short_documents_do_not_crash_shingles(spark):
     assert len(got[4]) == 4
     assert minhash_lsh_pairs(df, threshold=0.2).count() == 0
     assert ngram_jaccard_pairs(df, threshold=0.2).count() == 0
+
+
+def test_salted_write_spreads_mega_repo(spark, tmp_path):
+    """The north rule's explicit skew handling: one mega-repo holding 90%
+    of all triples must fan out over multiple writer tasks (salt column)
+    instead of serializing through one straggler, while readers prune on
+    repo_hash alone and round-trip losslessly."""
+    import glob
+
+    from palladian_spark.operators.triples import (
+        with_partition_keys,
+        write_triples,
+    )
+
+    schema = (
+        "subj string, pred string, obj string, content_sha256 string, support long"
+    )
+    mega = [("mega-repo", "mentioned-in", f"obj{i}", f"sha{i}", 1) for i in range(9000)]
+    small = [
+        (f"repo{i % 100}", "mentioned-in", f"o{i}", f"s{i}", 1) for i in range(1000)
+    ]
+    df = spark.createDataFrame(mega + small, schema)
+    out = str(tmp_path / "triples")
+
+    # at toy scale AQE would coalesce the salted shuffle back to one
+    # task (and the fixture session runs few shuffle partitions); at
+    # production partition sizes neither bound bites, so pin both to
+    # observe the fan-out the plan encodes
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_coalesce = spark.conf.get(coalesce_key)
+    prev_shuffle = spark.conf.get(shuffle_key)
+    spark.conf.set(coalesce_key, "false")
+    spark.conf.set(shuffle_key, "16")
+    try:
+        write_triples(df, out)
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
+        spark.conf.set(shuffle_key, prev_shuffle)
+
+    mega_hash = (
+        with_partition_keys(spark.createDataFrame(mega[:1], schema))
+        .first()["repo_hash"]
+    )
+    part_files = glob.glob(f"{out}/repo_hash={mega_hash}/part-*")
+    assert len(part_files) >= 8, part_files  # salt spread writer tasks
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    # salt is physical only: reader prune is on repo_hash, data intact
+    assert back.where(F.col("repo_hash") == mega_hash).count() >= 9000
+    assert (
+        back.where("repo_hash = %d and subj = 'mega-repo'" % mega_hash).count()
+        == 9000
+    )

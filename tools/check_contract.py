@@ -28,8 +28,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             # DuckDB HUGEINT comes back as object-of-int — keep it object so
             # the dtype comparison below flags the drift (like the driver's
-            # value hash would).
+            # value hash would). Mark genuine NULLs with a sentinel BEFORE
+            # stringifying so a real null never compares equal to the
+            # literal strings 'None'/'nan'.
+            nulls = df[c].isna()
             df[c] = df[c].astype(str)
+            df.loc[nulls, c] = "\x00NULL"
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
         elif str(df[c].dtype) in ("int8", "int16", "int32", "uint32"):
@@ -55,6 +59,11 @@ def main() -> int:
 
     qs = ent.queries()
     oracles = ent.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must fail loudly, not silently verify nothing
+        print(f"FAILURES: unknown query names {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -117,6 +117,17 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
+    if args.factor < 1:
+        # sequence(0, factor-1) with factor=0 counts DOWN (Spark defaults
+        # step to -1): two replicas, one with negative keys — garbage data
+        ap.error(f"--factor must be >= 1, got {args.factor}")
+    src = os.path.realpath(args.src)
+    out = os.path.realpath(args.out)
+    if out == src or out.startswith(src + os.sep) or src.startswith(out + os.sep):
+        # overwrite-mode would delete the source parquet the lazy plan is
+        # still reading — destroying the input mid-write
+        ap.error(f"--out ({out}) must not overlap --src ({src})")
+
     from palladian_spark.sources.session import get_spark
 
     spark = get_spark("make-scaled-data", master="local[16]", shuffle_partitions=16)
