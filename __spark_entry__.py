@@ -857,6 +857,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return quality(with_generated(code_corpus(_read(spark, sf_dir, "documents"))))
 
+    def code_latest_snapshot(spark, sf_dir):
+        # Iceberg-style latest-snapshot view over the history-injected
+        # multi-commit table: one live row per (repo, path) with its
+        # superseded-version count — ONE (repo, path) window shuffle
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code_curation import (
+            latest_snapshot,
+            with_history,
+        )
+
+        return latest_snapshot(
+            with_history(code_corpus(_read(spark, sf_dir, "documents")))
+        )
+
     def code_near_clones(spark, sf_dir):
         # type-3 near-clones (token-set Jaccard >= 0.6, prefix-filtered);
         # the oracle twin is ALL-PAIRS, so a green row proves the Spark
@@ -931,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_fork_pairs"] = code_fork_pairs
     q["code_curation_report"] = code_curation_report
     q["code_quality"] = code_quality
+    q["code_latest_snapshot"] = code_latest_snapshot
     q["code_docstrings"] = code_docstrings
     q["code_test_links"] = code_test_links
     q["code_api_usage"] = code_api_usage
@@ -1813,6 +1828,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from palladian_spark.operators.code_curation import (
         augment_corpus_sql as _aug_corpus_sql,
+    )
+    from palladian_spark.operators.code_curation import (
+        latest_snapshot_sql as _latest_snapshot_sql,
+    )
+    from palladian_spark.operators.code_curation import (
+        with_history_sql as _with_history_sql,
         clone_groups_sql as _clone_groups_sql,
         license_report_sql as _license_report_sql,
         code_quality_sql as _code_quality_sql,
@@ -2268,6 +2289,11 @@ def oracle_sql() -> dict[str, str]:
             with {_code_corpus_sql()},
             {_aug_corpus_sql()}
             {_license_report_sql()}
+        """,
+        "code_latest_snapshot": f"""
+            with {_code_corpus_sql()},
+            {_with_history_sql()}
+            {_latest_snapshot_sql()}
         """,
         "code_secret_hits": f"""
             with {_code_corpus_sql()},

@@ -53,6 +53,7 @@ HEADLINE = [
     "code_licenses",
     "code_secret_hits",
     "code_quality",
+    "code_latest_snapshot",
     "code_docstrings",
     "code_test_links",
     "code_api_usage",

@@ -1013,3 +1013,121 @@ def code_quality_sql(
                 then 'drop-low-alnum'
                 else 'keep' end as verdict
     from q_agg"""
+
+
+# ---------------------------------------------------------------------------
+# Commit history / latest-snapshot view
+# ---------------------------------------------------------------------------
+HISTORY_MOD = 3       # every 3rd file (by path-parsed id) carries history
+HISTORY_VERSIONS = 2  # superseded generations injected per such file
+
+
+def with_history(src: DataFrame) -> DataFrame:
+    """(repo, path, commit, lang, content) -> multi-commit file table.
+
+    Every HISTORY_MOD-th file gains HISTORY_VERSIONS superseded rows.
+    Commit ids are rewritten recency-comparable (``v<gen>-<orig>``, live
+    = highest gen) — the shape an Iceberg snapshot id or ULID gives for
+    free; superseded content differs by a trailing revision marker so
+    each generation has a distinct sha256. Pure projection + union — the
+    history branch is a second map over the same scan, no shuffle.
+    """
+    did = _did_col()
+    mk = F.when(F.col("lang") == "python", F.lit("#")).otherwise(F.lit("//"))
+    live = src.select(
+        "repo",
+        "path",
+        F.concat(F.lit(f"v{HISTORY_VERSIONS}-"), F.col("commit")).alias("commit"),
+        "lang",
+        "content",
+    )
+    parts = [live]
+    for gen in range(HISTORY_VERSIONS):
+        parts.append(
+            src.where(did % HISTORY_MOD == 0).select(
+                "repo",
+                "path",
+                F.concat(F.lit(f"v{gen}-"), F.col("commit")).alias("commit"),
+                "lang",
+                F.concat(
+                    F.coalesce(F.col("content"), F.lit("")),
+                    F.lit("\n"),
+                    mk,
+                    F.lit(f" rev {gen}\n"),
+                ).alias("content"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def latest_snapshot(src: DataFrame) -> DataFrame:
+    """One live row per (repo, path) from a multi-commit file table — the
+    Iceberg-style latest-snapshot view that fronts every extraction stage
+    at 10^12-file scale (stale blobs must never reach the mention scan).
+
+    ONE exchange: the recency rank and the per-path version count are
+    window functions over the same (repo, path) partitioning, so Spark
+    plans a single shuffle and evaluates both in one Window node.
+    ``commit`` must be recency-comparable (snapshot id / ULID /
+    :func:`with_history` ids); plain git hashes need a join against a
+    commit-time table first.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path")
+    return (
+        src.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.col("commit").desc()))
+        )
+        .withColumn("n_versions", F.count(F.lit(1)).over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "n_versions",
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+                "content_sha256"
+            ),
+        )
+    )
+
+
+def with_history_sql(src: str = "code_src") -> str:
+    """CTE body ``code_hist`` — DuckDB twin of :func:`with_history`."""
+    gens = "\n      union all\n".join(
+        f"      select repo, path, 'v{gen}-' || commit as commit, lang,\n"
+        f"             coalesce(content, '') || chr(10) || mk"
+        f" || ' rev {gen}' || chr(10) as content\n"
+        f"      from hist_base where did % {HISTORY_MOD} = 0"
+        for gen in range(HISTORY_VERSIONS)
+    )
+    return f"""
+    code_hist as (
+      with hist_base as (
+        select *, {did_sql()} as did,
+               case when lang = 'python' then '#' else '//' end as mk
+        from {src})
+      select repo, path, 'v{HISTORY_VERSIONS}-' || commit as commit,
+             lang, content
+      from hist_base
+      union all
+{gens})"""
+
+
+def latest_snapshot_sql(src: str = "code_hist") -> str:
+    """Final SELECT — DuckDB twin of :func:`latest_snapshot`."""
+    return f"""
+    select repo, path, commit, lang, n_versions,
+           sha256(coalesce(content, '')) as content_sha256
+    from (
+      select repo, path, commit, lang, content,
+             row_number() over (partition by repo, path
+                                order by commit desc) as rn,
+             count(*) over (partition by repo, path) as n_versions
+      from {src})
+    where rn = 1"""

@@ -496,3 +496,50 @@ def test_code_quality_oracle_twin(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sp, du)
+
+
+def test_latest_snapshot_semantics_and_plan(spark):
+    """with_history injects HISTORY_VERSIONS superseded rows per
+    HISTORY_MOD-th file; latest_snapshot returns exactly one live row per
+    (repo, path) (the highest commit), counts every generation, and plans
+    a SINGLE exchange (both window functions share the (repo, path)
+    partitioning)."""
+    from palladian_spark.operators.code_curation import (
+        HISTORY_MOD,
+        HISTORY_VERSIONS,
+        latest_snapshot,
+        with_history,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta", "en", "s1") for i in range(12)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    hist = with_history(code_corpus(docs))
+    out = latest_snapshot(hist)
+    rows = {r["path"]: r for r in out.collect()}
+
+    assert len(rows) == 12  # one live row per path
+    for path, r in rows.items():
+        did = int(path.split("/")[1].split(".")[0])
+        want = 1 + (HISTORY_VERSIONS if did % HISTORY_MOD == 0 else 0)
+        assert r["n_versions"] == want, (path, r)
+        # live row = highest generation prefix
+        assert r["commit"].startswith(f"v{HISTORY_VERSIONS}-")
+
+    # live content hash equals the pre-history corpus hash (superseded
+    # revisions never leak into the snapshot view)
+    base = {
+        r["path"]: r["sha"]
+        for r in code_corpus(docs)
+        .select("path", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("sha"))
+        .collect()
+    }
+    for path, r in rows.items():
+        assert r["content_sha256"] == base[path], path
+
+    # AQE's toString repeats the tree under "== Initial Plan ==" — count
+    # exchanges in the final plan only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
