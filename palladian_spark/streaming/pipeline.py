@@ -128,19 +128,36 @@ def start_triple_stream(
     its own batch-id-keyed partition directory (`ingest_batch=<id>`):
     replaying a batch rewrites identical data over itself, so the log is
     exactly-once as observed by compact_triples.
+
+    Lineage + metrics parity with the batch StageStore: each batch also
+    overwrites `<output_dir>_metrics/ingest_batch=<id>` with one row
+    (rows, distinct lineage hashes, support sum) COMPUTED FROM THE
+    COMMITTED partition — the incremental twin of the per-stage metrics
+    table, and the audit surface for "which batch landed what".
     """
     docs = stream_documents(
         spark, input_dir, max_files_per_trigger=max_files_per_trigger
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = f"{output_dir}/ingest_batch={batch_id}"
         (
             stream_triples_batch(
                 batch_df, gazetteer=gazetteer,
                 gazetteer_case_sensitive=gazetteer_case_sensitive,
             )
             .write.mode("overwrite")
-            .parquet(f"{output_dir}/ingest_batch={batch_id}")
+            .parquet(part)
+        )
+        committed = batch_df.sparkSession.read.parquet(part)
+        (
+            committed.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count_distinct(F.col("content_sha256")).alias("n_docs"),
+                F.sum("support").cast("long").alias("total_support"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}_metrics/ingest_batch={batch_id}")
         )
 
     writer = (

@@ -321,3 +321,35 @@ def test_stage_store_config_fingerprint(spark, tmp_path):
     assert store_b.is_complete("s")
     # and the original fingerprint no longer validates
     assert not store_a.is_complete("s")
+
+
+def test_triple_log_batch_metrics(spark, tmp_path, doc_rows):
+    """Each micro-batch writes a one-row metrics partition describing the
+    COMMITTED triple partition (rows / distinct lineage hashes / support
+    sum) — the streaming twin of StageStore's per-stage metrics table."""
+    from palladian_spark.streaming.pipeline import start_triple_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # one mention-bearing doc per drop so BOTH micro-batches emit triples
+    _write_docs(
+        spark, [(1, "the Spark engine does a fast join on the Table", "en", "s1")], in_dir
+    )
+    _write_docs(
+        spark, [(2, "a slow Join and a Filter over the row Stream", "en", "s1")], in_dir
+    )
+    q = start_triple_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(out_dir)
+    metrics = spark.read.parquet(out_dir + "_metrics")
+    batches = {r["ingest_batch"] for r in log.select("ingest_batch").distinct().collect()}
+    assert len(batches) >= 2  # two drops -> two micro-batches
+    got = {r["ingest_batch"]: r for r in metrics.collect()}
+    assert set(got) == batches
+    for b in batches:
+        part = log.where(F.col("ingest_batch") == b)
+        assert got[b]["rows"] == part.count()
+        assert got[b]["n_docs"] == part.select("content_sha256").distinct().count()
+        assert got[b]["total_support"] == part.agg(F.sum("support")).first()[0]
