@@ -148,6 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dataset_split(_read(spark, sf_dir, "documents"))
 
+    def doc_pack_sequences(spark, sf_dir):
+        # next-fit sequence packing into 1024-token training sequences,
+        # bucket-local (md5(doc_id) shard) so the sequential fold
+        # parallelizes; full recursive-CTE DuckDB oracle
+        from palladian_spark.operators.curation import pack_sequences
+
+        return pack_sequences(_read(spark, sf_dir, "documents"), capacity=1024)
+
     def doc_repetition(spark, sf_dir):
         # Gopher-style within-doc repetition gate: dup-word and
         # top-bigram fractions + keep/drop verdict, one Arrow hop
@@ -1265,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_fingerprints=doc_fingerprints,
         doc_chunks=doc_chunks,
         doc_split=doc_split,
+        doc_pack_sequences=doc_pack_sequences,
         doc_repetition=doc_repetition,
         doc_pii_redact=doc_pii_redact,
         doc_dup_spans=doc_dup_spans,
@@ -1826,6 +1835,9 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.code import (
         repo_shared_deps_sql as _shared_deps_sql,
     )
+    from palladian_spark.operators.curation import (
+        pack_sequences_sql as _pack_sequences_sql,
+    )
     from palladian_spark.operators.code_curation import (
         augment_corpus_sql as _aug_corpus_sql,
     )
@@ -1971,6 +1983,9 @@ def oracle_sql() -> dict[str, str]:
                         else 'test' end as split
             from documents
         """,
+        "doc_pack_sequences": _pack_sequences_sql(
+            _TOKEN_REGEX_SQL, capacity=1024
+        ),
         "doc_decontaminate": f"""
             with {_decon_sql()}
         """,

@@ -88,6 +88,7 @@ HEADLINE = [
     "embedding_quantize",
     "doc_chunks",
     "doc_split",
+    "doc_pack_sequences",
     "doc_decontaminate",
     "doc_dup_spans",
     "doc_repetition",

@@ -737,3 +737,149 @@ def dup_span_stats_sql(
                as dup_frac_1000
     from ds_base b
     left join ds_per_doc p on p.doc = b.doc"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 1024,
+    bucket_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic next-fit sequence packing: assign each document to a
+    fixed-token-budget training sequence.
+
+    The last pre-training step after chunk/dedup/split: concatenating
+    variable-length documents into model-context-sized sequences ("sequence
+    packing") so no context window trains mostly on padding. Packing is an
+    inherently SEQUENTIAL fold (each document's bin depends on everything
+    packed before it), so a 100 TB corpus can't pack globally — and doesn't
+    need to: training order inside a shard is arbitrary. The scale design is
+    therefore bucket-local packing:
+
+    - bucket = first ``bucket_chars`` hex chars of md5(doc_id) — a
+      content-independent, engine-portable shard key (16^bucket_chars
+      buckets; raise to 2-3 chars / 256-4096 buckets at cluster scale so a
+      bucket's (doc_id, token_count) pairs — 16 bytes/doc — fit one task);
+    - inside a bucket, documents are packed in doc_id order by NEXT-FIT:
+      a new sequence starts exactly when the running fill plus the incoming
+      document's token count would exceed ``capacity``. A document longer
+      than ``capacity`` occupies a sequence alone (packing never truncates —
+      length control is chunk_documents' job, upstream).
+
+    Plan shape: one codegen projection (regex token count + md5 bucket) over
+    the scan, ONE shuffle on the bucket key, then applyInPandas runs the
+    per-bucket fold — a single linear pass over an int64 array; only
+    (doc_id, token_count) crosses the shuffle, never text. The fold is the
+    one honest row-loop in the repo's curation suite: next-fit has a true
+    loop-carried dependency, so there is nothing to vectorize — but each
+    bucket is independent, which is where the parallelism lives.
+
+    Next-fit (not first-fit-decreasing) is chosen deliberately: it is
+    single-pass streaming, order-stable, and exactly reproducible in ANSI
+    SQL (a recursive CTE), which gives the operator a full independent
+    DuckDB oracle instead of a fixture pin. Its packing efficiency is within
+    a few percent of FFD at web-corpus length distributions once
+    capacity >> median document length (the 100 TB operating point).
+
+    Output: (doc_id, bucket, seq_id, pos_in_seq, token_count) —
+    seq_id is bucket-local and 1-based; (bucket, seq_id) is the global
+    sequence key. Token semantics = the reference tokenizer regex
+    (Tokenizer.java TOKEN_SPLIT_REGEX, same counts as token_counts()).
+    """
+    import numpy as np
+
+    from .textstats import TOKEN_REGEX_RE2, _extract_all
+    from .util import spread
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    cap = int(capacity)
+    base = spread(df).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(
+            _extract_all(F.coalesce(F.col(text_col), F.lit("")), TOKEN_REGEX_RE2)
+        )
+        .cast("long")
+        .alias("token_count"),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, bucket_chars).alias(
+            "bucket"
+        ),
+    )
+
+    schema = (
+        "doc_id long, bucket string, seq_id long, pos_in_seq long, "
+        "token_count long"
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        tc = pdf["token_count"].to_numpy()
+        n = len(tc)
+        seq = np.empty(n, dtype=np.int64)
+        pos = np.empty(n, dtype=np.int64)
+        s, fill, p = 1, 0, 0
+        for i in range(n):
+            t = int(tc[i])
+            # mirror the oracle recursion exactly: the FIRST document never
+            # opens a new sequence; afterwards overflow (fill + t > cap)
+            # starts one — including when t alone exceeds cap (the oversize
+            # document then sits in its own sequence).
+            if i > 0 and fill + t > cap:
+                s += 1
+                fill = 0
+                p = 0
+            p += 1
+            fill += t
+            seq[i] = s
+            pos[i] = p
+        pdf["seq_id"] = seq
+        pdf["pos_in_seq"] = pos
+        return pdf[["doc_id", "bucket", "seq_id", "pos_in_seq", "token_count"]]
+
+    return base.groupBy("bucket").applyInPandas(_pack, schema)
+
+
+def pack_sequences_sql(
+    token_regex_sql: str,
+    capacity: int = 1024,
+    bucket_chars: int = 1,
+    documents: str = "documents",
+) -> str:
+    """Full independent DuckDB recomputation of pack_sequences: the next-fit
+    fold as a recursive CTE that advances every bucket one document per
+    iteration (recursion depth = max docs per bucket)."""
+    cap = int(capacity)
+    return f"""
+        with recursive ps_d as (
+          select doc_id,
+                 len(regexp_extract_all(coalesce(text, ''),
+                     '{token_regex_sql}'))::bigint as token_count,
+                 substr(md5(cast(doc_id as varchar)), 1, {bucket_chars})
+                     as bucket
+          from {documents}),
+        ps_o as (
+          select *, row_number() over (partition by bucket order by doc_id)
+                     as rn
+          from ps_d),
+        ps_rec as (
+          select bucket, rn, doc_id, token_count,
+                 1::bigint as seq_id, token_count as fill
+          from ps_o where rn = 1
+          union all
+          select o.bucket, o.rn, o.doc_id, o.token_count,
+                 case when r.fill + o.token_count > {cap}
+                      then r.seq_id + 1 else r.seq_id end,
+                 case when r.fill + o.token_count > {cap}
+                      then o.token_count else r.fill + o.token_count end
+          from ps_rec r
+          join ps_o o on o.bucket = r.bucket and o.rn = r.rn + 1)
+        select doc_id, bucket, seq_id,
+               row_number() over (partition by bucket, seq_id order by doc_id)
+                   as pos_in_seq,
+               token_count
+        from ps_rec"""

@@ -336,3 +336,80 @@ def test_dup_span_stats_two_separate_spans(spark):
     assert out[0] == (2, 88)
     assert out[1] == (1, 44)
     assert out[2] == (1, 44)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (next-fit sequence packing)
+# ---------------------------------------------------------------------------
+
+from palladian_spark.operators.curation import pack_sequences
+
+
+def _pack(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, bucket_chars=0, **kw)  # bucket_chars=0 -> one bucket
+    got = out.orderBy("doc_id").collect()
+    return [
+        (r["doc_id"], r["seq_id"], r["pos_in_seq"], r["token_count"]) for r in got
+    ]
+
+
+def test_pack_next_fit_basic(spark):
+    # capacity 5; token counts: 3, 3, 2, 5, 1  (whitespace words)
+    rows = [
+        (1, "a b c"),
+        (2, "d e f"),
+        (3, "g h"),
+        (4, "i j k l m"),
+        (5, "n"),
+    ]
+    got = _pack(spark, rows, capacity=5)
+    # doc1 (3) -> seq1 fill 3; doc2 (3) overflows -> seq2 fill 3;
+    # doc3 (2) fits -> seq2 fill 5; doc4 (5) overflows -> seq3 fill 5;
+    # doc5 (1) overflows -> seq4.
+    assert got == [
+        (1, 1, 1, 3),
+        (2, 2, 1, 3),
+        (3, 2, 2, 2),
+        (4, 3, 1, 5),
+        (5, 4, 1, 1),
+    ]
+
+
+def test_pack_oversize_doc_isolated(spark):
+    rows = [(1, "a"), (2, "w " * 10), (3, "b")]
+    got = _pack(spark, rows, capacity=4)
+    # doc2 (10 tokens) > capacity: closes seq1, sits alone in seq2,
+    # doc3 then overflows seq2 and opens seq3. Never truncated.
+    assert got == [(1, 1, 1, 1), (2, 2, 1, 10), (3, 3, 1, 1)]
+
+
+def test_pack_zero_token_docs_share_sequence(spark):
+    rows = [(1, ""), (2, None), (3, "x y"), (4, "")]
+    got = _pack(spark, rows, capacity=2)
+    # empty/null docs cost 0 tokens and never force a new sequence
+    assert got == [(1, 1, 1, 0), (2, 1, 2, 0), (3, 1, 3, 2), (4, 1, 4, 0)]
+
+
+def test_pack_invariants_and_bucket_independence(spark):
+    rows = [(i, "tok " * (i % 7)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=10, bucket_chars=1).collect()
+    assert len(out) == 100
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault((r["bucket"], r["seq_id"]), []).append(r)
+    for (_, _), docs in by_seq.items():
+        fill = sum(r["token_count"] for r in docs)
+        # a sequence only exceeds capacity when it is a single oversize doc
+        assert fill <= 10 or len(docs) == 1
+        assert sorted(r["pos_in_seq"] for r in docs) == list(
+            range(1, len(docs) + 1)
+        )
+    # doc_id order within a bucket maps to non-decreasing seq_id
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        prev = by_bucket.get(r["bucket"])
+        if prev is not None:
+            assert r["seq_id"] >= prev
+        by_bucket[r["bucket"]] = r["seq_id"]
