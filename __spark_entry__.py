@@ -1119,6 +1119,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
         )
 
+    def events_asof(spark, sf_dir):
+        # scalable as-of join (union-scan + one window, zero joins): each
+        # purchase matched to the user's latest view at-or-before it,
+        # within a 1-hour tolerance. Emits the tz-free gap instead of
+        # absolute epochs (ts is TIMESTAMP_NTZ; the cast offset is
+        # session-tz-dependent but constant, so differences are exact).
+        from palladian_spark.operators.temporal import asof_join
+
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        cols = ["user_id", "ts_us", "event_id", "value"]
+        out = asof_join(
+            ev.where(F.col("event_type") == "purchase").select(*cols),
+            ev.where(F.col("event_type") == "view").select(*cols),
+            key="user_id",
+            ts="ts_us",
+            tiebreak="event_id",
+            right_cols=["value"],
+            tolerance=3_600_000_000,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "asof_event_id",
+            "asof_value",
+            (F.col("ts_us") - F.col("asof_ts_us")).alias("gap_us"),
+        )
+
     def events_topk(spark, sf_dir):
         ev = _read(spark, sf_dir, "events")
         counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -1315,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semi_join_parts=semi_join_parts,
         events_seed_sample=events_seed_sample,
         events_sessionize=events_sessionize,
+        events_asof=events_asof,
         events_topk=events_topk,
         rule_engine_tags=rule_engine_tags,
         rule_triples=rule_triples,
@@ -1837,6 +1867,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from palladian_spark.operators.curation import (
         pack_sequences_sql as _pack_sequences_sql,
+    )
+    from palladian_spark.operators.temporal import (
+        events_asof_sql as _events_asof_sql,
     )
     from palladian_spark.operators.code_curation import (
         augment_corpus_sql as _aug_corpus_sql,
@@ -2740,6 +2773,9 @@ def oracle_sql() -> dict[str, str]:
                   from events)
             where rn <= 5
         """,
+        "events_asof": _events_asof_sql(
+            "purchase", "view", 3_600_000_000
+        ),
         "events_sessionize": """
             with e as (select user_id, event_id, epoch_us(ts) as us from events),
             lagged as (

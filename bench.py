@@ -99,6 +99,7 @@ HEADLINE = [
     "tpch_pricing",
     "join_customer_orders",
     "events_sessionize",
+    "events_asof",
     "events_topk",
 ]
 

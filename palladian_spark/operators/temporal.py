@@ -1,0 +1,141 @@
+"""Temporal operators: scalable as-of join over event streams.
+
+The as-of join ("for each left event, the latest right event at or before
+it, per key") is the canonical time-series operator Spark's DataFrame API
+lacks (pandas has merge_asof; Flink/kdb ship it natively). The naive
+formulations both collapse at scale: a range join (l.ts >= r.ts) explodes
+to O(n_left x n_right) per key before the max-ts filter, and a windowed
+subquery per left row re-sorts the right side once per probe.
+
+The scalable shape — used here — is the union-scan trick:
+
+  tag both sides, UNION them (cheap, no key explosion), then one window
+  `partitionBy(key).orderBy(ts, side, tiebreak)` with
+  `last(<right col>, ignorenulls=True)` over the unbounded-preceding frame.
+  When the frame reaches a left row, the last non-null right value IS the
+  as-of match: every right row at ts' < ts — and, because right sorts
+  before left on ties, at ts' == ts — has already entered the frame.
+
+Cost: ONE shuffle on the join key (the same one an equi-join would pay),
+a per-key sort, zero joins, no row multiplication — the plan a 100 TB
+event table needs. Skewed keys behave like any window (one hot key = one
+hot partition); pre-filtering the right side to the needed columns keeps
+shuffle rows narrow.
+
+Determinism: (ts, side, tiebreak) is a total order whenever ``tiebreak``
+is unique per row (event ids), so equal-timestamp right rows resolve to
+the greatest tiebreak — the same row on every engine, which is what makes
+the operator independently DuckDB-oracle-able (same window formulation,
+IGNORE NULLS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    right_cols: list[str],
+    tolerance: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same ``key`` (ties: right wins, then
+    greatest ``tiebreak``). Returns all left columns plus
+    ``<prefix>ts``, ``<prefix><tiebreak>`` and ``<prefix><col>`` for each
+    of ``right_cols`` (null when no right row is at-or-before, or when the
+    match is older than ``tolerance`` ts-units).
+
+    ``ts`` must be a totally ordered numeric/sortable column (use epoch
+    micros for timestamps — engine-portable); ``tiebreak`` must be unique
+    per row on both sides for deterministic tie resolution.
+    """
+    matched = [ts, tiebreak] + [c for c in right_cols if c not in (ts, tiebreak)]
+    l_cols = left.columns
+    l = left.select(
+        *l_cols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in matched],
+    )
+    r = right.select(
+        *[
+            F.col(c) if c in (key, ts, tiebreak) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in matched],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side", tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.select(
+        *l_cols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in matched
+        ],
+    ).where(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = (F.col(ts) - F.col(f"{prefix}{ts}")) > F.lit(int(tolerance))
+        out = out.select(
+            *l_cols,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{prefix}{c}")).alias(
+                    f"{prefix}{c}"
+                )
+                for c in matched
+            ],
+        )
+    else:
+        out = out.select(*l_cols, *[f"{prefix}{c}" for c in matched])
+    return out
+
+
+def events_asof_sql(
+    left_type: str,
+    right_type: str,
+    tolerance_us: int,
+    events: str = "events",
+) -> str:
+    """Independent DuckDB recomputation of the events as-of contract query:
+    the identical union-scan window formulation (last_value IGNORE NULLS
+    over the (ts, side, event_id) order), then the tolerance null-out."""
+    return f"""
+        with ea_u as (
+          select user_id, epoch_us(ts) as ts_us, event_id, value,
+                 1 as side
+          from {events} where event_type = '{left_type}'
+          union all
+          select user_id, epoch_us(ts) as ts_us, event_id, value,
+                 0 as side
+          from {events} where event_type = '{right_type}'),
+        ea_w as (
+          select user_id, ts_us, event_id, side,
+                 last_value(case when side = 0 then ts_us end ignore nulls)
+                   over w as m_ts,
+                 last_value(case when side = 0 then event_id end ignore nulls)
+                   over w as m_id,
+                 last_value(case when side = 0 then value end ignore nulls)
+                   over w as m_value
+          from ea_u
+          window w as (partition by user_id
+                       order by ts_us, side, event_id
+                       rows between unbounded preceding and current row))
+        select event_id, user_id,
+               case when ts_us - m_ts > {tolerance_us} then null
+                    else m_id end as asof_event_id,
+               case when ts_us - m_ts > {tolerance_us} then null
+                    else m_value end as asof_value,
+               case when ts_us - m_ts > {tolerance_us} then null
+                    else ts_us - m_ts end as gap_us
+        from ea_w where side = 1"""

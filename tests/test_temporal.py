@@ -1,0 +1,62 @@
+"""As-of join semantics (operators/temporal.py).
+
+Pinned here:
+- latest right row at-or-before each left row per key (ties: right wins);
+- equal-timestamp right rows resolve to the greatest tiebreak;
+- tolerance nulls out stale matches; no prior right row -> nulls;
+- keys never leak across each other.
+"""
+
+from palladian_spark.operators.temporal import asof_join
+
+
+def _run(spark, left, right, **kw):
+    schema = "user_id long, ts_us long, event_id long, value double"
+    l = spark.createDataFrame(left, schema)
+    r = spark.createDataFrame(right, schema)
+    out = asof_join(
+        l, r, key="user_id", ts="ts_us", tiebreak="event_id",
+        right_cols=["value"], **kw
+    )
+    rows = out.orderBy("event_id").collect()
+    return [
+        (x["event_id"], x["asof_event_id"], x["asof_value"], x["asof_ts_us"])
+        for x in rows
+    ]
+
+
+def test_asof_latest_at_or_before(spark):
+    left = [(1, 100, 10, 1.0), (1, 200, 11, 2.0)]
+    right = [(1, 50, 1, 5.0), (1, 100, 2, 6.0), (1, 150, 3, 7.0)]
+    got = _run(spark, left, right)
+    # left@100 matches right@100 (tie -> right wins), left@200 matches right@150
+    assert got == [(10, 2, 6.0, 100), (11, 3, 7.0, 150)]
+
+
+def test_asof_equal_ts_right_rows_resolve_to_greatest_tiebreak(spark):
+    left = [(1, 100, 10, 1.0)]
+    right = [(1, 100, 2, 6.0), (1, 100, 5, 8.0), (1, 100, 3, 7.0)]
+    got = _run(spark, left, right)
+    assert got == [(10, 5, 8.0, 100)]
+
+
+def test_asof_no_prior_match_is_null(spark):
+    left = [(1, 100, 10, 1.0)]
+    right = [(1, 150, 2, 6.0)]
+    got = _run(spark, left, right)
+    assert got == [(10, None, None, None)]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = [(1, 1000, 10, 1.0), (1, 1050, 11, 1.0)]
+    right = [(1, 900, 2, 6.0)]
+    got = _run(spark, left, right, tolerance=120)
+    # gap 100 <= 120 kept; gap 150 > 120 nulled
+    assert got == [(10, 2, 6.0, 900), (11, None, None, None)]
+
+
+def test_asof_keys_do_not_leak(spark):
+    left = [(1, 100, 10, 1.0), (2, 100, 11, 1.0)]
+    right = [(1, 50, 2, 6.0)]
+    got = _run(spark, left, right)
+    assert got == [(10, 2, 6.0, 50), (11, None, None, None)]
