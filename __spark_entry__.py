@@ -1148,6 +1148,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("ts_us") - F.col("asof_ts_us")).alias("gap_us"),
         )
 
+    def events_range_join(spark, sf_dir):
+        # banded range join (bucket = ts div radius, right side replicated
+        # to +/-1 buckets -> pure equi join + residual filter): per
+        # purchase, how many views by the same user within +/-15 min.
+        # max() not sum() over the double column — float-order-independent,
+        # so the cross-engine hash compare is exact.
+        from palladian_spark.operators.temporal import range_join
+
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        pairs = range_join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts_us"
+            ),
+            ev.where(F.col("event_type") == "view").select(
+                "user_id", "ts_us", "event_id", "value"
+            ),
+            key="user_id",
+            ts="ts_us",
+            radius=900_000_000,
+            right_cols=["event_id", "value"],
+            how="left_outer",
+        )
+        return pairs.groupBy("event_id", "user_id").agg(
+            F.count("r_event_id").alias("n_matches"),
+            F.max("r_value").alias("max_match_value"),
+        )
+
     def events_topk(spark, sf_dir):
         ev = _read(spark, sf_dir, "events")
         counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -1345,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_seed_sample=events_seed_sample,
         events_sessionize=events_sessionize,
         events_asof=events_asof,
+        events_range_join=events_range_join,
         events_topk=events_topk,
         rule_engine_tags=rule_engine_tags,
         rule_triples=rule_triples,
@@ -1870,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
+        events_range_sql as _events_range_sql,
     )
     from palladian_spark.operators.code_curation import (
         augment_corpus_sql as _aug_corpus_sql,
@@ -2775,6 +2806,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_asof": _events_asof_sql(
             "purchase", "view", 3_600_000_000
+        ),
+        "events_range_join": _events_range_sql(
+            "purchase", "view", 900_000_000
         ),
         "events_sessionize": """
             with e as (select user_id, event_id, epoch_us(ts) as us from events),

@@ -100,6 +100,7 @@ HEADLINE = [
     "join_customer_orders",
     "events_sessionize",
     "events_asof",
+    "events_range_join",
     "events_topk",
 ]
 

@@ -139,3 +139,105 @@ def events_asof_sql(
                case when ts_us - m_ts > {tolerance_us} then null
                     else ts_us - m_ts end as gap_us
         from ea_w where side = 1"""
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    radius: int,
+    right_cols: list[str],
+    how: str = "inner",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Banded range join: all (left, right) pairs on the same ``key`` with
+    ``|left.ts - right.ts| <= radius``.
+
+    The naive plan is a per-key cartesian product filtered afterwards —
+    BroadcastNestedLoop or a key-equi join whose output is O(n_l x n_r)
+    per key before the time filter. The scalable shape is time bucketing:
+
+      bucket = floor(ts / radius). A qualifying pair's buckets differ by
+      at most 1, so replicating each RIGHT row to buckets {b-1, b, b+1}
+      (a 3x explode of the narrow projection, done before the shuffle)
+      turns the range predicate into an EQUI join on (key, bucket) plus a
+      residual |dt| <= radius filter in the join condition. Each right
+      replica carries a distinct bucket, so a pair can match through
+      exactly one replica — no post-join dedup.
+
+    Cost: one equi-shuffle on (key, bucket) over 3x the right rows
+    (narrow columns only) — versus the unbounded per-key blowup of the
+    naive join. Output fan-out equals the TRUE pair count; callers that
+    only need per-left aggregates should aggregate immediately (the
+    contract query does), never materialize pairs at corpus scale.
+
+    ``how='left_outer'`` keeps zero-match left rows (right columns null),
+    still in the single join — no resurrection join afterwards.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
+    rad = int(radius)
+    # integer `div`, not floor(double /): epoch-micro values near an exact
+    # bucket boundary can round the double quotient across it, breaking the
+    # +/-1-bucket cover guarantee. Requires ts >= 0 (epoch times are).
+    l = left.withColumn("_b", F.expr(f"cast((`{ts}` div {rad}) as long)"))
+    r = (
+        right.select(
+            F.col(key).alias("_rk"),
+            F.col(ts).alias("_rts"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        )
+        .withColumn("_rb0", F.expr(f"cast((_rts div {rad}) as long)"))
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    F.col("_rb0") - F.lit(1), F.col("_rb0"), F.col("_rb0") + F.lit(1)
+                )
+            ).alias("_b"),
+        )
+        .drop("_rb0")
+    )
+    cond = (
+        (l[key] == r["_rk"])
+        & (l["_b"] == r["_b"])
+        & (F.abs(l[ts] - r["_rts"]) <= F.lit(rad))
+    )
+    out = l.join(r, cond, how)
+    return out.select(
+        *[l[c] for c in left.columns],
+        r["_rts"].alias(f"{prefix}{ts}"),
+        *[r[f"{prefix}{c}"] for c in right_cols],
+    )
+
+
+def events_range_sql(
+    left_type: str,
+    right_type: str,
+    radius_us: int,
+    events: str = "events",
+) -> str:
+    """Independent DuckDB recomputation of the events range-join contract
+    query: a plain inequality join (DuckDB's optimizer handles the small
+    scale; the bucketed plan is the Spark-side scale strategy, the
+    SEMANTICS are this join), aggregated per left event. max() not sum()
+    over the double column — max is float-order-independent, so the hash
+    compare is exact across engines."""
+    return f"""
+        with rj_l as (
+          select event_id, user_id, epoch_us(ts) as ts_us
+          from {events} where event_type = '{left_type}'),
+        rj_r as (
+          select event_id, user_id, epoch_us(ts) as ts_us, value
+          from {events} where event_type = '{right_type}')
+        select l.event_id, l.user_id,
+               count(r.event_id)::bigint as n_matches,
+               max(r.value) as max_match_value
+        from rj_l l
+        left join rj_r r
+          on r.user_id = l.user_id
+         and abs(l.ts_us - r.ts_us) <= {int(radius_us)}
+        group by 1, 2"""

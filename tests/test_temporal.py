@@ -60,3 +60,55 @@ def test_asof_keys_do_not_leak(spark):
     right = [(1, 50, 2, 6.0)]
     got = _run(spark, left, right)
     assert got == [(10, 2, 6.0, 50), (11, None, None, None)]
+
+
+# ---------------------------------------------------------------------------
+# range_join (banded interval join)
+# ---------------------------------------------------------------------------
+
+from palladian_spark.operators.temporal import range_join
+
+
+def _range(spark, left, right, radius, how="inner"):
+    schema = "user_id long, ts_us long, event_id long, value double"
+    l = spark.createDataFrame(left, schema).select("event_id", "user_id", "ts_us")
+    r = spark.createDataFrame(right, schema)
+    out = range_join(
+        l, r, key="user_id", ts="ts_us", radius=radius,
+        right_cols=["event_id", "value"], how=how,
+    )
+    rows = out.orderBy("event_id", "r_event_id").collect()
+    return [(x["event_id"], x["r_event_id"]) for x in rows]
+
+
+def test_range_join_bounds_inclusive(spark):
+    left = [(1, 1000, 10, 0.0)]
+    right = [
+        (1, 900, 1, 0.0),   # dt 100 == radius -> in
+        (1, 1100, 2, 0.0),  # dt 100 == radius -> in
+        (1, 899, 3, 0.0),   # dt 101 -> out
+        (1, 1101, 4, 0.0),  # dt 101 -> out
+    ]
+    assert _range(spark, left, right, 100) == [(10, 1), (10, 2)]
+
+
+def test_range_join_cross_bucket_pairs_found_once(spark):
+    # radius 100 -> buckets of width 100; pairs straddling a bucket
+    # boundary must appear exactly once (replica cover, no dup)
+    left = [(1, 199, 10, 0.0), (1, 200, 11, 0.0)]
+    right = [(1, 201, 1, 0.0), (1, 100, 2, 0.0)]
+    got = _range(spark, left, right, 100)
+    assert got == [(10, 1), (10, 2), (11, 1), (11, 2)]
+
+
+def test_range_join_left_outer_keeps_unmatched(spark):
+    left = [(1, 1000, 10, 0.0), (2, 1000, 11, 0.0)]
+    right = [(1, 1001, 1, 0.0)]
+    got = _range(spark, left, right, 10, how="left_outer")
+    assert got == [(10, 1), (11, None)]
+
+
+def test_range_join_key_isolation(spark):
+    left = [(1, 1000, 10, 0.0)]
+    right = [(2, 1000, 1, 0.0)]
+    assert _range(spark, left, right, 100) == []
