@@ -112,3 +112,72 @@ def test_range_join_key_isolation(spark):
     left = [(1, 1000, 10, 0.0)]
     right = [(2, 1000, 1, 0.0)]
     assert _range(spark, left, right, 100) == []
+
+
+# ---------------------------------------------------------------------------
+# randomized parity: asof_join vs pandas.merge_asof, range_join vs brute force
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+
+def _mk_events(rng, n, n_users, t_max):
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, n_users, n),
+            "ts_us": rng.integers(0, t_max, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": np.round(rng.random(n), 3),
+        }
+    )
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    left = _mk_events(rng, 200, 10, 10_000)
+    right = _mk_events(rng, 300, 10, 10_000)
+    right["event_id"] += 1000
+    # pandas merge_asof: backward direction == at-or-before; it breaks
+    # equal-ts ties by taking the LAST right row in sort order, so sort
+    # right by (ts, event_id) to match the operator's greatest-tiebreak.
+    pl = left.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    pr = right.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    expected = pd.merge_asof(
+        pl, pr, on="ts_us", by="user_id", direction="backward",
+        suffixes=("", "_r"),
+    )
+    exp = {
+        int(r.event_id): (None if pd.isna(r.event_id_r) else int(r.event_id_r))
+        for r in expected.itertuples()
+    }
+
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    out = asof_join(
+        l, r, key="user_id", ts="ts_us", tiebreak="event_id",
+        right_cols=["value"],
+    ).collect()
+    got = {row["event_id"]: row["asof_event_id"] for row in out}
+    assert got == exp
+
+
+def test_range_join_matches_brute_force(spark):
+    rng = np.random.default_rng(11)
+    left = _mk_events(rng, 150, 8, 5_000)
+    right = _mk_events(rng, 250, 8, 5_000)
+    right["event_id"] += 1000
+    radius = 137  # deliberately not a divisor of anything
+    merged = left.merge(right, on="user_id", suffixes=("", "_r"))
+    merged = merged[(merged.ts_us - merged.ts_us_r).abs() <= radius]
+    exp = set(zip(merged.event_id.astype(int), merged.event_id_r.astype(int)))
+
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    out = range_join(
+        l, r, key="user_id", ts="ts_us", radius=radius,
+        right_cols=["event_id", "value"],
+    ).collect()
+    got = [(row["event_id"], row["r_event_id"]) for row in out]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == exp
