@@ -1020,6 +1020,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = ivf_topk(emb, qset, k=5, n_centroids=16, n_probe=4)
         return res.select("query_id", "vec_id", F.col("rank").alias("rnk"))
 
+    def ann_pq_topk(spark, sf_dir):
+        # Product-quantization ANN in the production shape: int64 ADC code
+        # scan (m=4 table lookups per corpus row — a 64x byte cut vs float
+        # vectors) generates k*4 candidates per query, exact cosine rescores
+        # only that pool. Codebook = the 16 conforming vectors with the
+        # smallest md5(vec_id) (a deterministic uniform sample — diverse
+        # under id/topic correlation); all ADC arithmetic is int64 on a 2^20
+        # fixed-point grid, so the DuckDB oracle recomputes codebook, codes,
+        # ADC tables, candidate pool, and the round-6 rescore bit-
+        # identically. Pool recall vs the exact baseline is pytest-gated
+        # (tests/test_spark_operators.py).
+        from palladian_spark.operators.similarity_search import pq_topk
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qset = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = pq_topk(emb, qset, k=5, n_cells=16, m=4, rescore_factor=4)
+        return res.select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("score") * 1000000).cast("long").alias("cos_ppm"),
+            F.col("rank").alias("rnk"),
+        )
+
     def embedding_quantize(spark, sf_dir):
         # int8 scalar quantization (vec_id, pos, code) — pure JVM plan;
         # floor(x+0.5) formulation is engine-portable (see operator doc).
@@ -1365,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk=ann_topk,
         ann_lsh_topk=ann_lsh_topk,
         ann_ivf_topk=ann_ivf_topk,
+        ann_pq_topk=ann_pq_topk,
         embedding_quantize=embedding_quantize,
         embedding_near_dups=embedding_near_dups,
         tpch_pricing=tpch_pricing,
@@ -2746,6 +2774,71 @@ def oracle_sql() -> dict[str, str]:
                                             order by cos desc, vec_id) as rnk
                   from s)
             select query_id, vec_id, rnk from r where rnk <= 5
+        """,
+        # PQ-ADC: every quantity is int64 on the 2^20 fixed-point grid
+        # (iq(x) = floor(x*2^20+0.5)); dist = <a,a> - 2<a,b> + <b,b> equals
+        # numpy's sum((a-b)^2) exactly (all dots < 2^53, double-exact in
+        # DuckDB's list_dot_product). Ties: argmin-first == order by dist,
+        # c_idx; final rank order by score desc, vec_id.
+        "ann_pq_topk": """
+            with e0 as (select vec_id, embedding::DOUBLE[] as v from embeddings
+                        where embedding is not null and len(embedding) > 0),
+            dim as (select d from (select len(v) as d, count(*) as c
+                                   from e0 group by 1 order by c desc, d limit 1)),
+            e as (select vec_id, v from e0, dim where len(v) = dim.d),
+            eq as (select vec_id,
+                          list_transform(v, x ->
+                              cast(floor(x * 1048576.0 + 0.5) as bigint)) as iv,
+                          (select d from dim) // 4 as ds
+                   from e),
+            -- codeword sources: the 16 conforming vectors with the smallest
+            -- md5(vec_id) hex (string compare == Spark's orderBy(md5(...)));
+            -- cell index = rank within that hash order
+            cb as (select row_number() over (order by md5(vec_id::varchar), vec_id) - 1
+                              as c_idx, iv, ds
+                   from (select vec_id, iv, ds from eq
+                         order by md5(vec_id::varchar), vec_id limit 16)),
+            subs as (select unnest(generate_series(0, 3)) as s),
+            esub as (select vec_id, s, list_slice(iv, s*ds + 1, (s+1)*ds) as sub
+                     from eq, subs),
+            csub as (select c_idx, s, list_slice(iv, s*ds + 1, (s+1)*ds) as sub
+                     from cb, subs),
+            dists as (select e.vec_id, e.s, c.c_idx,
+                             cast(list_dot_product(e.sub, e.sub) as bigint)
+                             - 2 * cast(list_dot_product(e.sub, c.sub) as bigint)
+                             + cast(list_dot_product(c.sub, c.sub) as bigint) as dist
+                      from esub e join csub c using (s)),
+            codes as (select vec_id, s, c_idx as code from (
+                        select vec_id, s, c_idx,
+                               row_number() over (partition by vec_id, s
+                                                  order by dist, c_idx) as rn
+                        from dists) where rn = 1),
+            qsub as (select vec_id as query_id, s, sub from esub where vec_id < 3),
+            t as (select q.query_id, q.s, c.c_idx,
+                         cast(list_dot_product(q.sub, c.sub) as bigint) as contrib
+                  from qsub q join csub c using (s)),
+            scores as (select t.query_id, codes.vec_id,
+                              sum(t.contrib)::bigint as score
+                       from codes join t on t.s = codes.s and t.c_idx = codes.code
+                       group by 1, 2),
+            pool as (select query_id, vec_id from (
+                       select query_id, vec_id,
+                              row_number() over (partition by query_id
+                                                 order by score desc, vec_id) as rn
+                       from scores) where rn <= 20),
+            resc as (select p.query_id, p.vec_id,
+                            round(list_dot_product(e.v, q.v) /
+                                  coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
+                                                  * sqrt(list_dot_product(q.v, q.v)), 0), 1),
+                                  6) as cos
+                     from pool p
+                     join e on e.vec_id = p.vec_id
+                     join e q on q.vec_id = p.query_id),
+            r as (select query_id, vec_id, round(cos * 1000000)::bigint as cos_ppm,
+                         row_number() over (partition by query_id
+                                            order by cos desc, vec_id) as rnk
+                  from resc)
+            select query_id, vec_id, cos_ppm, rnk from r where rnk <= 5
         """,
         # int8 quantization: identical double op order + floor(x+0.5) on
         # both engines (round() differs: numpy half-even vs SQL half-away).

@@ -511,6 +511,232 @@ def quantize_embeddings(
     )
 
 
+def _pq_codebook(
+    embeddings: DataFrame,
+    n_cells: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> np.ndarray | None:
+    """Product-quantization codebook: the ``n_cells`` lowest-id conforming
+    vectors, sliced into ``m`` subvectors and quantized to the fixed-point
+    grid iq(x) = floor(x * 2^20 + 0.5). Returns (m, n_cells, dim//m) int64,
+    or None when the table has no conforming rows. Seeded-deterministic
+    like the IVF codebook (`_centroid_matrix`) so a DuckDB oracle
+    regenerates the identical codewords from the table itself; a production
+    build would Lloyd-refine per subspace, which changes codeword VALUES
+    but none of the encode/ADC plumbing."""
+    if dim is None or dim % m != 0:
+        return None
+    # codeword sources are the n_cells conforming vectors with the SMALLEST
+    # md5(id) hex — a deterministic uniform sample. NOT lowest-id (the IVF
+    # seeding): at 10^12 rows ids correlate with ingest order and topic, so
+    # the lowest ids can all sit in one cluster and the codebook degenerates
+    # (measured: clustered-corpus recall 0.0 with lowest-id seeds, ~1.0 with
+    # hash seeds). md5 hex compares identically as a string on both engines,
+    # and orderBy+limit runs as a TakeOrdered — no global-window shuffle.
+    pool = _non_null_vectors(embeddings, vec_col).where(
+        F.size(F.col(vec_col)) == F.lit(dim)
+    )
+    rows = (
+        pool.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    if not rows:
+        return None
+    cent = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    iq = np.floor(cent * _SRP_SCALE + 0.5).astype(np.int64)  # (cells, dim)
+    ds = dim // m
+    # (cells, m, ds) -> (m, cells, ds)
+    return iq.reshape(iq.shape[0], m, ds).transpose(1, 0, 2).copy()
+
+
+def _make_pq_codes_udf(codebook: np.ndarray, dim: int):
+    """array<int> of ``m`` PQ codes per vector: code_s = argmin over cells
+    of the integer squared L2 distance between the vector's s-th fixed-point
+    subvector and the codeword. Ties break to the LOWEST cell index
+    (np.argmin first-occurrence == the oracle's `order by dist, cell`).
+    All arithmetic is int64 on a 2^20 fixed-point grid — |diff| <= 2^24 for
+    |v| <= 16, so per-subspace distances stay < 2^53 and are bit-identical
+    across engines (no float summation order, ever). Non-conforming rows
+    code to null (masked, cannot participate)."""
+    m, n_cells, ds = codebook.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        lists = vecs.tolist()
+        mat, ok = _stack_valid(lists, dim)
+        out: list = [None] * len(lists)
+        if mat.shape[0]:
+            iq = np.floor(mat * _SRP_SCALE + 0.5).astype(np.int64)
+            iq = iq.reshape(mat.shape[0], m, ds)
+            codes = np.empty((mat.shape[0], m), dtype=np.int64)
+            for s in range(m):  # loop keeps peak memory at rows*cells*ds
+                diff = iq[:, s, None, :] - codebook[s][None, :, :]
+                dist = np.einsum("rcd,rcd->rc", diff, diff)
+                codes[:, s] = np.argmin(dist, axis=1)
+            for row, i in zip(codes, np.nonzero(ok)[0]):
+                out[i] = row
+        return pd.Series(out, dtype="object")
+
+    return _codes
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: (id, codes array<m> of cell indices).
+    The 100 TB storage path past int8 scalar quantization: a 64-dim float
+    vector (256 B) compresses to m log2(n_cells)-bit codes (4 B at m=4,
+    cells=16) — a 64x byte cut for the ANN scan, rescoring on the float
+    column only for final candidates. One Arrow matmul-shaped pass; the
+    codebook is a bounded parameter-sized collect broadcast with the UDF."""
+    dim = _table_dim(embeddings, vec_col)
+    codebook = _pq_codebook(embeddings, n_cells, m, id_col, vec_col, dim)
+    src = spread(_non_null_vectors(embeddings, vec_col)).select(id_col, vec_col)
+    if codebook is None:
+        return src.select(id_col, F.lit(None).cast(ArrayType(LongType())).alias("codes")).where(F.lit(False))
+    codes_udf = _make_pq_codes_udf(codebook, dim)
+    return src.select(id_col, codes_udf(F.col(vec_col)).alias("codes")).where(
+        F.col("codes").isNotNull()
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    m: int = 4,
+    rescore_factor: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-ADC top-k: encode the corpus to ``m`` codes per row, score every
+    row against every query through per-subspace lookup tables (asymmetric
+    distance computation on the inner product), rank by score — and, with
+    ``rescore_factor`` > 0, exact-cosine rescore the top k*factor ADC
+    candidates (the production PQ shape: the code scan generates candidates,
+    floats are touched only for the short rescore list).
+
+    The scan-cheap ANN path: per corpus row the ADC score is m table
+    lookups + (m-1) adds on int64 — no float math, no per-pair dot product
+    — so the full-corpus scan that brute force cannot afford becomes
+    affordable (compose with IVF cell restriction for the 10^9-vector
+    regime; this operator measures the PQ half). The ADC tables T[q][s][c]
+    = dot(iq(q_sub), codeword) are (n_q, m, n_cells) int64, broadcast with
+    the UDF; the only shuffles are the top-k windows. Approximate by design
+    (quantization error moves near-ties; rescoring restores exact order
+    WITHIN the candidate pool); pool recall vs the exact baseline is
+    pytest-gated. ADC scores are exact int64 on both engines — the DuckDB
+    oracle recomputes codebook, codes, tables, scores, and the rescore
+    bit-identically (fixed-point grid; the rescore cosine uses the same
+    round-6 formulation as the IVF oracle).
+
+    Returns (query_id, vec_id, score, rank) with rank 1..k per query; in
+    rescore mode score is the exact cosine (rounded to 6 decimals) and rank
+    orders by it, ties broken by ascending id.
+    """
+    dim = _table_dim(embeddings, vec_col)
+    codebook = _pq_codebook(embeddings, n_cells, m, id_col, vec_col, dim)
+    spark = embeddings.sparkSession
+    out_schema = "query_id long, vec_id long, score long, rank int"
+    if codebook is None:
+        return spark.createDataFrame([], out_schema).toDF(
+            query_id_col, id_col, "score", "rank"
+        )
+    ds = dim // m
+    # bounded collect: queries are a broadcast-sized set (like brute force)
+    q_rows = [
+        (r[0], list(r[1]))
+        for r in _non_null_vectors(queries, vec_col)
+        .select(query_id_col, vec_col)
+        .collect()
+        if len(r[1]) == dim
+    ]
+    if not q_rows:
+        return spark.createDataFrame([], out_schema).toDF(
+            query_id_col, id_col, "score", "rank"
+        )
+    q_rows.sort(key=lambda r: r[0])
+    q_ids = [int(r[0]) for r in q_rows]
+    q_mat = np.floor(
+        np.array([r[1] for r in q_rows], dtype=np.float64) * _SRP_SCALE + 0.5
+    ).astype(np.int64).reshape(len(q_rows), m, ds)
+    # ADC tables: T[q, s, c] = <iq(q_sub_s), codeword_{s,c}>  (int64, exact)
+    tables = np.einsum("qsd,scd->qsc", q_mat, codebook)
+
+    codes_udf = _make_pq_codes_udf(codebook, dim)
+    n_q = len(q_ids)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _scores(codes: pd.Series) -> pd.Series:
+        lists = codes.tolist()
+        out: list = [None] * len(lists)
+        idx = [i for i, c in enumerate(lists) if c is not None]
+        if idx:
+            cm = np.array([lists[i] for i in idx], dtype=np.int64)  # (rows, m)
+            acc = np.zeros((n_q, cm.shape[0]), dtype=np.int64)
+            for s in range(m):
+                acc += tables[:, s, cm[:, s]]
+            for col, i in zip(acc.T, idx):
+                out[i] = col
+        return pd.Series(out, dtype="object")
+
+    corpus = spread(_non_null_vectors(embeddings, vec_col)).select(id_col, vec_col)
+    scored = (
+        corpus.withColumn("_codes", codes_udf(F.col(vec_col)))
+        .withColumn("_sc", _scores(F.col("_codes")))
+        # posexplode_outer + null-guard: see _explode_tables (the inner
+        # variant re-evaluates the Arrow UDF behind a size()>0 filter)
+        .select(id_col, F.posexplode_outer("_sc").alias("_qi", "score"))
+        .where(F.col("score").isNotNull())
+    )
+    qid_map = F.broadcast(
+        spark.createDataFrame(
+            [(i, qid) for i, qid in enumerate(q_ids)], ["_qi", query_id_col]
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    adc = (
+        scored.join(qid_map, "_qi")
+        .select(query_id_col, id_col, "score")
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if not rescore_factor:
+        return adc.where(F.col("rank") <= k)
+    pool = adc.where(F.col("rank") <= k * rescore_factor).select(
+        query_id_col, id_col
+    )
+    qvecs = F.broadcast(
+        spark.createDataFrame(
+            [(qid, vec) for (qid, vec) in q_rows],
+            f"{query_id_col} long, _qvec array<double>",
+        )
+    )
+    rescored = (
+        pool.join(corpus, id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _cosine_udf(F.col(vec_col), F.col("_qvec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 def recommended_srp_planes(n_vectors: int, floor: int = 10) -> int:
     """SRP plane count that keeps the bucket self-join linear: random
     (cosine ~0) pairs collide per table at 0.5^planes, so the expected

@@ -426,6 +426,108 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         assert exact[key] == approx[key], f"cosine mismatch at {key}"
 
 
+def test_pq_rescored_recall_on_clustered_corpus(spark):
+    """PQ recall gate on the corpus shape PQ is built for (clustered
+    embeddings — near-dup/near-neighbor structure): ADC candidate pool +
+    exact rescore must recover >= 0.9 of the exact top-10, and rescored
+    cosines must equal brute force exactly on the intersection (the rescore
+    IS the brute-force scorer, applied to the pool only)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.similarity_search import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    def vec(c, i):
+        return [
+            math.sin(0.7 * c + 1.3 * j) + 0.08 * math.sin(2.1 * i + 0.9 * j + 5 * c)
+            for j in range(32)
+        ]
+
+    rows = [(c * 20 + i, vec(c, i)) for c in range(10) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (
+        df.where(F.col("vec_id") % 20 == 0)
+        .where(F.col("vec_id") < 100)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in brute_force_topk(df, q, k=10).collect()}
+    got = {(r["query_id"], r["vec_id"]): r["score"]
+           for r in pq_topk(df, q, k=10, n_cells=16, m=4, rescore_factor=8).collect()}
+    recall = len(exact.keys() & got.keys()) / len(exact)
+    assert recall >= 0.9, f"PQ rescored recall {recall:.2f} < 0.9"
+    for key in exact.keys() & got.keys():
+        assert exact[key] == got[key], f"rescore cosine mismatch at {key}"
+
+
+def test_pq_topk_self_match_and_adc_ordering(spark):
+    """On the sf0.001 embeddings table (near-random angles — the hard case
+    for any quantizer): every query's own vector must rank #1 through the
+    rescored path, and the pure-ADC path must return exactly k rows per
+    query with strictly rank-ordered int64 scores."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.similarity_search import pq_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = pq_topk(emb, q, k=5, n_cells=16, m=4, rescore_factor=4).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(qid == vid for qid, vid in top1.items()), top1
+
+    adc = pq_topk(emb, q, k=5, n_cells=16, m=4).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(adc, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["score"])
+    assert len(by_q) == 10
+    for qid, scores in by_q.items():
+        assert len(scores) == 5
+        assert scores == sorted(scores, reverse=True), (qid, scores)
+        assert all(isinstance(s, int) for s in scores)
+
+
+def test_pq_encode_codes_and_hostile_rows(spark):
+    """pq_encode emits one m-length code row per conforming vector, codes in
+    [0, n_cells); null/empty/dim-corrupt rows are masked out, never fatal;
+    and pq_topk over the same hostile table neither crashes nor surfaces a
+    corrupt row."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.similarity_search import pq_encode, pq_topk
+
+    rows = [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(8)]) for i in range(30)]
+    rows += [(100, None), (101, []), (102, [1.0, 2.0]), (103, [0.0] * 9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, n_cells=4, m=2).collect()
+    assert {r["vec_id"] for r in enc} == set(range(30))
+    for r in enc:
+        assert len(r["codes"]) == 2
+        assert all(0 <= c < 4 for c in r["codes"])
+
+    q = df.where(F.col("vec_id").isin(0, 102)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(df, q, k=3, n_cells=4, m=2).collect()
+    assert {r["query_id"] for r in got} == {0}  # corrupt query masked
+    assert all(r["vec_id"] < 30 for r in got)
+
+    # fully-degenerate table: no conforming rows -> empty result, no crash
+    bad = spark.createDataFrame(
+        [(1, None), (2, [])], "vec_id long, embedding array<double>"
+    )
+    assert pq_topk(bad, q, k=3, n_cells=4, m=2).count() == 0
+    assert pq_encode(bad, n_cells=4, m=2).count() == 0
+
+
 def test_ivf_lloyd_refinement_matches_numpy_reference(spark):
     """One Lloyd iteration must equal the straightforward numpy k-means
     step exactly (same assignment tie-break, member means, empty cells keep
