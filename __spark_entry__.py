@@ -186,6 +186,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return kw(_read(spark, sf_dir, "documents"))
 
+    def bpe_merges(spark, sf_dir):
+        # distributed BPE vocabulary training (Sennrich 2016): pair counts
+        # and merges run over the DISTINCT-WORD table, so per-round cost is
+        # vocabulary-sized, not corpus-sized; the argmax merge is a 1-row
+        # collect per round. Fully recomputed by an unrolled window-function
+        # CTE chain in DuckDB (greedy run semantics via gaps-and-islands).
+        from palladian_spark.operators.bpe import bpe_merges as _bpe
+
+        res = _bpe(_read(spark, sf_dir, "documents"), n_merges=8)
+        return res.select(
+            "merge_rank",
+            F.col("left").alias("lhs"),
+            F.col("right").alias("rhs"),
+            "pair_count",
+        )
+
+    def bpe_token_counts(spark, sf_dir):
+        # per-doc token counts under the trained 8-merge BPE vocabulary:
+        # encoding is a join against the trained word table, not a re-scan
+        from palladian_spark.operators.bpe import bpe_token_counts as _bpe_tc
+
+        return _bpe_tc(_read(spark, sf_dir, "documents"), n_merges=8)
+
     def doc_dup_spans(spark, sf_dir):
         # exact substring-duplication spans (Lee et al. 2022 semantics,
         # hash-blocked 40-grams, cross-doc only): per-doc span count +
@@ -1364,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_dup_spans=doc_dup_spans,
         doc_term_corpus=doc_term_corpus,
         doc_keywords=doc_keywords,
+        bpe_merges=bpe_merges,
+        bpe_token_counts=bpe_token_counts,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -1926,6 +1951,10 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.curation import (
         pack_sequences_sql as _pack_sequences_sql,
     )
+    from palladian_spark.operators.bpe import (
+        bpe_merges_sql as _bpe_merges_sql,
+        bpe_token_counts_sql as _bpe_token_counts_sql,
+    )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
@@ -2088,6 +2117,11 @@ def oracle_sql() -> dict[str, str]:
             with {_doc_terms_sql()}
             {_term_corpus_sql()}
         """,
+        # distributed BPE trainer: unrolled per-round CTEs recompute pair
+        # counts, the lexicographic-tie argmax, and the greedy merge (runs
+        # resolved via gaps-and-islands windows) — see operators/bpe.py
+        "bpe_merges": _bpe_merges_sql(8),
+        "bpe_token_counts": _bpe_token_counts_sql(8),
         "doc_keywords": f"""
             with {_doc_terms_sql()}
             {_doc_keywords_sql()}
