@@ -209,6 +209,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _bpe_tc(_read(spark, sf_dir, "documents"), n_merges=8)
 
+    def doc_token_hll(spark, sf_dir):
+        # per-language + max-merged ('*') HyperLogLog register tables over
+        # the token stream (2^8 registers; portable 60-bit md5 hash, rho
+        # via binary-string length — no float anywhere). The register
+        # table IS the sketch: output is bounded by langs * 256 regardless
+        # of corpus size; estimator accuracy is pytest-gated separately.
+        from palladian_spark.operators.sketches import token_hll_registers
+
+        return token_hll_registers(_read(spark, sf_dir, "documents"), p=8)
+
     def doc_dup_spans(spark, sf_dir):
         # exact substring-duplication spans (Lee et al. 2022 semantics,
         # hash-blocked 40-grams, cross-doc only): per-doc span count +
@@ -1389,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_keywords=doc_keywords,
         bpe_merges=bpe_merges,
         bpe_token_counts=bpe_token_counts,
+        doc_token_hll=doc_token_hll,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -1955,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
         bpe_merges_sql as _bpe_merges_sql,
         bpe_token_counts_sql as _bpe_token_counts_sql,
     )
+    from palladian_spark.operators.sketches import (
+        token_hll_registers_sql as _token_hll_sql,
+    )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
@@ -2122,6 +2136,9 @@ def oracle_sql() -> dict[str, str]:
         # resolved via gaps-and-islands windows) — see operators/bpe.py
         "bpe_merges": _bpe_merges_sql(8),
         "bpe_token_counts": _bpe_token_counts_sql(8),
+        # HLL register table: portable md5 hash + bit ops + bin-length rho;
+        # per-lang sketches max-merge into the '*' row (exact merge)
+        "doc_token_hll": _token_hll_sql(8),
         "doc_keywords": f"""
             with {_doc_terms_sql()}
             {_doc_keywords_sql()}

@@ -1,0 +1,134 @@
+"""Mergeable cardinality sketches for corpus profiling.
+
+HyperLogLog (Flajolet et al. 2007 — public algorithm) over the portable
+60-bit md5 token hash the dedup family already uses: distinct-token
+counting at 100 TB in 2^p integer registers per group. The register table
+IS the sketch — `max` over registers merges sketches exactly (per-lang
+sketches max-merge into the corpus-wide sketch with zero approximation
+added), so shards/partitions/days combine with one tiny aggregation
+instead of a distinct over 10^12 tokens.
+
+Engine parity: the hash is `conv(substring(md5(w),1,15),16,10)` (DuckDB:
+`('0x' || substr(md5(w),1,15))::bigint`), the register index and suffix
+are bit ops, and rho comes from the binary-string length (`conv(w,10,2)`
+/ `bin(w)` — no float log2), so the whole register table hash-verifies
+cross-engine. The float estimate is intentionally NOT part of the
+contract output: it derives from the registers driver-side
+(:func:`hll_estimate`) and is accuracy-gated in pytest instead.
+
+Spark has approx_count_distinct (HLL++) built in; this operator exists
+because its sketch must be engine-portable, deterministic, and mergeable
+OUTSIDE Spark (the DuckDB oracle recomputes it bit-identically) — the
+property a lineage/metrics table needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import spread
+
+# same word rule as the BPE trainer: engine-identical, no case folding
+WORD_RE = "[a-z]+"
+_HASH_BITS = 60  # conv(substring(md5,1,15),16,10): 15 hex chars
+
+
+def token_hll_registers(
+    docs: DataFrame,
+    p: int = 8,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group HLL register table over the corpus token stream:
+    (group, register, max_rho), 2^p registers per group, plus the
+    max-merged corpus-wide sketch as group '*'.
+
+    One scan + one vocabulary-bounded aggregation: the groupBy output is
+    at most n_groups * 2^p rows regardless of corpus size, and every
+    operation before it is a codegen projection (md5, bit ops, string
+    length — no Python, no float). Registers a token never hit are absent
+    (the estimator treats them as rho 0)."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    toks = (
+        spread(docs.where(F.col(text_col).isNotNull()))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(WORD_RE), F.lit(0))
+            ).alias("word"),
+        )
+        .select("grp", h.alias("h"))
+        .select(
+            "grp",
+            F.col("h").bitwiseAND(m - 1).alias("register"),
+            F.shiftright("h", p).alias("w"),
+        )
+        .select(
+            "grp",
+            "register",
+            F.when(F.col("w") == 0, F.lit(w_bits + 1))
+            .otherwise(
+                F.lit(w_bits + 1)
+                - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+            )
+            .alias("rho"),
+        )
+    )
+    per_group = toks.groupBy("grp", "register").agg(F.max("rho").alias("max_rho"))
+    merged = (
+        per_group.groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit("*").alias("grp"), "register", "max_rho")
+    )
+    return per_group.unionByName(merged).select(
+        F.col("grp").alias(group_col), "register", "max_rho"
+    )
+
+
+def token_hll_registers_sql(p: int = 8, group_col: str = "lang") -> str:
+    """Full independent DuckDB oracle for :func:`token_hll_registers`."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    return f"""
+        with toks as (
+          select {group_col} as grp,
+                 ('0x' || substr(md5(word), 1, 15))::bigint as h
+          from (select {group_col},
+                       unnest(regexp_extract_all(text, '[a-z]+')) as word
+                from documents where text is not null)),
+        rhos as (select grp, h & {m - 1} as register,
+                        case when (h >> {p}) = 0 then {w_bits + 1}
+                             else {w_bits + 1} - length(bin(h >> {p}))
+                        end as rho
+                 from toks),
+        per_grp as (select grp, register, max(rho) as max_rho
+                    from rhos group by 1, 2)
+        select grp as {group_col}, register, max_rho from per_grp
+        union all
+        select '*' as {group_col}, register, max(max_rho) as max_rho
+        from per_grp group by 2
+    """
+
+
+def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
+    """Standard HLL estimator from a {register: max_rho} table (missing
+    registers = 0): bias-corrected harmonic mean with the small-range
+    linear-counting correction. Driver-side helper — accuracy (not
+    cross-engine float parity) is what pytest gates, so this stays out of
+    the contract output."""
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

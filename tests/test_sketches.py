@@ -1,0 +1,81 @@
+"""HyperLogLog register sketch: estimator accuracy, exact merge property,
+and hostile inputs."""
+
+from pyspark.sql import functions as F
+
+
+def _regs(rows, grp):
+    return {r["register"]: r["max_rho"] for r in rows if r["lang"] == grp}
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """At p=8 (256 registers) the standard error is ~6.5%; gate the
+    corpus-wide estimate at +-20% (3 sigma) of the true distinct-token
+    count on the sf0.001 documents table, and pin the merge property:
+    the '*' row MUST equal the register-wise max over the per-lang rows
+    (HLL merge is exact, not approximate)."""
+    from palladian_spark.operators.sketches import (
+        hll_estimate,
+        token_hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = token_hll_registers(docs, p=8).collect()
+
+    merged = _regs(rows, "*")
+    langs = {r["lang"] for r in rows} - {"*"}
+    for j, rho in merged.items():
+        assert rho == max(
+            _regs(rows, lang).get(j, 0) for lang in langs
+        ), f"register {j}: '*' row is not the max-merge"
+
+    true = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .distinct()
+        .count()
+    )
+    est = hll_estimate(merged, p=8)
+    assert abs(est - true) / true <= 0.20, f"HLL est {est:.0f} vs true {true}"
+
+
+def test_hll_registers_deterministic_and_hostile(spark):
+    from palladian_spark.operators.sketches import token_hll_registers
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "alpha DELTA 42", "en"),
+         (3, None, "de"), (4, "!!!", "de"), (5, "beta beta beta", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(map(tuple, token_hll_registers(docs, p=4).collect()))
+    b = sorted(map(tuple, token_hll_registers(docs, p=4).collect()))
+    assert a == b and len(a) > 0
+    # duplicate tokens add nothing: fr has one distinct token -> exactly
+    # one register row
+    assert sum(1 for r in a if r[0] == "fr") == 1
+    # null text / no [a-z] tokens -> no rows for that group
+    assert not any(r[0] == "de" for r in a)
+
+
+def test_hll_estimate_exact_small_range():
+    """Linear-counting regime: tiny cardinalities estimate closely (the
+    small-range correction), and an empty register table estimates ~0."""
+    import hashlib
+
+    from palladian_spark.operators.sketches import hll_estimate
+
+    assert hll_estimate({}, p=8) == 0.0
+    # simulate 30 distinct tokens through the real hash path
+    p, m = 8, 256
+    regs: dict = {}
+    for i in range(30):
+        h = int(hashlib.md5(f"tok{i}".encode()).hexdigest()[:15], 16)
+        j, w = h & (m - 1), h >> p
+        rho = (60 - p + 1) if w == 0 else (60 - p + 1 - w.bit_length())
+        regs[j] = max(regs.get(j, 0), rho)
+    est = hll_estimate(regs, p=8)
+    assert abs(est - 30) / 30 <= 0.15, est
