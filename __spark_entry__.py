@@ -1163,6 +1163,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_type", "event_id", "rn")
         )
 
+    def events_zorder(spark, sf_dir):
+        # Z-order (Morton) layout key over (user_id, ts): the write-side
+        # clustering column for two-dimensional file pruning (Delta
+        # OPTIMIZE ZORDER semantics). Pure codegen projection + one 1-row
+        # broadcast stats agg; envelope-tightness vs random layout is
+        # pytest-gated (tests/test_layout.py).
+        from palladian_spark.operators.layout import zorder_index
+
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        res = zorder_index(
+            ev.select("event_id", "user_id", "ts_us"), "user_id", "ts_us"
+        )
+        return res.select("event_id", "qx", "qy", "zval", "zbucket")
+
     def events_sessionize(spark, sf_dir):
         # ts is TIMESTAMP_NTZ in the parquet; the tz-cast offset is constant,
         # so gaps (differences) match DuckDB's naive epoch_us exactly.
@@ -1400,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges=bpe_merges,
         bpe_token_counts=bpe_token_counts,
         doc_token_hll=doc_token_hll,
+        events_zorder=events_zorder,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -1969,6 +1986,9 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.sketches import (
         token_hll_registers_sql as _token_hll_sql,
     )
+    from palladian_spark.operators.layout import (
+        zorder_events_sql as _zorder_events_sql,
+    )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
@@ -2139,6 +2159,10 @@ def oracle_sql() -> dict[str, str]:
         # HLL register table: portable md5 hash + bit ops + bin-length rho;
         # per-lang sketches max-merge into the '*' row (exact merge)
         "doc_token_hll": _token_hll_sql(8),
+        # Morton layout key: identical quantize + unrolled bit-interleave
+        # expression on both engines (offset-invariant under the NTZ epoch
+        # cast - only differences enter the quantizer)
+        "events_zorder": _zorder_events_sql(),
         "doc_keywords": f"""
             with {_doc_terms_sql()}
             {_doc_keywords_sql()}

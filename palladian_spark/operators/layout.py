@@ -1,0 +1,128 @@
+"""Multi-dimensional data-layout operators: Z-order (Morton) clustering.
+
+The write-side half of partition pruning at 100 TB: sorting files by a
+bit-interleaved key over two query dimensions gives every file a tight
+min/max envelope in BOTH dimensions, so a scan filtered on either (or
+both) prunes most files from footer stats alone — the same layout
+strategy behind Delta OPTIMIZE ZORDER / Iceberg sort orders, expressed
+here as a plain deterministic column so any writer can
+``repartitionByRange(zval).sortWithinPartitions(zval)``.
+
+Construction: each dimension min/max-normalizes to a ``bits``-wide
+integer with the engine-portable floor(x+0.5) formulation (the
+embedding_quantize precedent — identical IEEE op order on both engines),
+then the two codes interleave bit-by-bit into a 2*bits Morton code. Pure
+codegen projection + one broadcast 1-row stats aggregate; no shuffle, no
+Python. The DuckDB oracle rebuilds the identical expression, so zval
+hash-verifies cross-engine; clustering QUALITY (per-bucket envelope
+tightness vs random layout) is pytest-gated."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_interleave_py(x: int, y: int, bits: int = 16) -> int:
+    """Reference kernel: interleave bit i of x into position 2i, of y into
+    2i+1 (y is the higher-order dimension at each bit)."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _interleave_spark(x: Column, y: Column, bits: int) -> Column:
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        out = out + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    return out
+
+
+def _interleave_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _quantize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """min/max scale to [0, 2^bits): floor((v-mn)*(2^bits-1)/(mx-mn)+0.5)
+    — the one rounding formulation every engine computes identically
+    (embedding_quantize precedent). Constant column -> code 0. Inputs may
+    carry a constant engine-dependent offset (e.g. NTZ-timestamp epoch
+    casts): only differences enter, so the code is offset-invariant."""
+    top = float((1 << bits) - 1)
+    return (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.floor(
+                (col - mn).cast("double") * F.lit(top) / (mx - mn).cast("double")
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+    )
+
+
+def zorder_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Append Morton-code layout columns: qx/qy (the quantized dimension
+    codes), zval (the 2*bits-wide Morton code to range-sort writes by) and
+    zbucket (top ``bucket_bits`` of zval — the file/partition grain whose
+    min/max envelopes pytest measures). One 1-row global stats aggregate
+    broadcast back; everything else is a codegen projection."""
+    stats = F.broadcast(
+        df.agg(
+            F.min(x_col).alias("_mnx"),
+            F.max(x_col).alias("_mxx"),
+            F.min(y_col).alias("_mny"),
+            F.max(y_col).alias("_mxy"),
+        )
+    )
+    qx = _quantize(F.col(x_col), F.col("_mnx"), F.col("_mxx"), bits)
+    qy = _quantize(F.col(y_col), F.col("_mny"), F.col("_mxy"), bits)
+    out = (
+        df.crossJoin(stats)
+        .withColumn("qx", qx)
+        .withColumn("qy", qy)
+        .withColumn("zval", _interleave_spark(F.col("qx"), F.col("qy"), bits))
+        .withColumn(
+            "zbucket", F.shiftright("zval", 2 * bits - bucket_bits)
+        )
+    )
+    return out.drop("_mnx", "_mxx", "_mny", "_mxy")
+
+
+def zorder_events_sql(bits: int = 16, bucket_bits: int = 6) -> str:
+    """Full independent DuckDB oracle for the events Z-order contract
+    query (event_id, qx, qy, zval, zbucket over user_id x ts)."""
+    top = float((1 << bits) - 1)
+    inter = _interleave_sql("qx", "qy", bits)
+    return f"""
+        with e as (select event_id, user_id, epoch_us(ts) as ts_us from events),
+        s as (select min(user_id) as mnx, max(user_id) as mxx,
+                     min(ts_us) as mny, max(ts_us) as mxy from e),
+        q as (select event_id,
+                     case when mxx = mnx then 0
+                          else cast(floor((user_id - mnx)::double * {top}
+                                          / (mxx - mnx)::double + 0.5) as bigint)
+                     end as qx,
+                     case when mxy = mny then 0
+                          else cast(floor((ts_us - mny)::double * {top}
+                                          / (mxy - mny)::double + 0.5) as bigint)
+                     end as qy
+              from e cross join s)
+        select event_id, qx, qy,
+               ({inter})::bigint as zval,
+               (({inter}) >> {2 * bits - bucket_bits})::bigint as zbucket
+        from q
+    """
