@@ -219,6 +219,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_hll_registers(_read(spark, sf_dir, "documents"), p=8)
 
+    def doc_mixture_sample(spark, sf_dir):
+        # deterministic mixture sampling: per-source char budgets from
+        # integer weights (w = 1 + src_index % 3), selection = hash-ordered
+        # prefix per source. Spark runs the two-level bucket cut (no
+        # global window — see operators/mixture.py); the oracle recomputes
+        # the equivalent naive global-window formulation.
+        from palladian_spark.operators.mixture import mixture_sample
+
+        docs = _read(spark, sf_dir, "documents")
+        srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+        weights = {s: 1 + int(s[3:]) % 3 for s in srcs}
+        return mixture_sample(docs, weights, budget_fraction=0.4)
+
     def doc_dup_spans(spark, sf_dir):
         # exact substring-duplication spans (Lee et al. 2022 semantics,
         # hash-blocked 40-grams, cross-doc only): per-doc span count +
@@ -1416,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges=bpe_merges,
         bpe_token_counts=bpe_token_counts,
         doc_token_hll=doc_token_hll,
+        doc_mixture_sample=doc_mixture_sample,
         events_zorder=events_zorder,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
@@ -1989,6 +2003,9 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.layout import (
         zorder_events_sql as _zorder_events_sql,
     )
+    from palladian_spark.operators.mixture import (
+        mixture_sample_sql as _mixture_sql,
+    )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
@@ -2159,6 +2176,10 @@ def oracle_sql() -> dict[str, str]:
         # HLL register table: portable md5 hash + bit ops + bin-length rho;
         # per-lang sketches max-merge into the '*' row (exact merge)
         "doc_token_hll": _token_hll_sql(8),
+        # mixture sampling: naive global-window twin of the two-level cut
+        "doc_mixture_sample": _mixture_sql(
+            "1 + (cast(substr(source, 4) as int) % 3)", 0.4
+        ),
         # Morton layout key: identical quantize + unrolled bit-interleave
         # expression on both engines (offset-invariant under the NTZ epoch
         # cast - only differences enter the quantizer)

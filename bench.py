@@ -85,7 +85,11 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "embedding_quantize",
+    "bpe_merges",
+    "doc_token_hll",
+    "events_zorder",
     "doc_chunks",
     "doc_split",
     "doc_pack_sequences",

@@ -1,0 +1,145 @@
+"""Deterministic mixture sampling — per-source token/char budgets.
+
+The data-mixing step of an LLM training pipeline: given a weight per
+source and a global budget, select a deterministic subset of documents
+whose per-source size totals match the target mixture (web-heavy,
+code-light, ...). Selection is a hash-ordered prefix per source —
+stable under repartitioning, reruns, and incremental appends of
+already-selected data (a doc's membership depends only on its own hash
+and the budget, never on partition layout).
+
+Scale design (the part that matters at 10^12 docs): the naive
+formulation is a PER-SOURCE GLOBAL window cumsum — a single-partition
+sort per source, the classic scale killer. This implementation cuts in
+two levels instead:
+
+1. docs bucket by their md5 prefix (256 buckets/source); one bounded
+   aggregation yields per-(source, bucket) char sums — at most
+   256 * n_sources rows to the driver (parameter-sized, like a
+   broadcast-join build side).
+2. the driver prefix-sums buckets in hash order: buckets fully inside
+   the budget need NO window at all (their offset is known), the single
+   boundary bucket gets a window over 1/256 of one source, and buckets
+   past the cut are pruned BEFORE any shuffle.
+
+Because the bucket id is the md5-hex prefix, bucket order concatenated
+with in-bucket hash order IS the global hash order — the two-level cut
+selects exactly the rows the naive global cumsum would, which is what
+the DuckDB oracle computes (one window; fine at oracle scale) and
+hash-verifies."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .util import spread
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget_fraction: float = 0.4,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Select (id, source, size, cum_chars) rows: per source ``s`` the
+    hash-ordered document prefix whose inclusive running size stays within
+    budget_s = floor(budget_fraction * total_size) * w_s // sum(w).
+
+    ``weights`` are integers per source (missing sources get weight 0 =
+    excluded); budgets use integer division so both engines (and this
+    driver) compute identical cutoffs."""
+    d = spread(
+        docs.where(F.col(size_col).isNotNull()).select(
+            id_col,
+            source_col,
+            size_col,
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+    ).withColumn("_bucket", F.substring("_h", 1, 2))
+
+    stats = (
+        d.groupBy(source_col, "_bucket")
+        .agg(F.sum(size_col).alias("_sz"))
+        .collect()
+    )
+    total = sum(r["_sz"] for r in stats)
+    tb = int(float(budget_fraction) * float(total))  # floor, IEEE-identical
+    sources = sorted({r[source_col] for r in stats})
+    wsum = sum(weights.get(s, 0) for s in sources)
+    spark = docs.sparkSession
+    if total == 0 or wsum == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, {source_col} string, {size_col} long, cum_chars long"
+        )
+
+    # driver-side bucket prefix per source: emit (source, bucket, offset,
+    # budget) ONLY for buckets that start before the cut — everything
+    # after is pruned at the join, before any shuffle
+    per_src: dict[str, list] = {}
+    for r in stats:
+        per_src.setdefault(r[source_col], []).append((r["_bucket"], int(r["_sz"])))
+    plan_rows = []
+    for s, buckets in per_src.items():
+        budget = tb * weights.get(s, 0) // wsum
+        off = 0
+        for b, sz in sorted(buckets):
+            if off >= budget:
+                break
+            plan_rows.append((s, b, off, budget))
+            off += sz
+    if not plan_rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, {source_col} string, {size_col} long, cum_chars long"
+        )
+    plan = F.broadcast(
+        spark.createDataFrame(
+            plan_rows,
+            f"{source_col} string, _bucket string, _off long, _budget long",
+        )
+    )
+
+    w = (
+        Window.partitionBy(source_col, "_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(plan, [source_col, "_bucket"])
+        .withColumn("cum_chars", F.col("_off") + F.sum(size_col).over(w))
+        .where(F.col("cum_chars") <= F.col("_budget"))
+        .select(id_col, source_col, F.col(size_col).cast("long"), "cum_chars")
+    )
+
+
+def mixture_sample_sql(
+    weight_expr: str,
+    budget_fraction: float = 0.4,
+) -> str:
+    """Naive-formulation DuckDB oracle (one global window per source —
+    fine at oracle scale, the thing the two-level cut avoids at 10^12):
+    ``weight_expr`` is a SQL expression over ``source`` yielding the
+    integer weight."""
+    return f"""
+        with d as (select doc_id, source, n_chars,
+                          md5(doc_id::varchar) as h
+                   from documents where n_chars is not null),
+        tot as (select cast(floor({budget_fraction} * sum(n_chars)) as bigint) as tb
+                from d),
+        srcw as (select source, ({weight_expr}) as w
+                 from (select distinct source from d)),
+        wsum as (select sum(w) as ws from srcw),
+        budg as (select source, tb * w // ws as budget
+                 from srcw, tot, wsum),
+        c as (select doc_id, source, n_chars,
+                     sum(n_chars) over (partition by source order by h, doc_id
+                                        rows unbounded preceding) as cum
+              from d)
+        select c.doc_id, c.source, c.n_chars::bigint as n_chars,
+               c.cum::bigint as cum_chars
+        from c join budg using (source)
+        where c.cum <= budg.budget
+    """

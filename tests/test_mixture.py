@@ -1,0 +1,67 @@
+"""Mixture sampling: target ratios, prefix stability, edge cases."""
+
+from pyspark.sql import functions as F
+
+
+def _sample(spark, docs, weights, frac):
+    from palladian_spark.operators.mixture import mixture_sample
+
+    return mixture_sample(docs, weights, budget_fraction=frac).collect()
+
+
+def test_mixture_hits_target_ratios(spark):
+    """Selected per-source char mass must sit just under each source's
+    budget (within one document of the cut — the granularity bound)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 + int(s[3:]) % 3 for s in srcs}
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    tb = int(0.4 * float(total))
+    wsum = sum(weights.values())
+
+    rows = _sample(spark, docs, weights, 0.4)
+    got = {}
+    for r in rows:
+        got[r["source"]] = got.get(r["source"], 0) + r["n_chars"]
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    for s in srcs:
+        budget = tb * weights[s] // wsum
+        sel = got.get(s, 0)
+        assert sel <= budget, (s, sel, budget)
+        # the cut leaves at most one document of headroom
+        assert budget - sel <= max_doc, (s, sel, budget)
+    # cum_chars really is the inclusive hash-order running sum
+    for r in rows:
+        assert r["cum_chars"] >= r["n_chars"]
+
+
+def test_mixture_prefix_property_and_stability(spark):
+    """Raising the budget only ADDS documents (hash-prefix selection), and
+    the selected set is invariant under repartitioning."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 for s in srcs}
+
+    small = {r["doc_id"] for r in _sample(spark, docs, weights, 0.2)}
+    big = {r["doc_id"] for r in _sample(spark, docs, weights, 0.5)}
+    assert small < big
+
+    re = docs.repartition(7)
+    again = {r["doc_id"] for r in _sample(spark, re, weights, 0.2)}
+    assert again == small
+
+
+def test_mixture_edge_cases(spark):
+    from palladian_spark.operators.mixture import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 100), (4, "b", None)],
+        "doc_id long, source string, n_chars long",
+    )
+    # zero total weight -> empty
+    assert mixture_sample(docs, {}, 0.5).count() == 0
+    # one source weighted out entirely
+    rows = mixture_sample(docs, {"a": 1, "b": 0}, 1.0).collect()
+    assert {r["source"] for r in rows} == {"a"}
+    # null sizes are excluded from both selection and totals
+    assert all(r["n_chars"] is not None for r in rows)
