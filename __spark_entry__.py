@@ -229,7 +229,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _read(spark, sf_dir, "documents")
         srcs = [r["source"] for r in docs.select("source").distinct().collect()]
-        weights = {s: 1 + int(s[3:]) % 3 for s in srcs}
+
+        def _w(src):
+            # total function over ARBITRARY source strings (hostile rows:
+            # null / non-srcN names) - mirrors the oracle's
+            # try_cast+coalesce+abs expression exactly
+            try:
+                idx = int(src[3:])
+            except (TypeError, ValueError):
+                idx = 0
+            return 1 + abs(idx) % 3
+
+        weights = {s: _w(s) for s in srcs}
         return mixture_sample(docs, weights, budget_fraction=0.4)
 
     def doc_dup_spans(spark, sf_dir):
@@ -2178,7 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_hll": _token_hll_sql(8),
         # mixture sampling: naive global-window twin of the two-level cut
         "doc_mixture_sample": _mixture_sql(
-            "1 + (cast(substr(source, 4) as int) % 3)", 0.4
+            "1 + (abs(coalesce(try_cast(substr(source, 4) as int), 0)) % 3)", 0.4
         ),
         # Morton layout key: identical quantize + unrolled bit-interleave
         # expression on both engines (offset-invariant under the NTZ epoch

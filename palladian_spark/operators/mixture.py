@@ -52,8 +52,13 @@ def mixture_sample(
     ``weights`` are integers per source (missing sources get weight 0 =
     excluded); budgets use integer division so both engines (and this
     driver) compute identical cutoffs."""
+    # null ids are excluded as semantics (an untrackable document cannot be
+    # deterministically sampled), and also for parity: md5(null) is null
+    # and the two engines default to opposite null orderings
     d = spread(
-        docs.where(F.col(size_col).isNotNull()).select(
+        docs.where(
+            F.col(size_col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(
             id_col,
             source_col,
             size_col,
@@ -68,7 +73,7 @@ def mixture_sample(
     )
     total = sum(r["_sz"] for r in stats)
     tb = int(float(budget_fraction) * float(total))  # floor, IEEE-identical
-    sources = sorted({r[source_col] for r in stats})
+    sources = {r[source_col] for r in stats}
     wsum = sum(weights.get(s, 0) for s in sources)
     spark = docs.sparkSession
     if total == 0 or wsum == 0:
@@ -126,7 +131,7 @@ def mixture_sample_sql(
     return f"""
         with d as (select doc_id, source, n_chars,
                           md5(doc_id::varchar) as h
-                   from documents where n_chars is not null),
+                   from documents where n_chars is not null and doc_id is not null),
         tot as (select cast(floor({budget_fraction} * sum(n_chars)) as bigint) as tb
                 from d),
         srcw as (select source, ({weight_expr}) as w
