@@ -79,14 +79,22 @@ def token_hll_registers(
             .alias("rho"),
         )
     )
-    per_group = toks.groupBy("grp", "register").agg(F.max("rho").alias("max_rho"))
-    merged = (
-        per_group.groupBy("register")
-        .agg(F.max("max_rho").alias("max_rho"))
-        .select(F.lit("*").alias("grp"), "register", "max_rho")
-    )
-    return per_group.unionByName(merged).select(
-        F.col("grp").alias(group_col), "register", "max_rho"
+    # ONE grouping-sets aggregation yields both levels — a union of
+    # per-group and merged re-expands the lineage into TWO full corpus
+    # scans (verified in the executed plan); Expand duplicates rows into
+    # the partial aggregate instead, which map-side-combines to the same
+    # bounded output on a single scan. grouping() (not null-coalescing)
+    # marks the merged level so a genuine null group cannot collide with
+    # the '*' row.
+    agg = toks.groupingSets(
+        [["grp", "register"], ["register"]], "grp", "register"
+    ).agg(F.max("rho").alias("max_rho"), F.grouping("grp").alias("_g"))
+    return agg.select(
+        F.when(F.col("_g") == 1, F.lit("*"))
+        .otherwise(F.col("grp"))
+        .alias(group_col),
+        "register",
+        "max_rho",
     )
 
 
