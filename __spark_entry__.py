@@ -219,6 +219,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_hll_registers(_read(spark, sf_dir, "documents"), p=8)
 
+    def doc_token_cms(spark, sf_dir):
+        # count-min sketch of the token-frequency distribution: 4x1024
+        # exact counters (mergeable by sum); point-estimate accuracy is
+        # pytest-gated, the counter table is hash-verified
+        from palladian_spark.operators.sketches import token_cms
+
+        return token_cms(_read(spark, sf_dir, "documents"))
+
+    def doc_decon_bloom(spark, sf_dir):
+        # Bloom bitset over the benchmark split's 3-gram shingles - the
+        # broadcast-compact pre-filter for the decontamination gate (no
+        # false negatives; FP rate pytest-gated)
+        from palladian_spark.operators.sketches import benchmark_bloom_bits
+
+        return benchmark_bloom_bits(_read(spark, sf_dir, "documents"))
+
     def doc_mixture_sample(spark, sf_dir):
         # deterministic mixture sampling: per-source char budgets from
         # integer weights (w = 1 + src_index % 3), selection = hash-ordered
@@ -1441,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_token_counts=bpe_token_counts,
         doc_token_hll=doc_token_hll,
         doc_mixture_sample=doc_mixture_sample,
+        doc_token_cms=doc_token_cms,
+        doc_decon_bloom=doc_decon_bloom,
         events_zorder=events_zorder,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
@@ -2009,6 +2027,8 @@ def oracle_sql() -> dict[str, str]:
         bpe_token_counts_sql as _bpe_token_counts_sql,
     )
     from palladian_spark.operators.sketches import (
+        benchmark_bloom_bits_sql as _bloom_bits_sql,
+        token_cms_sql as _token_cms_sql,
         token_hll_registers_sql as _token_hll_sql,
     )
     from palladian_spark.operators.layout import (
@@ -2187,6 +2207,8 @@ def oracle_sql() -> dict[str, str]:
         # HLL register table: portable md5 hash + bit ops + bin-length rho;
         # per-lang sketches max-merge into the '*' row (exact merge)
         "doc_token_hll": _token_hll_sql(8),
+        "doc_token_cms": _token_cms_sql(4, 1024),
+        "doc_decon_bloom": _bloom_bits_sql(65536, 3, 20),
         # mixture sampling: naive global-window twin of the two-level cut
         "doc_mixture_sample": _mixture_sql(
             "1 + (abs(coalesce(try_cast(substr(source, 4) as int), 0)) % 3)", 0.4

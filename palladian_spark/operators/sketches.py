@@ -123,6 +123,175 @@ def token_hll_registers_sql(p: int = 8, group_col: str = "lang") -> str:
     """
 
 
+def token_cms(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch of the corpus token-frequency distribution:
+    (row, counter, count), ``depth`` salted hash rows x ``width`` counters.
+    Point estimate = min over rows of counter[h_row(token)] — never an
+    underestimate, overshoots by <= 2N/width w.p. >= 1 - 2^-depth (Cormode
+    & Muthukrishnan 2005, public algorithm). Sketches merge by elementwise
+    SUM (per-shard/per-day heavy-hitter tracking at 100 TB in
+    depth*width*8 bytes).
+
+    One scan: the k row-hashes build JVM-side as an array, posexplode
+    feeds a single partial+final aggregate whose output is bounded by
+    depth*width regardless of corpus size. Same portable md5 hash family
+    as HLL, so the DuckDB oracle recomputes every counter exactly."""
+    hashes = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cms:{i}:"), F.col("word"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        spread(docs.where(F.col(text_col).isNotNull()))
+        .select(
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(WORD_RE), F.lit(0))
+            ).alias("word")
+        )
+        .select(F.posexplode(hashes).alias("row", "counter"))
+        .groupBy("row", "counter")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def token_cms_sql(depth: int = 4, width: int = 1024) -> str:
+    """Full independent DuckDB oracle for :func:`token_cms`."""
+    rows = " union all ".join(
+        f"""select {i} as row,
+                   ('0x' || substr(md5('cms:{i}:' || word), 1, 15))::bigint
+                       % {width} as counter
+            from toks"""
+        for i in range(depth)
+    )
+    return f"""
+        with toks as (
+          select unnest(regexp_extract_all(text, '[a-z]+')) as word
+          from documents where text is not null),
+        h as ({rows})
+        select row, counter, count(*)::bigint as count
+        from h group by 1, 2
+    """
+
+
+def cms_estimate(counters: dict[tuple[int, int], int], token: str,
+                 depth: int = 4, width: int = 1024) -> int:
+    """Point-frequency estimate from a {(row, counter): count} table —
+    driver-side helper for the pytest accuracy gate."""
+    import hashlib
+
+    est = None
+    for i in range(depth):
+        h = int(hashlib.md5(f"cms:{i}:{token}".encode()).hexdigest()[:15], 16)
+        c = counters.get((i, h % width), 0)
+        est = c if est is None else min(est, c)
+    return est or 0
+
+
+# 3-word shingle construction shared with the decontamination gate
+# (curation.benchmark_overlap / dedup._word_shingles): space-joined
+# [a-z0-9]+ runs of the lowercased text, docs with <= 3 words have none
+_SHINGLE_TOKEN_RE = "[a-z0-9]+"
+
+
+def benchmark_bloom_bits(
+    docs: DataFrame,
+    m_bits: int = 65536,
+    k: int = 3,
+    bench_mod: int = 20,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom filter over the benchmark split's n-gram shingles: the set
+    bit indices (bit), <= m_bits rows. The broadcast-compact form of the
+    decontamination gate's bench side: at 100 TB the train scan tests
+    each shingle against m_bits/8 bytes of bitset JVM-side and only the
+    rare false-positive hits reach the exact containment join — the
+    same two-phase shape as LSH-then-verify. Size m ~ 1.44*k*n/ln2 bits
+    for the target FP rate: 2^16 bits holds ~10^3 bench shingles at
+    ~1e-4 FP (an undersized 2^12 filter measured 24% FP on this corpus —
+    the sizing rule is the operator's scale knob); a real eval suite's
+    ~10^6 shingles wants 2^24 bits = 2 MB, still broadcast-trivial. No false negatives by
+    construction (pytest pins both properties).
+
+    Same shingle definition as doc_decontaminate (space-joined [a-z0-9]+
+    3-grams) and the portable md5 hash family, so the DuckDB oracle
+    recomputes the exact bit set."""
+    from .dedup import _word_shingles
+
+    bench = docs.where(
+        F.col(id_col).isNotNull() & (F.col(id_col) % bench_mod == 0)
+    )
+    shingles = (
+        _word_shingles(bench, text_col, n)
+        .select(F.explode_outer("_shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    bits = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom:{i}:"), F.col("shingle"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        shingles.select(F.explode(bits).alias("bit")).distinct()
+    )
+
+
+def benchmark_bloom_bits_sql(
+    m_bits: int = 65536, k: int = 3, bench_mod: int = 20
+) -> str:
+    """Full independent DuckDB oracle for :func:`benchmark_bloom_bits`
+    (3-gram shingle expression mirrors the doc_decontaminate oracle)."""
+    salts = " union all ".join(
+        f"""select distinct
+                   ('0x' || substr(md5('bloom:{i}:' || shingle), 1, 15))::bigint
+                       % {m_bits} as bit
+            from sh_t"""
+        for i in range(k)
+    )
+    return f"""
+        with sh as (
+          select list_distinct(list_transform(
+                   list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                               (x, i) -> i <= len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+                   (x, i) -> x || ' ' ||
+                             regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+                             regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])) as shingles
+          from documents
+          where doc_id is not null and doc_id % {bench_mod} = 0),
+        sh_t as (select distinct unnest(shingles) as shingle from sh)
+        select distinct bit from ({salts})
+    """
+
+
 def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
     """Standard HLL estimator from a {register: max_rho} table (missing
     registers = 0): bias-corrected harmonic mean with the small-range

@@ -61,6 +61,78 @@ def test_hll_registers_deterministic_and_hostile(spark):
     assert not any(r[0] == "de" for r in a)
 
 
+def test_cms_never_underestimates_and_bounds_overshoot(spark):
+    """CMS guarantees: est(token) >= true count for EVERY token, and at
+    4x1024 over a small vocabulary collisions are rare enough that the
+    large majority of estimates are exact."""
+    from palladian_spark.operators.sketches import cms_estimate, token_cms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = {(r["row"], r["counter"]): r["count"]
+             for r in token_cms(docs).collect()}
+
+    true = {
+        r["w"]: r["c"]
+        for r in docs.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert true, "corpus has tokens"
+    exact = 0
+    for tok, cnt in true.items():
+        est = cms_estimate(table, tok)
+        assert est >= cnt, (tok, est, cnt)
+        exact += est == cnt
+    assert exact / len(true) >= 0.9
+    # total mass check: every row of the sketch sums to N
+    n_tokens = sum(true.values())
+    for i in range(4):
+        assert sum(v for (r, _), v in table.items() if r == i) == n_tokens
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Every benchmark shingle must hit all k bits (no false negatives —
+    the property the decontamination pre-filter depends on); non-benchmark
+    shingles false-positive at roughly the theoretical rate."""
+    import hashlib
+
+    from palladian_spark.operators.dedup import _word_shingles
+    from palladian_spark.operators.sketches import benchmark_bloom_bits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bits = {r["bit"] for r in benchmark_bloom_bits(docs).collect()}
+    assert bits and max(bits) < 65536 and min(bits) >= 0
+
+    def k_bits(shingle):
+        return [
+            int(hashlib.md5(f"bloom:{i}:{shingle}".encode()).hexdigest()[:15], 16)
+            % 65536
+            for i in range(3)
+        ]
+
+    sh = (
+        _word_shingles(docs, "text", 3)
+        .select("doc_id", F.explode_outer("_shingles").alias("s"))
+        .where(F.col("s").isNotNull())
+        .collect()
+    )
+    bench = {r["s"] for r in sh if r["doc_id"] % 20 == 0}
+    train = {r["s"] for r in sh if r["doc_id"] % 20 != 0} - bench
+    assert bench and train
+    for s in bench:
+        assert all(b in bits for b in k_bits(s)), s
+    fp = sum(all(b in bits for b in k_bits(s)) for s in train) / len(train)
+    # theoretical (1 - e^{-kn/m})^k: ~10^3 bench shingles in 2^16 bits
+    # -> fill ~4.5%, FP ~1e-4; gate with wide margin
+    assert fp <= 0.02, fp
+
+
 def test_hll_estimate_exact_small_range():
     """Linear-counting regime: tiny cardinalities estimate closely (the
     small-range correction), and an empty register table estimates ~0."""
