@@ -690,6 +690,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mention_edges(_read(spark, sf_dir, "documents"), list(GAZETTEER))
         )
 
+    def kg_label_prop(spark, sf_dir):
+        # synchronous weighted label propagation (4 rounds) over the
+        # mention graph - community detection beside components/PageRank;
+        # deterministic (sync updates, integer vote sums, lexicographic
+        # ties), oracle = unrolled rounds over the same sym relation
+        from palladian_spark.operators.graph import (
+            label_propagation,
+            mention_edges,
+        )
+
+        return label_propagation(
+            mention_edges(_read(spark, sf_dir, "documents"), list(GAZETTEER)),
+            iterations=4,
+        )
+
     def kg_pagerank(spark, sf_dir):
         from palladian_spark.operators.graph import mention_edges, pagerank
 
@@ -1484,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges=bpe_merges,
         bpe_token_counts=bpe_token_counts,
         doc_token_hll=doc_token_hll,
+        kg_label_prop=kg_label_prop,
         doc_mixture_sample=doc_mixture_sample,
         doc_token_cms=doc_token_cms,
         doc_decon_bloom=doc_decon_bloom,
@@ -2066,6 +2082,9 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.mixture import (
         mixture_sample_sql as _mixture_sql,
     )
+    from palladian_spark.operators.graph import (
+        label_propagation_sql as _label_prop_sql,
+    )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
@@ -2237,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
         # per-lang sketches max-merge into the '*' row (exact merge)
         "doc_token_hll": _token_hll_sql(8),
         "doc_token_cms": _token_cms_sql(4, 1024),
+        "kg_label_prop": _label_prop_sql(_mention_graph_sql(), 4),
         "doc_decon_bloom": _bloom_bits_sql(65536, 3, 20),
         # mixture sampling: naive global-window twin of the two-level cut
         "doc_mixture_sample": _mixture_sql(

@@ -63,6 +63,7 @@ HEADLINE = [
     "code_triples_incremental",
     "kg_stats",
     "kg_clustering",
+    "kg_label_prop",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",
@@ -86,9 +87,13 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "embedding_quantize",
     "bpe_merges",
     "doc_token_hll",
+    "doc_token_cms",
+    "doc_decon_bloom",
+    "doc_mixture_sample",
     "events_zorder",
     "doc_chunks",
     "doc_split",

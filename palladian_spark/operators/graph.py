@@ -51,6 +51,7 @@ import re as _re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DAMPING = 0.85
 TELEPORT = 0.15  # literal, deliberately not 1 - DAMPING (see module doc)
@@ -187,6 +188,91 @@ def pagerank(
     ep.unpersist()
     nodes.unpersist()
     return result
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    public algorithm) over the undirected (src, dst, weight) graph:
+    community detection without a cluster-count parameter, the standard
+    complement to connected components for KG entity grouping.
+
+    Every node starts labeled with itself; each round every node adopts
+    the label with the largest incident edge-weight sum among its
+    neighbors' PREVIOUS labels (synchronous — deterministic, unlike the
+    asynchronous variant), ties to the lexicographically smallest label.
+    Fixed ``iterations`` keeps the operator a pure function of the graph
+    (bipartite graphs oscillate under sync LPA rather than converge, so a
+    fixed horizon is also the honest semantics); the DuckDB oracle
+    recomputes all rounds exactly (integer weight sums, same tie order).
+
+    Scale shape (mirrors pagerank): the edge table is hash-partitioned on
+    ``src`` once and persisted — every round reshuffles only the
+    node-sized label vector; the per-round vote aggregate is map-side
+    combined (hub nodes never materialize a neighbor list in one task);
+    label lineage is localCheckpoint-truncated. Returns (node, label)."""
+    edges_c = edges.persist()
+    sym = (
+        _symmetrize(edges_c)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for it in range(1, iterations + 1):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("_v"))
+        )
+        win = Window.partitionBy("node").orderBy(F.desc("_v"), F.asc("label"))
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if it % checkpoint_every == 0 and it < iterations:
+            labels = labels.localCheckpoint()
+    sym.unpersist()
+    edges_c.unpersist()
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, iterations: int = 4) -> str:
+    """DuckDB oracle for :func:`label_propagation`: unrolled synchronous
+    rounds over the ``sym`` relation supplied by ``edges_cte``."""
+    parts = [
+        """lpe as materialized (select src, dst, sum(weight)::bigint as w
+               from sym group by 1, 2),
+        l0 as materialized (select distinct src as node, src as label from lpe)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""v{i} as materialized (
+              select e.dst as node, l.label, sum(e.w)::bigint as v
+              from lpe e join l{i - 1} l on l.node = e.src
+              group by 1, 2),
+        l{i} as materialized (
+              select node, label from (
+                select node, label,
+                       row_number() over (partition by node
+                                          order by v desc, label) as rn
+                from v{i}) where rn = 1)"""
+        )
+    chain = ",\n        ".join(parts)
+    return f"""
+        with {edges_cte},
+        {chain}
+        select node, label from l{iterations}
+    """
 
 
 def triangle_counts(edges: DataFrame, a_col: str = "subj", b_col: str = "obj") -> DataFrame:

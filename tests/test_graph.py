@@ -106,3 +106,45 @@ def test_pagerank_checkpoint_path(spark, docs):
 def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "doc_id: long, text: string")
     assert pagerank(mention_edges(empty, TERMS)).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one weak bridge must settle into two
+    communities (each clique adopts its lexicographically smallest
+    member), and the result must be deterministic across reruns."""
+    from palladian_spark.operators.graph import label_propagation
+
+    edges = []
+    for grp, names in (("a", ["a1", "a2", "a3", "a4"]),
+                       ("b", ["b1", "b2", "b3", "b4"])):
+        for i, u in enumerate(names):
+            for v in names[i + 1:]:
+                edges.append((u, v, 5))
+    edges.append(("a1", "b1", 1))  # weak bridge
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert {got[n] for n in ["a1", "a2", "a3", "a4"]} == {"a1"}
+    assert {got[n] for n in ["b1", "b2", "b3", "b4"]} == {"b1"}
+    again = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert got == again
+
+
+def test_label_propagation_weighted_votes_and_ties(spark):
+    """Votes are weight sums, not neighbor counts: a single heavy edge
+    outvotes two light ones; exact vote ties break to the smaller label."""
+    from palladian_spark.operators.graph import label_propagation
+
+    # x's neighbors after round 1 hold labels: h (weight 10), l1/l2
+    # (weight 3 each) -> h wins 10 vs 6
+    df = spark.createDataFrame(
+        [("x", "h", 10), ("x", "l1", 3), ("x", "l2", 3)],
+        "src string, dst string, weight long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=1).collect()}
+    assert got["x"] == "h"
+    # exact tie: equal weights -> lexicographically smallest label wins
+    df2 = spark.createDataFrame(
+        [("x", "m", 3), ("x", "k", 3)], "src string, dst string, weight long"
+    )
+    got2 = {r["node"]: r["label"] for r in label_propagation(df2, iterations=1).collect()}
+    assert got2["x"] == "k"
