@@ -123,6 +123,21 @@ def token_hll_registers_sql(p: int = 8, group_col: str = "lang") -> str:
     """
 
 
+def hll_register_rho(hash_col, p: int = 6):
+    """Expression-level HLL pieces over a 60-bit integer hash column:
+    (register, rho) Columns for embedding the sketch in ANY aggregation
+    (e.g. the StageStore per-partition metrics table). Same bit/bin-length
+    formulation as :func:`token_hll_registers`."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    w = F.shiftright(hash_col, p)
+    register = hash_col.bitwiseAND(m - 1)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return register, rho
+
+
 def token_cms(
     docs: DataFrame,
     depth: int = 4,

@@ -109,7 +109,9 @@ class StageStore:
         out = self.spark.read.parquet(base)
 
         has_lineage = bool(lineage_col) and lineage_col in out.columns
-        aggs = [F.count("*").alias("rows")]
+        aggs = [
+            F.count("*").alias("rows"),
+        ]
         if has_lineage:
             # order-insensitive aggregate of per-row content hashes: the
             # cross-stage invariant checked against the source table.
@@ -120,22 +122,71 @@ class StageStore:
                 F.sum(
                     F.conv(F.substring(lineage_col, 1, 15), 16, 10).cast("decimal(38,0)")
                 ).alias("lineage_sum"),
+                F.max("_rho").alias("max_rho"),
             ]
-        metrics = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+            # per-partition HLL registers of the content-hash column, in
+            # the SAME single scan via grouping sets: the partition-total
+            # rows (register null, level=1) carry counts + lineage sums,
+            # the (partition, register) rows carry the sketch. Registers
+            # max-merge across partitions/stages driver-side into the
+            # manifest's approximate distinct-content count — duplicate-
+            # content inflation between stages becomes visible without a
+            # distinct() over a 10^12-row table.
+            from ..operators.sketches import hll_register_rho
+
+            h = F.conv(F.substring(lineage_col, 1, 15), 16, 10).cast("long")
+            reg, rho = hll_register_rho(h, p=6)
+            base_df = (
+                out.withColumn("_pid", F.spark_partition_id())
+                .withColumn("_reg", reg)
+                .withColumn("_rho", rho)
+            )
+            metrics = (
+                base_df.groupingSets([["_pid"], ["_pid", "_reg"]], "_pid", "_reg")
+                .agg(*aggs, F.grouping("_reg").alias("level"))
+                .select(
+                    F.col("_pid").alias("partition_id"),
+                    F.col("_reg").alias("register"),
+                    "rows",
+                    "lineage_non_null",
+                    "lineage_sum",
+                    "max_rho",
+                    "level",
+                )
+            )
+        else:
+            metrics = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                *aggs
+            )
         metrics.write.mode("overwrite").parquet(metrics_path)
 
         mrows = self.spark.read.parquet(metrics_path).collect()
-        row_count = sum(r["rows"] for r in mrows)
-        lineage_hash = None
         if has_lineage:
-            terms = [int(r["lineage_sum"]) for r in mrows if r["lineage_sum"] is not None]
+            totals = [r for r in mrows if r["level"] == 1]
+        else:
+            totals = mrows
+        row_count = sum(r["rows"] for r in totals)
+        lineage_hash = None
+        distinct_est = None
+        if has_lineage:
+            terms = [int(r["lineage_sum"]) for r in totals if r["lineage_sum"] is not None]
             lineage_hash = str(sum(terms)) if terms else None
+            from ..operators.sketches import hll_estimate
+
+            regs: dict[int, int] = {}
+            for r in mrows:
+                if r["level"] == 0 and r["register"] is not None and r["max_rho"] is not None:
+                    j = int(r["register"])
+                    regs[j] = max(regs.get(j, 0), int(r["max_rho"]))
+            if regs:
+                distinct_est = int(round(hll_estimate(regs, p=6)))
         manifest = {
             "stage": stage,
             "status": "complete",
             "rows": row_count,
             "schema": out.schema.jsonValue(),
             "lineage_hash": lineage_hash,
+            "distinct_lineage_est": distinct_est,
             "config": self.config,
         }
         self._write_text(manifest_path, json.dumps(manifest, indent=2))

@@ -731,6 +731,42 @@ def test_pipeline_end_to_end(spark, docs, tmp_path):
     assert store.manifest("triples")["status"] == "complete"
 
 
+def test_stage_metrics_hll_distinct_estimate(spark, tmp_path):
+    """The per-partition metrics table embeds HLL registers of the lineage
+    column in the same single scan (grouping sets), and the manifest's
+    distinct_lineage_est must land within HLL tolerance of the true
+    distinct-content count (p=6 -> ~13% SE; gate at 40% = 3 sigma) — and
+    register-level rows must max-merge consistently with the totals."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.sources.checkpoint import StageStore
+
+    # 200 rows but only 60 distinct contents (duplicate inflation)
+    rows = [(i, f"content-{i % 60}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, content string").withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    store = StageStore(spark, str(tmp_path / "stages"))
+    store.write("s1", df, lineage_col="content_sha256")
+    man = store.manifest("s1")
+    assert man["rows"] == 200
+    est = man["distinct_lineage_est"]
+    assert est is not None and abs(est - 60) / 60 <= 0.40, est
+
+    metrics = spark.read.parquet(str(tmp_path / "stages" / "s1_metrics"))
+    mrows = metrics.collect()
+    totals = [r for r in mrows if r["level"] == 1]
+    assert sum(r["rows"] for r in totals) == 200
+    # register rows exist and stay in the p=6 range
+    regs = [r for r in mrows if r["level"] == 0 and r["register"] is not None]
+    assert regs and all(0 <= r["register"] < 64 for r in regs)
+    assert all(1 <= r["max_rho"] <= 55 for r in regs)
+
+    # a stage without a lineage column keeps the simple metrics shape
+    store.write("s2", df.drop("content_sha256"))
+    assert store.manifest("s2")["distinct_lineage_est"] is None
+
+
 def test_pipeline_code_entities(spark, docs, tmp_path):
     """extract_triples(code=True): code-language rows contribute
     imports/defines/calls/depends-on triples alongside the mention
