@@ -114,6 +114,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    store=None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges over the corpus. Returns the learned
     merge list [(rank, left, right, pair_count)] (rank 1 = first merge) and
@@ -121,15 +122,47 @@ def bpe_train(
     reusable for encoding (a word's token count after training is a pure
     lookup, no re-scan of text).
 
-    Stops early when no pair remains (every word fully merged)."""
+    Stops early when no pair remains (every word fully merged).
+
+    With a ``store`` (sources.checkpoint.StageStore) every round is a
+    resumable stage boundary (the north rule's checkpoint requirement
+    applied to vocabulary training): the word table persists as
+    ``bpe_words_<r>`` and the chosen merge as ``bpe_merge_<r>``, so a
+    killed 30-round run over a 100 TB corpus restarts at the last
+    completed round — in particular the one corpus-sized scan (round 0's
+    word frequencies) is never repaid. Completed rounds replay from
+    manifests with zero recompute; training MORE rounds on top of an
+    existing store extends it in place."""
     spark = docs.sparkSession
-    words = _word_freqs(docs, text_col).withColumn(
-        "tokens", F.split("word", "")
-    )
-    words = words.persist()
-    words.count()  # materialize before the loop
     merges: list[tuple[int, str, str, int]] = []
+
+    def _words0():
+        return _word_freqs(docs, text_col).withColumn(
+            "tokens", F.split("word", "")
+        )
+
+    if store is not None:
+        words = store.run("bpe_words_0", _words0)
+    else:
+        words = _words0().persist()
+        words.count()  # materialize before the loop
     for rank in range(1, n_merges + 1):
+        if (
+            store is not None
+            and store.is_complete(f"bpe_merge_{rank}")
+            and store.is_complete(f"bpe_words_{rank}")
+        ):
+            mrow = store.read(f"bpe_merge_{rank}").collect()[0]
+            merges.append(
+                (
+                    int(mrow["merge_rank"]),
+                    mrow["left"],
+                    mrow["right"],
+                    int(mrow["pair_count"]),
+                )
+            )
+            words = store.read(f"bpe_words_{rank}")
+            continue
         best = (
             _pair_counts(words)
             .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
@@ -143,6 +176,16 @@ def bpe_train(
         nxt = words.select(
             "word", "freq", merge_udf(F.col("tokens")).alias("tokens")
         )
+        if store is not None:
+            store.write(
+                f"bpe_merge_{rank}",
+                spark.createDataFrame(
+                    [(rank, left, right, cnt)],
+                    "merge_rank int, left string, right string, pair_count long",
+                ),
+            )
+            words = store.write(f"bpe_words_{rank}", nxt)
+            continue
         # truncate lineage periodically: n_merges chained Arrow UDFs
         # otherwise replay from round 1 on every downstream action
         if rank % checkpoint_every == 0:

@@ -104,6 +104,38 @@ def test_bpe_matches_reference_trainer(spark):
     assert got == want
 
 
+def test_bpe_train_checkpoint_resume(spark, tmp_path):
+    """Every merge round is a resumable stage: a 3-round run leaves a
+    store a later 6-round run extends WITHOUT recomputing rounds 1-3
+    (pinned by poisoning the input — resumed rounds must come from the
+    manifests, not the corpus), and the extended result equals a fresh
+    6-round run exactly."""
+    from palladian_spark.operators.bpe import bpe_train
+    from palladian_spark.sources.checkpoint import StageStore
+
+    docs = spark.createDataFrame(
+        [(1, "lowering lower lowest low low"), (2, "newer newest new news")],
+        ["doc_id", "text"],
+    )
+    store = StageStore(spark, str(tmp_path / "bpe"))
+    m3, _ = bpe_train(docs, n_merges=3, store=store)
+    assert len(m3) == 3
+
+    # resume with a POISONED corpus: rounds 1-3 (and the word table) must
+    # replay from the store, so the poison can only affect... nothing —
+    # round 0 is also checkpointed, so the full 6-round result must equal
+    # a fresh clean 6-round run
+    poisoned = spark.createDataFrame([(9, "zzz zzz qqq")], ["doc_id", "text"])
+    m6, words6 = bpe_train(poisoned, n_merges=6, store=store)
+    fresh6, wordsf = bpe_train(docs, n_merges=6)
+    assert m6 == fresh6
+    assert m6[:3] == m3
+    got = {(r["word"], r["freq"], tuple(r["tokens"])) for r in words6.collect()}
+    want = {(r["word"], r["freq"], tuple(r["tokens"])) for r in wordsf.collect()}
+    assert got == want
+    wordsf.unpersist()
+
+
 def test_bpe_early_stop_and_hostile_inputs(spark):
     from palladian_spark.operators.bpe import bpe_merges, bpe_token_counts
 
