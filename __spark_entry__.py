@@ -219,6 +219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_hll_registers(_read(spark, sf_dir, "documents"), p=8)
 
+    def doc_length_histogram(spark, sf_dir):
+        # log2-bucketed size profile per lang + merged '*' row - bounded
+        # output, integer bin-length buckets, one grouping-sets scan
+        from palladian_spark.operators.textstats import length_histogram
+
+        return length_histogram(_read(spark, sf_dir, "documents"))
+
     def doc_token_cms(spark, sf_dir):
         # count-min sketch of the token-frequency distribution: 4x1024
         # exact counters (mergeable by sum); point-estimate accuracy is
@@ -1502,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_label_prop=kg_label_prop,
         doc_mixture_sample=doc_mixture_sample,
         doc_token_cms=doc_token_cms,
+        doc_length_histogram=doc_length_histogram,
         doc_decon_bloom=doc_decon_bloom,
         events_zorder=events_zorder,
         doc_decontaminate=doc_decontaminate,
@@ -2085,6 +2093,9 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.graph import (
         label_propagation_sql as _label_prop_sql,
     )
+    from palladian_spark.operators.textstats import (
+        length_histogram_sql as _length_hist_sql,
+    )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
@@ -2256,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         # per-lang sketches max-merge into the '*' row (exact merge)
         "doc_token_hll": _token_hll_sql(8),
         "doc_token_cms": _token_cms_sql(4, 1024),
+        "doc_length_histogram": _length_hist_sql(),
         "kg_label_prop": _label_prop_sql(_mention_graph_sql(), 4),
         "doc_decon_bloom": _bloom_bits_sql(65536, 3, 20),
         # mixture sampling: naive global-window twin of the two-level cut

@@ -92,6 +92,7 @@ HEADLINE = [
     "bpe_merges",
     "doc_token_hll",
     "doc_token_cms",
+    "doc_length_histogram",
     "doc_decon_bloom",
     "doc_mixture_sample",
     "events_zorder",

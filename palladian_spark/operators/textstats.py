@@ -212,3 +212,60 @@ def structure_stats(
         .select(F.col(id_col), stats(F.col(text_col)).alias("_s"))
         .select(id_col, "_s.n_urls", "_s.n_dates", "_s.n_sentences")
     )
+
+
+def length_histogram(
+    docs: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Log2-bucketed document-size histogram per group plus the merged
+    corpus row ('*'): (group, bucket, n_docs, total_chars) with bucket =
+    bit-length of the size (sizes in [2^(b-1), 2^b) share bucket b;
+    size 0 -> bucket 0). The corpus size-profile report of a curation
+    pipeline: output bounded by groups * 64 buckets regardless of corpus
+    size, buckets merge across shards by plain addition, and the bucket
+    function is the integer bin-length trick (no float log2), so the
+    DuckDB oracle recomputes it exactly. One grouping-sets scan (the HLL
+    register pattern — a union would scan twice)."""
+    from .util import spread
+
+    bucket = (
+        F.when(F.col(size_col) == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col(size_col).cast("string"), 10, 2)))
+    )
+    d = spread(
+        docs.where(F.col(size_col).isNotNull() & (F.col(size_col) >= 0))
+    ).select(F.col(group_col).alias("grp"), F.col(size_col).alias("sz"),
+             bucket.alias("bucket"))
+    agg = d.groupingSets(
+        [["grp", "bucket"], ["bucket"]], "grp", "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sz").alias("total_chars"),
+        F.grouping("grp").alias("_g"),
+    )
+    return agg.select(
+        F.when(F.col("_g") == 1, F.lit("*")).otherwise(F.col("grp")).alias(group_col),
+        "bucket",
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+def length_histogram_sql(group_col: str = "lang", size_col: str = "n_chars") -> str:
+    """Full independent DuckDB oracle for :func:`length_histogram`."""
+    return f"""
+        with d as (select {group_col} as grp, {size_col} as sz,
+                          case when {size_col} = 0 then 0
+                               else length(bin({size_col}))::int end as bucket
+                   from documents
+                   where {size_col} is not null and {size_col} >= 0),
+        per as (select grp, bucket, count(*) as n_docs,
+                       sum(sz)::bigint as total_chars
+                from d group by 1, 2)
+        select grp as {group_col}, bucket, n_docs, total_chars from per
+        union all
+        select '*', bucket, sum(n_docs)::bigint, sum(total_chars)::bigint
+        from per group by 2
+    """

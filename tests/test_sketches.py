@@ -151,3 +151,31 @@ def test_hll_estimate_exact_small_range():
         regs[j] = max(regs.get(j, 0), rho)
     est = hll_estimate(regs, p=8)
     assert abs(est - 30) / 30 <= 0.15, est
+
+
+def test_length_histogram_buckets_and_merge(spark):
+    """Bucket = bit-length (sizes in [2^(b-1), 2^b)); zero-size bucket 0;
+    the '*' row is the exact column-wise sum of the per-group rows."""
+    from palladian_spark.operators.textstats import length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", 1), (3, "en", 7), (4, "de", 8),
+         (5, "de", 1023), (6, "de", 1024), (7, "fr", None), (8, "fr", 5)],
+        "doc_id long, lang string, n_chars long",
+    )
+    rows = length_histogram(docs).collect()
+    per = {(r["lang"], r["bucket"]): (r["n_docs"], r["total_chars"]) for r in rows}
+    assert per[("en", 0)] == (1, 0)
+    assert per[("en", 1)] == (1, 1)
+    assert per[("en", 3)] == (1, 7)      # 7 -> [4, 8)
+    assert per[("de", 4)] == (1, 8)      # 8 -> [8, 16)
+    assert per[("de", 10)] == (1, 1023)
+    assert per[("de", 11)] == (1, 1024)
+    assert per[("fr", 3)] == (1, 5)
+    assert ("fr", None) not in per  # null sizes excluded
+    for (lang, b), (n, t) in list(per.items()):
+        if lang != "*":
+            continue
+        got_n = sum(v[0] for (l2, b2), v in per.items() if l2 != "*" and b2 == b)
+        got_t = sum(v[1] for (l2, b2), v in per.items() if l2 != "*" and b2 == b)
+        assert (n, t) == (got_n, got_t), b
