@@ -250,20 +250,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the equivalent naive global-window formulation.
         from palladian_spark.operators.mixture import mixture_sample
 
+        import hashlib
+
         docs = _read(spark, sf_dir, "documents")
         srcs = [r["source"] for r in docs.select("source").distinct().collect()]
-
-        def _w(src):
-            # total function over ARBITRARY source strings (hostile rows:
-            # null / non-srcN names) - mirrors the oracle's
-            # try_cast+coalesce+abs expression exactly
-            try:
-                idx = int(src[3:])
-            except (TypeError, ValueError):
-                idx = 0
-            return 1 + abs(idx) % 3
-
-        weights = {s: _w(s) for s in srcs}
+        # md5-derived weights: total over ARBITRARY source strings with NO
+        # parsing (review-caught: int() vs try_cast disagree on '1.5',
+        # out-of-int32 suffixes, ...). Null sources get no weight — the
+        # oracle's md5(NULL) is NULL, its wsum ignores it, and the
+        # using(source) join excludes null-source rows.
+        weights = {
+            s: 1 + int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 3
+            for s in srcs
+            if s is not None
+        }
         return mixture_sample(docs, weights, budget_fraction=0.4)
 
     def doc_dup_spans(spark, sf_dir):
@@ -2272,7 +2272,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decon_bloom": _bloom_bits_sql(65536, 3, 20),
         # mixture sampling: naive global-window twin of the two-level cut
         "doc_mixture_sample": _mixture_sql(
-            "1 + (abs(coalesce(try_cast(substr(source, 4) as int), 0)) % 3)", 0.4
+            "1 + (('0x' || substr(md5(source), 1, 15))::bigint % 3)", 0.4
         ),
         # Morton layout key: identical quantize + unrolled bit-interleave
         # expression on both engines (offset-invariant under the NTZ epoch
@@ -3040,7 +3040,7 @@ def oracle_sql() -> dict[str, str]:
             dim as (select d from (select len(v) as d, count(*) as c
                                    from e0 group by 1 order by c desc, d limit 1)),
             e as (select vec_id, v from e0, dim where len(v) = dim.d),
-            -- IVF codebook: 16 lowest conforming vec_ids, round-6 cosine assignment
+            -- IVF codebook: 16 smallest-md5 conforming vec_ids, round-6 cosine assignment
             c as (select vec_id as c_id, v as cv from e
                  order by md5(vec_id::varchar), vec_id limit 16),
             ac as (select e.vec_id, c.c_id,

@@ -301,7 +301,14 @@ def bpe_token_counts(
     otherwise), which is how a 100 TB corpus is encoded after training:
     one pass over the text for words, one join against the vocabulary."""
     merges, words = bpe_train(docs, n_merges=n_merges, text_col=text_col)
-    wc = words.select("word", F.size("tokens").alias("_ntok"))
+    # cut the vocabulary-sized token counts loose from the persisted word
+    # table, then release it: Spark's CacheManager holds cached plans
+    # until explicit unpersist — without this, every call leaks a cached
+    # word table for the session lifetime (review-caught)
+    wc = words.select("word", F.size("tokens").alias("_ntok")).localCheckpoint(
+        eager=True
+    )
+    words.unpersist()
     doc_words = (
         spread(docs.where(F.col(text_col).isNotNull()))
         .select(

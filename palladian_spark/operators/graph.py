@@ -241,6 +241,11 @@ def label_propagation(
         )
         if it % checkpoint_every == 0 and it < iterations:
             labels = labels.localCheckpoint()
+    # eager-materialize BEFORE unpersisting (pagerank's pattern): the
+    # returned plan still references sym for every round after the last
+    # checkpoint — unpersisting first would recompute the edge build
+    # uncached at the caller's first action (review-caught)
+    labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     edges_c.unpersist()
     return labels

@@ -89,10 +89,19 @@ def mixture_sample(
         per_src.setdefault(r[source_col], []).append((r["_bucket"], int(r["_sz"])))
     plan_rows = []
     for s, buckets in per_src.items():
+        if s is None:
+            # the oracle's null-source budget is NULL (cum <= null is
+            # false) — emit no plan rows rather than a zero budget, which
+            # would admit zero-size null-source docs the oracle excludes
+            continue
         budget = tb * weights.get(s, 0) // wsum
         off = 0
         for b, sz in sorted(buckets):
-            if off >= budget:
+            # inclusive boundary (`>` not `>=`): a bucket whose start
+            # offset lands exactly ON the budget can still contribute
+            # zero-size docs with cum == budget, which the oracle's
+            # global `cum <= budget` keeps (review-caught divergence)
+            if off > budget:
                 break
             plan_rows.append((s, b, off, budget))
             off += sz

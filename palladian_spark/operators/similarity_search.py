@@ -299,9 +299,10 @@ def _centroid_matrix(
     the same assignment join), which changes centroid VALUES but none of
     the partition/probe plumbing measured here."""
     # with a known table dim, keep only conforming rows BEFORE the limit
-    # (the codebook is "the n lowest-id conforming vectors" — the same set
-    # the DuckDB oracle's modal-dim-filtered `limit n` selects); without
-    # one, fall back to masking the collected rows to their modal length
+    # (the codebook is "the n smallest-md5(id) conforming vectors" — the
+    # same set the DuckDB oracle's modal-dim-filtered `limit n` selects);
+    # without one, fall back to masking the collected rows to their modal
+    # length
     pool = _non_null_vectors(embeddings, vec_col)
     if dim is not None:
         pool = pool.where(F.size(F.col(vec_col)) == F.lit(dim))
@@ -311,12 +312,19 @@ def _centroid_matrix(
         .limit(n_centroids)
         .collect()
     )
+    # SELECTION is by hash (diversity); matrix ORDER is id-ascending —
+    # _make_probe_udf ties by array position (stable argsort), and the
+    # oracle ties by `order by cos desc, c_id`, so the positions must be
+    # id-sorted or duplicate seed vectors assign divergent cells
+    # (review-caught: two identical seeds tie at cosine 1.0 and each
+    # engine picked a different one under md5 ordering)
+    rows.sort(key=lambda r: r[0])
     if not rows:
         # fully-null/empty embedding table: keep the codebook 2-D so the
         # eager norm in _make_probe_udf stays well-formed; the corpus side
         # is empty after the same filter, so no batch ever hits the matmul
         return np.zeros(0, dtype=np.int64), np.zeros((0, 1), dtype=np.float64)
-    # a dim-corrupt row among the lowest ids must not enter (or ragged-crash)
+    # a dim-corrupt row among the selected ids must not enter (or ragged-crash)
     # the codebook: keep only rows of the modal length
     lists = [list(r[1]) for r in rows]
     mat, ok = _stack_valid(lists)
@@ -523,8 +531,8 @@ def _pq_codebook(
     vec_col: str,
     dim: int | None,
 ) -> np.ndarray | None:
-    """Product-quantization codebook: the ``n_cells`` lowest-id conforming
-    vectors, sliced into ``m`` subvectors and quantized to the fixed-point
+    """Product-quantization codebook: the ``n_cells`` smallest-md5(id)
+    conforming vectors, sliced into ``m`` subvectors and quantized to the fixed-point
     grid iq(x) = floor(x * 2^20 + 0.5). Returns (m, n_cells, dim//m) int64,
     or None when the table has no conforming rows. Seeded-deterministic
     like the IVF codebook (`_centroid_matrix`) so a DuckDB oracle
@@ -763,11 +771,17 @@ def ivfpq_topk(
     (Jegou et al. 2011, public) on Spark joins.
 
     Both codebooks are the seeded-deterministic families the component
-    operators pin (IVF: lowest-id conforming vectors; PQ: smallest-md5
-    sample), so the DuckDB oracle recomputes cell assignment, probe
+    operators pin (both: the smallest-md5(id) conforming vectors — a
+    uniform sample; the IVF matrix is then id-ordered so assignment ties
+    break like the oracle's `order by cos desc, c_id`), so the DuckDB
+    oracle recomputes cell assignment, probe
     lists, PQ codes, ADC scores, pool, and rescore bit-identically.
     Pool recall vs exact is pytest-gated on the clustered corpus.
     """
+    if rescore_factor < 1:
+        # unlike pq_topk there is no ADC-only output mode here; a silent
+        # `rank <= 0` filter would read as "no neighbors" (review-caught)
+        raise ValueError("ivfpq_topk requires rescore_factor >= 1")
     dim = _table_dim(embeddings, vec_col)
     spark = embeddings.sparkSession
     out_schema = "query_id long, vec_id long, score double, rank int"
