@@ -1170,6 +1170,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").alias("rnk"),
         )
 
+    def embedding_pq_codes(spark, sf_dir):
+        # the PQ storage artifact itself: m=4 cell codes per vector (the
+        # 64x-compressed ANN scan column) - same codebook/fixed-point
+        # grid as ann_pq_topk, exploded to (vec_id, s, code) rows
+        from palladian_spark.operators.similarity_search import pq_encode
+
+        emb = _read(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        enc = pq_encode(emb, n_cells=16, m=4)
+        return enc.select(
+            "vec_id", F.posexplode("codes").alias("s", "code")
+        )
+
     def embedding_quantize(spark, sf_dir):
         # int8 scalar quantization (vec_id, pos, code) — pure JVM plan;
         # floor(x+0.5) formulation is engine-portable (see operator doc).
@@ -1251,6 +1265,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 5)
             .select("event_type", "event_id", "rn")
+        )
+
+    def events_windowed_counts(spark, sf_dir):
+        # tumbling 1-hour windows keyed off the corpus min timestamp
+        # (bucket = (us - min_us) div 3600e6): offset-invariant under the
+        # NTZ epoch-cast difference, so both engines bucket identically -
+        # the batch twin of the streaming pipeline's windowed aggregation
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        mn = F.broadcast(ev.agg(F.min("us").alias("_mn")))
+        return (
+            ev.crossJoin(mn)
+            .select(
+                "event_type",
+                F.expr("(us - _mn) div 3600000000").alias("window_id"),
+            )
+            .groupBy("event_type", "window_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
         )
 
     def events_zorder(spark, sf_dir):
@@ -1512,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_length_histogram=doc_length_histogram,
         doc_decon_bloom=doc_decon_bloom,
         events_zorder=events_zorder,
+        events_windowed_counts=events_windowed_counts,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -1542,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_topk=ann_ivf_topk,
         ann_pq_topk=ann_pq_topk,
         ann_ivfpq_topk=ann_ivfpq_topk,
+        embedding_pq_codes=embedding_pq_codes,
         embedding_quantize=embedding_quantize,
         embedding_near_dups=embedding_near_dups,
         tpch_pricing=tpch_pricing,
@@ -3110,6 +3145,48 @@ def oracle_sql() -> dict[str, str]:
                                             order by cos desc, vec_id) as rnk
                   from resc)
             select query_id, vec_id, cos_ppm, rnk from r where rnk <= 5
+        """,
+
+        "embedding_pq_codes": """
+            with e0 as (select vec_id, embedding::DOUBLE[] as v from embeddings
+                        where embedding is not null and len(embedding) > 0),
+            dim as (select d from (select len(v) as d, count(*) as c
+                                   from e0 group by 1 order by c desc, d limit 1)),
+            e as (select vec_id, v from e0, dim where len(v) = dim.d),
+            eq as (select vec_id,
+                          list_transform(v, x ->
+                              cast(floor(x * 1048576.0 + 0.5) as bigint)) as iv,
+                          (select d from dim) // 4 as ds
+                   from e),
+            cb as (select row_number() over (order by md5(vec_id::varchar), vec_id) - 1
+                              as c_idx, iv, ds
+                   from (select vec_id, iv, ds from eq
+                         order by md5(vec_id::varchar), vec_id limit 16)),
+            subs as (select unnest(generate_series(0, 3)) as s),
+            esub as (select vec_id, s, list_slice(iv, s*ds + 1, (s+1)*ds) as sub
+                     from eq, subs),
+            csub as (select c_idx, s, list_slice(iv, s*ds + 1, (s+1)*ds) as sub
+                     from cb, subs),
+            dists as (select e.vec_id, e.s, c.c_idx,
+                             cast(list_dot_product(e.sub, e.sub) as bigint)
+                             - 2 * cast(list_dot_product(e.sub, c.sub) as bigint)
+                             + cast(list_dot_product(c.sub, c.sub) as bigint) as dist
+                      from esub e join csub c using (s)),
+            codes as (select vec_id, s, c_idx as code from (
+                        select vec_id, s, c_idx,
+                               row_number() over (partition by vec_id, s
+                                                  order by dist, c_idx) as rn
+                        from dists) where rn = 1)
+            select vec_id, s::int as s, code from codes
+        """,
+
+        "events_windowed_counts": """
+            with e as (select event_type, epoch_us(ts) as us from events),
+            mn as (select min(us) as m from e)
+            select event_type, (us - m) // 3600000000 as window_id,
+                   count(*) as n_events
+            from e cross join mn
+            group by 1, 2
         """,
         # int8 quantization: identical double op order + floor(x+0.5) on
         # both engines (round() differs: numpy half-even vs SQL half-away).

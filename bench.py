@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "embedding_quantize",
+    "embedding_pq_codes",
     "bpe_merges",
     "doc_token_hll",
     "doc_token_cms",
@@ -96,6 +97,7 @@ HEADLINE = [
     "doc_decon_bloom",
     "doc_mixture_sample",
     "events_zorder",
+    "events_windowed_counts",
     "doc_chunks",
     "doc_split",
     "doc_pack_sequences",
