@@ -665,6 +665,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf_dir, "documents"), strata_col="source", k=10
         )
 
+    def doc_curation_report(spark, sf_dir):
+        # the ship-it verdict table: every doc-side gate (quality,
+        # repetition, exact/near dedup, decontamination, PII counts)
+        # joined into one keep/drop row per document - the text twin of
+        # code_curation_report. Oracle composes the component gates'
+        # independent oracles verbatim (nested WITH subqueries).
+        from palladian_spark.operators.curation import curation_report
+
+        return curation_report(_read(spark, sf_dir, "documents"))
+
     def doc_dedup_near(spark, sf_dir):
         # the actual curation ACTION over doc_dup_clusters' output: keep
         # the cluster-min representative + every unclustered doc. Uses the
@@ -1541,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_token_hll=doc_token_hll,
         kg_label_prop=kg_label_prop,
         doc_mixture_sample=doc_mixture_sample,
+        doc_curation_report=doc_curation_report,
         doc_token_cms=doc_token_cms,
         doc_length_histogram=doc_length_histogram,
         doc_decon_bloom=doc_decon_bloom,
@@ -2130,6 +2141,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from palladian_spark.operators.textstats import (
         length_histogram_sql as _length_hist_sql,
+    )
+    from palladian_spark.operators.curation import (
+        pii_redact_sql as _pii_redact_sql,
     )
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
@@ -3403,4 +3417,43 @@ def oracle_sql() -> dict[str, str]:
     # contract query shares code_triples' oracle by construction (per-file
     # groups never straddle the disjoint batches; depends-on supports sum)
     oracles["code_triples_incremental"] = oracles["code_triples"]
+    # the ship-it verdict table composes the component gates' oracles
+    # verbatim as nested-WITH subqueries (each is already a full
+    # independent recompute; quality thresholds are cross-multiplied
+    # integers). PII counts run over the RAW text (no synthetic
+    # injection - that exists only to exercise doc_pii_redact).
+    oracles["doc_curation_report"] = f"""
+        with crp_q as ({oracles["doc_quality"]}),
+        crp_rep as ({oracles["doc_repetition"]}),
+        crp_ex as ({oracles["doc_exact_dedup"]}),
+        crp_near as ({oracles["doc_dedup_near"]}),
+        crp_cont as (select distinct doc_id from ({oracles["doc_decontaminate"]})),
+        crp_src as (select doc_id, coalesce(text, '') as text from documents),
+        crp_pii as ({_pii_redact_sql("crp_src")}),
+        crp_flags as (
+          select d.doc_id,
+                 q.n_words::bigint as n_words,
+                 case when q.n_words >= 10
+                       and 2 * q.n_words <= q.sum_word_chars
+                       and q.sum_word_chars <= 12 * q.n_words
+                      then 1 else 0 end as quality_ok,
+                 rep.verdict,
+                 (p.n_email + p.n_phone + p.n_ipv4)::bigint as n_pii,
+                 case when ex.doc_id is not null then 1 else 0 end as exact_keep,
+                 case when nr.doc_id is not null then 1 else 0 end as near_keep,
+                 case when ct.doc_id is not null then 1 else 0 end as contaminated
+          from documents d
+          join crp_q q using (doc_id)
+          join crp_rep rep using (doc_id)
+          join crp_pii p using (doc_id)
+          left join crp_ex ex using (doc_id)
+          left join crp_near nr using (doc_id)
+          left join crp_cont ct using (doc_id))
+        select *,
+               case when quality_ok = 1 and verdict = 'keep'
+                     and exact_keep = 1 and near_keep = 1
+                     and contaminated = 0
+                    then 1 else 0 end as keep
+        from crp_flags
+    """
     return oracles

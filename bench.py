@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_split",
     "doc_pack_sequences",
     "doc_decontaminate",
+    "doc_curation_report",
     "doc_dup_spans",
     "doc_repetition",
     "doc_pii_redact",

@@ -883,3 +883,100 @@ def pack_sequences_sql(
                    as pos_in_seq,
                token_count
         from ps_rec"""
+
+
+def curation_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ship-it verdict table: every per-document curation gate joined
+    into one row — (doc_id, n_words, quality_ok, verdict, n_pii,
+    exact_keep, near_keep, contaminated, keep). ``keep`` is the corpus a
+    training run would actually read: quality in range AND repetition
+    verdict 'keep' AND the document is its exact-dup group's canonical
+    row AND survives near-dedup AND is not benchmark-contaminated (PII is
+    reported, not a drop gate — the pipeline redacts instead).
+
+    quality_ok pins explicit integer thresholds (Gopher-style): at least
+    10 words and mean word length in [2, 12], expressed as cross-
+    multiplied integers so both engines compare exactly.
+
+    Scale shape: every component's cost is its own audited plan (see
+    PLANS.md per gate); the report adds only id-keyed equi-joins of
+    id-sized flag tables — the corpus text is never re-shuffled, and the
+    near-dup/decontaminate sides are pair-bounded. This is the text-side
+    twin of code_curation_report."""
+    from .dedup import exact_dedup, ngram_jaccard_pairs_exact
+    from ..operators.canonicalize import connected_components
+    from ..operators.textstats import quality_counts
+
+    q = quality_counts(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "n_words", "sum_word_chars"
+    )
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "verdict"
+    )
+    pii = pii_redact(docs, id_col=id_col, text_col=text_col)
+    n_pii = None
+    for kind, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{kind}")
+        n_pii = c if n_pii is None else n_pii + c
+    pii = pii.select(id_col, n_pii.cast("long").alias("n_pii"))
+
+    exact = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.lit(1).alias("_ex")
+    )
+    pairs = ngram_jaccard_pairs_exact(
+        docs, n=3, threshold_num=1, threshold_den=5
+    )
+    edges = pairs.select(
+        F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("left_value"),
+        F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("right_value"),
+    )
+    clusters = connected_components(edges).select(
+        F.col("value").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    near = remove_near_duplicates(
+        docs.select(id_col), clusters, id_col=id_col
+    ).select(F.col(id_col), F.lit(1).alias("_nr"))
+    cont = (
+        benchmark_overlap(docs)
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+        .withColumn("_ct", F.lit(1))
+    )
+
+    quality_ok = (
+        (F.col("n_words") >= 10)
+        & (2 * F.col("n_words") <= F.col("sum_word_chars"))
+        & (F.col("sum_word_chars") <= 12 * F.col("n_words"))
+    ).cast("int")
+    out = (
+        docs.select(id_col)
+        .join(q, id_col)
+        .join(rep, id_col)
+        .join(pii, id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .join(cont, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            quality_ok.alias("quality_ok"),
+            "verdict",
+            "n_pii",
+            F.coalesce(F.col("_ex"), F.lit(0)).alias("exact_keep"),
+            F.coalesce(F.col("_nr"), F.lit(0)).alias("near_keep"),
+            F.coalesce(F.col("_ct"), F.lit(0)).alias("contaminated"),
+        )
+    )
+    keep = (
+        (F.col("quality_ok") == 1)
+        & (F.col("verdict") == "keep")
+        & (F.col("exact_keep") == 1)
+        & (F.col("near_keep") == 1)
+        & (F.col("contaminated") == 0)
+    ).cast("int")
+    return out.withColumn("keep", keep)

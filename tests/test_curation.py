@@ -413,3 +413,34 @@ def test_pack_invariants_and_bucket_independence(spark):
         if prev is not None:
             assert r["seq_id"] >= prev
         by_bucket[r["bucket"]] = r["seq_id"]
+
+
+def test_curation_report_verdicts(spark):
+    """Each gate flips the keep bit for the right document: a good doc
+    keeps; an exact duplicate keeps only its canonical row; a repetitive
+    doc drops; a too-short doc fails quality; PII is counted but does not
+    drop."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.curation import curation_report
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the green hills with great speed today")
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 -> only 1 keeps
+        (3, "spam spam " * 40),         # repetitive -> verdict drop
+        (4, "tiny text"),               # < 10 words -> quality fail
+        (5, good + " contact me at someone@example.com please do that"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = {r["doc_id"]: r for r in curation_report(docs).collect()}
+    assert rep[1]["exact_keep"] == 1 and rep[2]["exact_keep"] == 0
+    assert rep[2]["keep"] == 0
+    assert rep[3]["verdict"] != "keep" and rep[3]["keep"] == 0
+    assert rep[4]["quality_ok"] == 0 and rep[4]["keep"] == 0
+    assert rep[5]["n_pii"] >= 1
+    # PII alone never drops; doc 5 is a near-dup of the good doc though,
+    # so its keep depends on the near gate - doc 1 must keep outright
+    assert rep[1]["keep"] == 1
+    assert rep[1]["n_pii"] == 0
