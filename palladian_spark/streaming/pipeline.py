@@ -150,12 +150,33 @@ def start_triple_stream(
             .parquet(part)
         )
         committed = batch_df.sparkSession.read.parquet(part)
+        # batch-local counts are exact; the HLL register map makes the
+        # metrics CROSS-batch mergeable — corpus-wide distinct-content
+        # estimates fold from the tiny metrics rows (register-wise max)
+        # without ever running a distinct over the full triple log (the
+        # StageStore manifests' sketch, applied per micro-batch)
+        from ..operators.sketches import hll_register_rho
+
+        h = F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")
+        reg, rho = hll_register_rho(h, p=6)
+        regs = (
+            committed.where(F.col("content_sha256").isNotNull())
+            .select(reg.alias("r"), rho.alias("m"))
+            .groupBy("r")
+            .agg(F.max("m").alias("m"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("r", "m"))
+                ).alias("hll_regs")
+            )
+        )
         (
             committed.agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.count_distinct(F.col("content_sha256")).alias("n_docs"),
                 F.sum("support").cast("long").alias("total_support"),
             )
+            .crossJoin(regs)
             .write.mode("overwrite")
             .parquet(f"{output_dir}_metrics/ingest_batch={batch_id}")
         )

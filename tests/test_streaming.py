@@ -353,3 +353,17 @@ def test_triple_log_batch_metrics(spark, tmp_path, doc_rows):
         assert got[b]["rows"] == part.count()
         assert got[b]["n_docs"] == part.select("content_sha256").distinct().count()
         assert got[b]["total_support"] == part.agg(F.sum("support")).first()[0]
+
+    # cross-batch mergeability: register-wise max over the per-batch HLL
+    # maps estimates the log-wide distinct content count without any
+    # distinct over the log (tiny corpus -> linear-counting regime, so
+    # the estimate is near-exact)
+    from palladian_spark.operators.sketches import hll_estimate
+
+    merged: dict = {}
+    for r in metrics.collect():
+        for j, m in (r["hll_regs"] or {}).items():
+            merged[j] = max(merged.get(j, 0), m)
+    true = log.select("content_sha256").distinct().count()
+    est = hll_estimate(merged, p=6)
+    assert abs(est - true) / true <= 0.40, (est, true)
