@@ -707,6 +707,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mention_edges(_read(spark, sf_dir, "documents"), list(GAZETTEER))
         )
 
+    def kg_training_pairs(spark, sf_dir):
+        # deterministic corrupt-tail negative sampling over the mention
+        # graph's directed edges - the KG-embedding training-data step;
+        # hash-chosen tails make the sample a pure function of the graph
+        from palladian_spark.operators.graph import (
+            link_training_pairs,
+            mention_edges,
+        )
+
+        return link_training_pairs(
+            mention_edges(_read(spark, sf_dir, "documents"), list(GAZETTEER)),
+            k_negatives=3,
+        )
+
     def kg_label_prop(spark, sf_dir):
         # synchronous weighted label propagation (4 rounds) over the
         # mention graph - community detection beside components/PageRank;
@@ -1550,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_token_counts=bpe_token_counts,
         doc_token_hll=doc_token_hll,
         kg_label_prop=kg_label_prop,
+        kg_training_pairs=kg_training_pairs,
         doc_mixture_sample=doc_mixture_sample,
         doc_curation_report=doc_curation_report,
         doc_token_cms=doc_token_cms,
@@ -2138,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from palladian_spark.operators.graph import (
         label_propagation_sql as _label_prop_sql,
+        link_training_pairs_sql as _link_pairs_sql,
     )
     from palladian_spark.operators.textstats import (
         length_histogram_sql as _length_hist_sql,
@@ -2318,6 +2334,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_cms": _token_cms_sql(4, 1024),
         "doc_length_histogram": _length_hist_sql(),
         "kg_label_prop": _label_prop_sql(_mention_graph_sql(), 4),
+        "kg_training_pairs": _link_pairs_sql(_mention_graph_sql(), 3),
         "doc_decon_bloom": _bloom_bits_sql(65536, 3, 20),
         # mixture sampling: naive global-window twin of the two-level cut
         "doc_mixture_sample": _mixture_sql(

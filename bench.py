@@ -64,6 +64,7 @@ HEADLINE = [
     "kg_stats",
     "kg_clustering",
     "kg_label_prop",
+    "kg_training_pairs",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

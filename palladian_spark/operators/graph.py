@@ -720,3 +720,98 @@ def export_edges_sql(src: str) -> str:
            {_sql_id('obj', False)} as dst_hi,
            pred, support::bigint as support
     from {src}"""
+
+
+def link_training_pairs(
+    edges: DataFrame,
+    k_negatives: int = 3,
+) -> DataFrame:
+    """KG-embedding training pairs with deterministic corrupt-tail
+    negative sampling (the TransE/DistMult data-prep step): every
+    distinct (src, dst) edge becomes a label-1 row, plus up to
+    ``k_negatives`` label-0 rows whose tail is replaced by a
+    pseudo-random OTHER tail node — hash-chosen, so the sample is a pure
+    function of the graph (reproducible across runs/partitionings, and
+    the DuckDB oracle regenerates it exactly).
+
+    Negative tail for (src, dst, i) = tails[md5(src|dst|i) mod n_tails]
+    over the rank-ordered distinct-tail table; candidates that collide
+    with ANY true edge of the same src are dropped (standard filtered
+    negative sampling), as are self-corruptions. The tail set is the
+    entity side of the bipartite graph — dictionary-sized, so the rank
+    window and the rank equi-join are bounded regardless of corpus size;
+    the per-edge hash work is codegen (same portable md5-int family as
+    the sketches). Output: (src, dst, label)."""
+    e = edges.select("src", "dst").distinct()
+    tails = (
+        e.select("dst").distinct()
+        .withColumn(
+            "_rank",
+            F.row_number().over(Window.orderBy("dst")) - 1,
+        )
+    )
+    n_tails = tails.count()
+    if n_tails < 2:
+        return e.withColumn("label", F.lit(1))
+    cand = (
+        e.select(
+            "src",
+            F.col("dst").alias("_true_dst"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, k_negatives + 1)])
+            ).alias("_i"),
+        )
+        .withColumn(
+            "_rank",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", "src", "_true_dst", "_i")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_tails),
+            ),
+        )
+        .join(F.broadcast(tails), "_rank")
+        .where(F.col("dst") != F.col("_true_dst"))
+        .select("src", "dst")
+        .distinct()
+        .join(e, ["src", "dst"], "left_anti")
+    )
+    return e.withColumn("label", F.lit(1)).unionByName(
+        cand.withColumn("label", F.lit(0))
+    )
+
+
+def link_training_pairs_sql(edges_cte: str, k_negatives: int = 3) -> str:
+    """DuckDB oracle for :func:`link_training_pairs` over the ``sym``
+    relation's DIRECTED half (the d:->t: edges)."""
+    return f"""
+        with {edges_cte},
+        ltp_e as (select distinct src, dst from sym where src like 'd:%'),
+        ltp_t as (select dst, row_number() over (order by dst) - 1 as r
+                  from (select distinct dst from ltp_e)),
+        ltp_n as (select count(*) as n from ltp_t),
+        ltp_c as (
+          select e.src, t.dst
+          from ltp_e e
+          cross join (select unnest(generate_series(1, {k_negatives})) as i) i
+          cross join ltp_n
+          join ltp_t t
+            on t.r = ('0x' || substr(md5(e.src || '|' || e.dst || '|' || i.i), 1, 15))::bigint
+                     % ltp_n.n
+          where t.dst != e.dst),
+        ltp_neg as (
+          select distinct c.src, c.dst from ltp_c c
+          left join ltp_e e on e.src = c.src and e.dst = c.dst
+          where e.src is null)
+        select src, dst, 1 as label from ltp_e
+        union all
+        select src, dst, 0 as label from ltp_neg
+    """

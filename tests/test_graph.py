@@ -148,3 +148,40 @@ def test_label_propagation_weighted_votes_and_ties(spark):
     )
     got2 = {r["node"]: r["label"] for r in label_propagation(df2, iterations=1).collect()}
     assert got2["x"] == "k"
+
+
+def test_link_training_pairs_properties(spark):
+    """Negative-sampling invariants: positives = the distinct edge set
+    with label 1; negatives never collide with a true edge or the
+    original tail; the sample is deterministic and bounded by
+    k_negatives per positive."""
+    from palladian_spark.operators.graph import link_training_pairs
+
+    edges = spark.createDataFrame(
+        [("d:1", "t:a", 2), ("d:1", "t:b", 1), ("d:2", "t:a", 1),
+         ("d:3", "t:c", 1), ("d:4", "t:d", 1)],
+        "src string, dst string, weight long",
+    )
+    rows = link_training_pairs(edges, k_negatives=3).collect()
+    pos = {(r["src"], r["dst"]) for r in rows if r["label"] == 1}
+    neg = {(r["src"], r["dst"]) for r in rows if r["label"] == 0}
+    true_edges = {("d:1", "t:a"), ("d:1", "t:b"), ("d:2", "t:a"),
+                  ("d:3", "t:c"), ("d:4", "t:d")}
+    assert pos == true_edges
+    assert neg and not (neg & true_edges)
+    # every negative tail is a REAL tail node from the graph
+    tails = {d for _, d in true_edges}
+    assert all(d in tails for _, d in neg)
+    # bounded: at most k per positive
+    per_src: dict = {}
+    for s, _ in neg:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v <= 3 * sum(1 for p, _ in true_edges if p == s)
+               for s, v in per_src.items())
+    again = link_training_pairs(edges, k_negatives=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # degenerate: single tail -> positives only, no crash
+    one = spark.createDataFrame([("d:1", "t:a", 1)], "src string, dst string, weight long")
+    only = link_training_pairs(one, k_negatives=3).collect()
+    assert [(r["src"], r["dst"], r["label"]) for r in only] == [("d:1", "t:a", 1)]
