@@ -1310,6 +1310,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
 
+    def events_funnel(spark, sf_dir):
+        # ordered funnel view -> click -> purchase per user: earliest
+        # strictly-increasing chain, inter-step gaps in microseconds
+        # (offset-invariant under the NTZ epoch cast)
+        from palladian_spark.operators.temporal import funnel_steps
+
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        return funnel_steps(ev, ["view", "click", "purchase"])
+
     def events_zorder(spark, sf_dir):
         # Z-order (Morton) layout key over (user_id, ts): the write-side
         # clustering column for two-dimensional file pruning (Delta
@@ -1572,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_decon_bloom=doc_decon_bloom,
         events_zorder=events_zorder,
         events_windowed_counts=events_windowed_counts,
+        events_funnel=events_funnel,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -2164,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.temporal import (
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
+        funnel_steps_sql as _funnel_sql,
     )
     from palladian_spark.operators.code_curation import (
         augment_corpus_sql as _aug_corpus_sql,
@@ -2344,6 +2357,7 @@ def oracle_sql() -> dict[str, str]:
         # expression on both engines (offset-invariant under the NTZ epoch
         # cast - only differences enter the quantizer)
         "events_zorder": _zorder_events_sql(),
+        "events_funnel": _funnel_sql(["view", "click", "purchase"]),
         "doc_keywords": f"""
             with {_doc_terms_sql()}
             {_doc_keywords_sql()}

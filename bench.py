@@ -115,6 +115,7 @@ HEADLINE = [
     "events_sessionize",
     "events_asof",
     "events_range_join",
+    "events_funnel",
     "events_topk",
 ]
 

@@ -241,3 +241,94 @@ def events_range_sql(
           on r.user_id = l.user_id
          and abs(l.ts_us - r.ts_us) <= {int(radius_us)}
         group by 1, 2"""
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis (the product-analytics staple Spark has no
+    primitive for): per key, the earliest strictly-increasing timestamp
+    chain through ``steps`` — step i's timestamp is the MIN event time of
+    that type AFTER the step i-1 match. Returns one row per key that
+    completes step 1: (key, steps_completed, gap_us_1, ..., gap_us_{n-1})
+    where gap_us_i is the i-th inter-step gap (null once the funnel
+    stalls). Gaps, not absolute times: differences are exact under the
+    NTZ epoch-cast offset, absolute epochs are not (events_asof's rule).
+
+    The earliest-chain (min-after-previous) semantics is the standard
+    greedy funnel and is order-deterministic; each step is ONE
+    aggregation + ONE key equi-join against the (key-sized) previous
+    frontier, so n_steps joins total — the event table is scanned once
+    per step with the type filter pushed to the scan, never sorted
+    globally."""
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts).alias("_t1"))
+    )
+    out = frontier
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(key, F.col(ts).alias("_ts"))
+            .join(out.select(key, F.col(f"_t{i-1}")), key)
+            .where(F.col("_ts") > F.col(f"_t{i-1}"))
+            .groupBy(key)
+            .agg(F.min("_ts").alias(f"_t{i}"))
+        )
+        out = out.join(nxt, key, "left")
+    completed = None
+    cols = [F.col(key)]
+    for i in range(2, len(steps) + 1):
+        step_done = F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)
+        completed = step_done if completed is None else completed + step_done
+        cols.append((F.col(f"_t{i}") - F.col(f"_t{i-1}")).alias(f"gap_us_{i-1}"))
+    cols.insert(1, (F.lit(1) + completed).alias("steps_completed"))
+    return out.select(*cols)
+
+
+def funnel_steps_sql(
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`funnel_steps` over the events table
+    (epoch_us timestamps; gaps are offset-invariant)."""
+    parts = [
+        f"""f1 as (select {key}, min(epoch_us(ts)) as t1
+               from events where {type_col} = '{steps[0]}'
+               group by 1)"""
+    ]
+    joined = "f1"
+    for i, step in enumerate(steps[1:], start=2):
+        parts.append(
+            f"""f{i} as (select e.{key}, min(epoch_us(e.ts)) as t{i}
+               from events e
+               join f{i-1} on f{i-1}.{key} = e.{key}
+               where e.{type_col} = '{step}'
+                 and epoch_us(e.ts) > f{i-1}.t{i-1}
+               group by 1)"""
+        )
+    chain = ",\n        ".join(parts)
+    gap_cols = ", ".join(
+        f"f{i}.t{i} - f{i-1}.t{i-1} as gap_us_{i-1}"
+        for i in range(2, len(steps) + 1)
+    )
+    step_sum = " + ".join(
+        f"case when f{i}.t{i} is not null then 1 else 0 end"
+        for i in range(2, len(steps) + 1)
+    )
+    ljoins = "\n        ".join(
+        f"left join f{i} on f{i}.{key} = f1.{key}"
+        for i in range(2, len(steps) + 1)
+    )
+    return f"""
+        with {chain}
+        select f1.{key}, 1 + ({step_sum}) as steps_completed, {gap_cols}
+        from f1
+        {ljoins}
+    """

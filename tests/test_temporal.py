@@ -181,3 +181,31 @@ def test_range_join_matches_brute_force(spark):
     got = [(row["event_id"], row["r_event_id"]) for row in out]
     assert len(got) == len(set(got)), "duplicate pairs emitted"
     assert set(got) == exp
+
+
+def test_funnel_steps_greedy_chain(spark):
+    """The funnel picks the EARLIEST strictly-increasing chain: step i is
+    the min matching event after step i-1, a stalled funnel leaves later
+    gaps null, and users without step 1 are absent."""
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1 completes: view@10, click@30 (20 after view, not the @5 one),
+        # purchase@100
+        (1, "view", 10), (1, "click", 5), (1, "click", 30), (1, "purchase", 100),
+        # u2 stalls after view: click happened BEFORE the view
+        (2, "click", 10), (2, "view", 20),
+        # u3 never views -> absent
+        (3, "purchase", 50),
+        # u4: two views - chain starts at the FIRST, click after it counts
+        (4, "view", 100), (4, "view", 10), (4, "click", 50),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {r["user_id"]: r for r in
+           funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert (got[1]["steps_completed"], got[1]["gap_us_1"], got[1]["gap_us_2"]) == (3, 20, 70)
+    assert (got[2]["steps_completed"], got[2]["gap_us_1"], got[2]["gap_us_2"]) == (1, None, None)
+    assert (got[4]["steps_completed"], got[4]["gap_us_1"], got[4]["gap_us_2"]) == (2, 40, None)
