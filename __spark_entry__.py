@@ -1310,6 +1310,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
 
+    def events_retention(spark, sf_dir):
+        # daily cohort-retention triangle: (cohort, offset, n_keys) over
+        # integer bucket differences - no global sort/window anywhere
+        from palladian_spark.operators.temporal import cohort_retention
+
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        return cohort_retention(ev)
+
     def events_funnel(spark, sf_dir):
         # ordered funnel view -> click -> purchase per user: earliest
         # strictly-increasing chain, inter-step gaps in microseconds
@@ -1584,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_zorder=events_zorder,
         events_windowed_counts=events_windowed_counts,
         events_funnel=events_funnel,
+        events_retention=events_retention,
         doc_decontaminate=doc_decontaminate,
         doc_exact_dedup=doc_exact_dedup,
         doc_ngram_jaccard=doc_ngram_jaccard,
@@ -2177,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         events_asof_sql as _events_asof_sql,
         events_range_sql as _events_range_sql,
         funnel_steps_sql as _funnel_sql,
+        cohort_retention_sql as _retention_sql,
     )
     from palladian_spark.operators.code_curation import (
         augment_corpus_sql as _aug_corpus_sql,
@@ -2358,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         # cast - only differences enter the quantizer)
         "events_zorder": _zorder_events_sql(),
         "events_funnel": _funnel_sql(["view", "click", "purchase"]),
+        "events_retention": _retention_sql(),
         "doc_keywords": f"""
             with {_doc_terms_sql()}
             {_doc_keywords_sql()}

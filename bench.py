@@ -116,6 +116,7 @@ HEADLINE = [
     "events_asof",
     "events_range_join",
     "events_funnel",
+    "events_retention",
     "events_topk",
 ]
 

@@ -332,3 +332,48 @@ def funnel_steps_sql(
         from f1
         {ljoins}
     """
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket_us: int = 86_400_000_000,
+    key: str = "user_id",
+    ts: str = "ts_us",
+) -> DataFrame:
+    """Cohort retention triangle: users cohort by the bucket of their
+    FIRST event (bucket 0 = the corpus-min bucket) and are counted once
+    per later bucket they return in — (cohort, offset, n_keys) with
+    offset = activity bucket - cohort bucket. The standard growth-
+    analytics roll-up, shaped for scale: one min-aggregate for the corpus
+    origin (scalar), one per-key min (the cohort map, key-sized), one
+    distinct + count aggregate — the event table is never sorted or
+    windowed globally, and all bucket arithmetic is integer division on
+    timestamp DIFFERENCES (offset-invariant under the NTZ epoch cast)."""
+    origin = F.broadcast(events.agg(F.min(ts).alias("_o")))
+    with_b = events.crossJoin(origin).select(
+        key, F.expr(f"({ts} - _o) div {bucket_us}").alias("_b")
+    )
+    cohorts = with_b.groupBy(key).agg(F.min("_b").alias("_cohort"))
+    return (
+        with_b.join(cohorts, key)
+        .select(key, "_cohort", (F.col("_b") - F.col("_cohort")).alias("_off"))
+        .distinct()
+        .groupBy(F.col("_cohort").alias("cohort"), F.col("_off").alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def cohort_retention_sql(
+    bucket_us: int = 86_400_000_000, key: str = "user_id"
+) -> str:
+    """DuckDB oracle for :func:`cohort_retention` over the events table."""
+    return f"""
+        with o as (select min(epoch_us(ts)) as o from events),
+        b as (select {key}, (epoch_us(ts) - o.o) // {bucket_us} as bkt
+              from events cross join o),
+        c as (select {key}, min(bkt) as cohort from b group by 1),
+        act as (select distinct b.{key}, c.cohort, b.bkt - c.cohort as off
+                from b join c using ({key}))
+        select cohort, off as "offset", count(*) as n_keys
+        from act group by 1, 2
+    """

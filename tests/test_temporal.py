@@ -209,3 +209,21 @@ def test_funnel_steps_greedy_chain(spark):
     assert (got[1]["steps_completed"], got[1]["gap_us_1"], got[1]["gap_us_2"]) == (3, 20, 70)
     assert (got[2]["steps_completed"], got[2]["gap_us_1"], got[2]["gap_us_2"]) == (1, None, None)
     assert (got[4]["steps_completed"], got[4]["gap_us_1"], got[4]["gap_us_2"]) == (2, 40, None)
+
+
+def test_cohort_retention_triangle(spark):
+    """Cohort = bucket of the first event; each later active bucket
+    counts the user once at its offset; bucket arithmetic uses integer
+    division of differences."""
+    from palladian_spark.operators.temporal import cohort_retention
+
+    D = 86_400_000_000
+    rows = [
+        (1, 0), (1, D + 5), (1, 2 * D),        # cohort 0, offsets 0,1,2
+        (2, 10), (2, 10 + D), (2, 20 + D),      # cohort 0, offsets 0,1 (dedup)
+        (3, D), (3, 3 * D),                     # cohort 1, offsets 0,2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r["cohort"], r["offset"]): r["n_keys"]
+           for r in cohort_retention(ev).collect()}
+    assert got == {(0, 0): 2, (0, 1): 2, (0, 2): 1, (1, 0): 1, (1, 2): 1}
