@@ -681,22 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # default size-gated (driver-local union-find) CC path, so between
         # this query and doc_dup_clusters BOTH physical CC strategies are
         # value-verified against independent SQL.
-        from palladian_spark.operators.canonicalize import connected_components
-        from palladian_spark.operators.curation import remove_near_duplicates
-        from palladian_spark.operators.dedup import ngram_jaccard_pairs_exact
+        from palladian_spark.operators.curation import near_dup_kept
 
-        docs = _read(spark, sf_dir, "documents")
-        pairs = ngram_jaccard_pairs_exact(docs, n=3, threshold_num=1, threshold_den=5)
-        edges = pairs.select(
-            F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("left_value"),
-            F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("right_value"),
-        )
-        clusters = connected_components(edges).select(
-            F.col("value").cast("long").alias("doc_id"),
-            F.col("component").cast("long").alias("cluster"),
-        )
-        kept = remove_near_duplicates(docs.select("doc_id"), clusters)
-        return kept.select("doc_id")
+        return near_dup_kept(_read(spark, sf_dir, "documents"))
 
     # ---- KG graph analytics (graph-materialize consumers: degree /
     # PageRank salience over the bipartite doc<->entity mention graph) ----
@@ -3074,7 +3061,11 @@ def oracle_sql() -> dict[str, str]:
                           list_transform(v, x ->
                               cast(floor(x * 1048576.0 + 0.5) as bigint)) as iv,
                           (select d from dim) // 4 as ds
-                   from e),
+                   from e
+                   -- dim % m != 0 -> no codebook on the Spark side
+                   -- (pq requires equal subvectors); mirror the empty
+                   -- result instead of silently truncating trailing dims
+                   where (select d from dim) % 4 = 0),
             -- codeword sources: the 16 conforming vectors with the smallest
             -- md5(vec_id) hex (string compare == Spark's orderBy(md5(...)));
             -- cell index = rank within that hash order
@@ -3156,7 +3147,11 @@ def oracle_sql() -> dict[str, str]:
             eq as (select vec_id,
                           list_transform(v, x -> cast(floor(x * 1048576.0 + 0.5) as bigint)) as iv,
                           (select d from dim) // 4 as ds
-                   from e),
+                   from e
+                   -- dim % m != 0 -> no codebook on the Spark side
+                   -- (pq requires equal subvectors); mirror the empty
+                   -- result instead of silently truncating trailing dims
+                   where (select d from dim) % 4 = 0),
             cb as (select row_number() over (order by md5(vec_id::varchar), vec_id) - 1 as c_idx, iv, ds
                    from (select vec_id, iv, ds from eq
                          order by md5(vec_id::varchar), vec_id limit 16)),
@@ -3215,7 +3210,11 @@ def oracle_sql() -> dict[str, str]:
                           list_transform(v, x ->
                               cast(floor(x * 1048576.0 + 0.5) as bigint)) as iv,
                           (select d from dim) // 4 as ds
-                   from e),
+                   from e
+                   -- dim % m != 0 -> no codebook on the Spark side
+                   -- (pq requires equal subvectors); mirror the empty
+                   -- result instead of silently truncating trailing dims
+                   where (select d from dim) % 4 = 0),
             cb as (select row_number() over (order by md5(vec_id::varchar), vec_id) - 1
                               as c_idx, iv, ds
                    from (select vec_id, iv, ds from eq

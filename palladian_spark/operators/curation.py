@@ -885,11 +885,33 @@ def pack_sequences_sql(
         from ps_rec"""
 
 
-def curation_report(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
+def near_dup_kept(docs: DataFrame) -> DataFrame:
+    """The near-dedup keep set over the documents shape (doc_id, text):
+    3-gram Jaccard pairs at threshold 1/5 -> connected components ->
+    cluster-min representative + every unclustered doc. THE single
+    definition of the near-dedup recipe — doc_dedup_near,
+    doc_dup_clusters' action, and curation_report all consume this
+    helper so the parameters can never drift apart."""
+    from .dedup import ngram_jaccard_pairs_exact
+    from ..operators.canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs_exact(
+        docs, n=3, threshold_num=1, threshold_den=5
+    )
+    edges = pairs.select(
+        F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("left_value"),
+        F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("right_value"),
+    )
+    clusters = connected_components(edges).select(
+        F.col("value").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    return remove_near_duplicates(docs.select("doc_id"), clusters).select(
+        "doc_id"
+    )
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
     """The ship-it verdict table: every per-document curation gate joined
     into one row — (doc_id, n_words, quality_ok, verdict, n_pii,
     exact_keep, near_keep, contaminated, keep). ``keep`` is the corpus a
@@ -902,45 +924,32 @@ def curation_report(
     10 words and mean word length in [2, 12], expressed as cross-
     multiplied integers so both engines compare exactly.
 
+    Operates on the documents shape (doc_id, text) — the near-dup and
+    decontamination gates pin those names internally, so the report does
+    NOT offer column-renaming parameters it could not honor (a silently
+    half-forwarded rename would compute some gates over the wrong
+    columns; review-caught).
+
     Scale shape: every component's cost is its own audited plan (see
     PLANS.md per gate); the report adds only id-keyed equi-joins of
     id-sized flag tables — the corpus text is never re-shuffled, and the
     near-dup/decontaminate sides are pair-bounded. This is the text-side
     twin of code_curation_report."""
-    from .dedup import exact_dedup, ngram_jaccard_pairs_exact
-    from ..operators.canonicalize import connected_components
+    from .dedup import exact_dedup
     from ..operators.textstats import quality_counts
 
-    q = quality_counts(docs, text_col=text_col, id_col=id_col).select(
-        id_col, "n_words", "sum_word_chars"
-    )
-    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
-        id_col, "verdict"
-    )
-    pii = pii_redact(docs, id_col=id_col, text_col=text_col)
+    id_col = "doc_id"
+    q = quality_counts(docs).select(id_col, "n_words", "sum_word_chars")
+    rep = repetition_stats(docs).select(id_col, "verdict")
+    pii = pii_redact(docs)
     n_pii = None
     for kind, _, _ in PII_PATTERNS:
         c = F.col(f"n_{kind}")
         n_pii = c if n_pii is None else n_pii + c
     pii = pii.select(id_col, n_pii.cast("long").alias("n_pii"))
 
-    exact = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
-        F.col(id_col), F.lit(1).alias("_ex")
-    )
-    pairs = ngram_jaccard_pairs_exact(
-        docs, n=3, threshold_num=1, threshold_den=5
-    )
-    edges = pairs.select(
-        F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("left_value"),
-        F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("right_value"),
-    )
-    clusters = connected_components(edges).select(
-        F.col("value").cast("long").alias(id_col),
-        F.col("component").cast("long").alias("cluster"),
-    )
-    near = remove_near_duplicates(
-        docs.select(id_col), clusters, id_col=id_col
-    ).select(F.col(id_col), F.lit(1).alias("_nr"))
+    exact = exact_dedup(docs).select(F.col(id_col), F.lit(1).alias("_ex"))
+    near = near_dup_kept(docs).withColumn("_nr", F.lit(1))
     cont = (
         benchmark_overlap(docs)
         .select(F.col("doc_id").alias(id_col))

@@ -750,9 +750,13 @@ def link_training_pairs(
             F.row_number().over(Window.orderBy("dst")) - 1,
         )
     )
-    n_tails = tails.count()
-    if n_tails < 2:
-        return e.withColumn("label", F.lit(1))
+    # lazy tail count via a broadcast 1-row aggregate (the
+    # cohort_retention origin pattern) — an eager .count() here would run
+    # a Spark job at DataFrame-CONSTRUCTION time, unlike every other
+    # operator in the registry (review-caught). A single-tail graph
+    # yields no negatives naturally: the only candidate equals the true
+    # tail and the != filter drops it.
+    n_tails = F.broadcast(tails.agg(F.count(F.lit(1)).alias("_n")))
     cand = (
         e.select(
             "src",
@@ -761,6 +765,7 @@ def link_training_pairs(
                 F.array(*[F.lit(i) for i in range(1, k_negatives + 1)])
             ).alias("_i"),
         )
+        .crossJoin(n_tails)
         .withColumn(
             "_rank",
             F.pmod(
@@ -775,7 +780,7 @@ def link_training_pairs(
                     16,
                     10,
                 ).cast("long"),
-                F.lit(n_tails),
+                F.col("_n"),
             ),
         )
         .join(F.broadcast(tails), "_rank")

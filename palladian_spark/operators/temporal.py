@@ -264,7 +264,10 @@ def funnel_steps(
     aggregation + ONE key equi-join against the (key-sized) previous
     frontier, so n_steps joins total — the event table is scanned once
     per step with the type filter pushed to the scan, never sorted
-    globally."""
+    globally. Requires at least two steps (a 1-step funnel is just a
+    filtered distinct-key count, no chain to compute)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_steps requires at least two steps")
     frontier = (
         events.where(F.col(type_col) == steps[0])
         .groupBy(key)
@@ -298,6 +301,8 @@ def funnel_steps_sql(
 ) -> str:
     """DuckDB oracle for :func:`funnel_steps` over the events table
     (epoch_us timestamps; gaps are offset-invariant)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_steps_sql requires at least two steps")
     parts = [
         f"""f1 as (select {key}, min(epoch_us(ts)) as t1
                from events where {type_col} = '{steps[0]}'
