@@ -1069,6 +1069,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_licenses"] = code_licenses
     q["code_secret_hits"] = code_secret_hits
 
+    # ---- KG query surface: BGP / shape validation / walk corpus ----
+    def kg_bgp_query(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.code import code_triples as _ct
+        from palladian_spark.operators.kg_query import (
+            BGP_CALL_CHAIN,
+            BGP_CALL_CHAIN_NEQ,
+            bgp_query,
+        )
+
+        # the declarative read path over the materialized KG: triple
+        # patterns compiled to selectivity-ordered joins (SPARQL BGP
+        # semantics, distinct bindings)
+        corpus = code_corpus(_read(spark, sf_dir, "documents"))
+        triples = (
+            _ct(corpus)
+            .select("subj", "pred", "obj")
+            .unionByName(
+                call_edges(corpus).select(
+                    "subj", F.lit("calls-file").alias("pred"), "obj"
+                )
+            )
+        )
+        return bgp_query(triples, BGP_CALL_CHAIN, neq=BGP_CALL_CHAIN_NEQ)
+
+    def kg_validate(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code import code_triples as _ct
+        from palladian_spark.operators.kg_query import (
+            KG_FUNCTIONAL_PREDS,
+            KG_LITERAL_SHAPES,
+            KG_REF_PREDS,
+            validate_triples,
+        )
+
+        # SHACL-lite shape report over the code KG: multi-class files
+        # (functional), unresolvable dependencies (dangling = external),
+        # malformed import identifiers
+        triples = _ct(code_corpus(_read(spark, sf_dir, "documents")))
+        return validate_triples(
+            triples.select("subj", "pred", "obj"),
+            functional=KG_FUNCTIONAL_PREDS,
+            ref=KG_REF_PREDS,
+            literal_shapes=KG_LITERAL_SHAPES,
+        )
+
+    def kg_walks(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.kg_query import random_walks
+
+        # deterministic DeepWalk corpus over the call graph: successor at
+        # each step picked by a portable md5 hash, so the oracle (and any
+        # resumed run) regenerates the identical walk set
+        return random_walks(
+            call_edges(code_corpus(_read(spark, sf_dir, "documents"))),
+            walk_length=4,
+            walks_per_node=1,
+        )
+
+    q["kg_bgp_query"] = kg_bgp_query
+    q["kg_validate"] = kg_validate
+    q["kg_walks"] = kg_walks
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -1555,7 +1618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(tmp, ignore_errors=True)
         return out
 
+    def doc_lm_quality(spark, sf_dir):
+        from palladian_spark.operators.textstats import lm_quality
+
+        # CCNet-style unigram-LM scoring: the model trains and scores in
+        # one plan (token aggregate + broadcast totals + token equi-join)
+        return lm_quality(_read(spark, sf_dir, "documents"))
+
     q.update(
+        doc_lm_quality=doc_lm_quality,
         doc_token_counts=doc_token_counts,
         doc_quality=doc_quality,
         doc_language_id=doc_language_id,
@@ -2146,6 +2217,17 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.curation import (
         pack_sequences_sql as _pack_sequences_sql,
     )
+    from palladian_spark.operators.kg_query import (
+        BGP_CALL_CHAIN as _BGP_CALL_CHAIN,
+        BGP_CALL_CHAIN_NEQ as _BGP_CALL_CHAIN_NEQ,
+        KG_FUNCTIONAL_PREDS as _KG_FUNCTIONAL_PREDS,
+        KG_LITERAL_SHAPES as _KG_LITERAL_SHAPES,
+        KG_REF_PREDS as _KG_REF_PREDS,
+        bgp_query_sql as _bgp_sql,
+        random_walks_sql as _random_walks_sql,
+        validate_triples_sql as _validate_sql,
+    )
+    from palladian_spark.operators.textstats import lm_quality_sql as _lm_quality_sql
     from palladian_spark.operators.bpe import (
         bpe_merges_sql as _bpe_merges_sql,
         bpe_token_counts_sql as _bpe_token_counts_sql,
@@ -2691,6 +2773,44 @@ def oracle_sql() -> dict[str, str]:
             from ({_kg_triples_sql(threshold=0.9)})
             group by 1
         """,
+        # KG query surface (operators/kg_query.py *_sql renderers): the
+        # triple set is re-derived from code_ents by the second engine,
+        # then the BGP / validation / walk computations are recomputed
+        # independently (flat-join BGP, union-all rules, unrolled walk
+        # steps with the same portable md5 successor choice).
+        "kg_bgp_query": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            bgp_triples as (
+              select distinct repo || '/' || path as subj, pred, obj
+              from code_ents
+              union
+              select distinct repo as subj, 'depends-on' as pred, obj
+              from code_ents where pred = 'imports'
+              union
+              select distinct subj, 'calls-file' as pred, obj
+              from call_edges)
+            {_bgp_sql("bgp_triples", _BGP_CALL_CHAIN, _BGP_CALL_CHAIN_NEQ)}
+        """,
+        "kg_validate": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            kgv_triples as (
+              select distinct repo || '/' || path as subj, pred, obj
+              from code_ents
+              union
+              select distinct repo as subj, 'depends-on' as pred, obj
+              from code_ents where pred = 'imports')
+            {_validate_sql("kgv_triples", _KG_FUNCTIONAL_PREDS, _KG_REF_PREDS, _KG_LITERAL_SHAPES)}
+        """,
+        "kg_walks": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1)}
+        """,
+        "doc_lm_quality": _lm_quality_sql(),
         "code_components": f"""
             with recursive {_code_corpus_sql()},
             {_code_entities_sql()},

@@ -1,0 +1,414 @@
+"""Query + quality surface over the materialized KG: basic-graph-pattern
+(BGP) evaluation compiled to DataFrame joins, SHACL-lite shape
+validation, and deterministic random-walk corpus generation.
+
+Reference parity: the reference's consumers query its extracted facts
+through lookup helpers over the fact store (semantics/WordDB.java
+getRelatedWords / typed-edge retrieval; PatternAnalyzer consumers filter
+fact tables by predicate). A KG engine a Palladian user could *switch
+to* needs the equivalent declarative read path over the (subj, pred,
+obj) triple tables this pipeline materializes — that is the BGP
+evaluator. Validation mirrors the reference's habit of sanity-scanning
+extraction output before use (PalladianNer's dictionary-consistency
+checks, evaluation sweeps in extraction/evaluation), re-expressed as
+declarative shape rules. Random walks are the standard KG-embedding
+training-corpus generator (DeepWalk/node2vec), the graph twin of the
+corrupt-tail sampling in ``graph.link_training_pairs``.
+
+Everything is dual-rendered: each operator has a ``*_sql`` twin so the
+driver's DuckDB oracle recomputes the whole computation independently
+(the Spark side uses greedy selectivity-ordered joins; the SQL twin uses
+a flat join with the same conjuncts — identical result set, different
+planner).
+
+Scale shape (the 100 TB contract):
+
+* BGP — each triple pattern is a filtered, column-pruned scan of the
+  triples table (constant subj/pred/obj conjuncts reach the parquet
+  reader as pushed filters; a predicate-partitioned triples layout turns
+  the constant-pred patterns into partition pruning). Patterns join on
+  their shared variables — hash joins on bound-variable keys, smallest /
+  most-selective scan first so AQE can broadcast it. No cartesian unless
+  the pattern graph is genuinely disconnected (we join any remaining
+  disconnected component last, smallest first, and that IS the query's
+  semantics).
+* Validation — one hash aggregate per functional rule (subj, pred key),
+  one anti-join per reference rule against the node dictionary, and a
+  pure scan per literal-shape rule. Nothing wider than the violation set
+  ever shuffles.
+* Walks — the edge index is built once ((src)-partitioned window, degree
+  attached), then each step is ONE equi-join on the current node key
+  with an idx residual; the per-step choice is a portable md5 hash of
+  (walk_id, step), so reruns, resumes, and the DuckDB oracle all pick
+  identical successors. State per walk is O(walk length), shuffled on
+  walk_id — embarrassingly parallel at 10^12 nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from palladian_spark.operators.dedup import portable_token_hash
+
+# Contract-query rule sets (single source of truth for BOTH the Spark
+# side and the DuckDB oracle in __spark_entry__.py):
+# - BGP: 2-hop call chain ending in a class-defining file, endpoints
+#   distinct — the SPARQL-style read path over the materialized KG.
+# - Validation: files defining >1 class (functional report), repo
+#   dependencies that resolve to nothing in-corpus (dangling = external
+#   deps), import identifiers that fail the identifier shape.
+BGP_CALL_CHAIN = (
+    ("?a", "calls-file", "?b"),
+    ("?b", "calls-file", "?c"),
+    ("?c", "defines-class", "?k"),
+)
+BGP_CALL_CHAIN_NEQ = (("a", "c"),)
+KG_FUNCTIONAL_PREDS = ("defines-class",)
+KG_REF_PREDS = ("depends-on",)
+KG_LITERAL_SHAPES = (("imports", "[A-Za-z_][A-Za-z0-9_./-]*"),)
+
+# ---------------------------------------------------------------------------
+# Basic graph patterns
+# ---------------------------------------------------------------------------
+# A pattern is a (subject, predicate, object) triple of terms; a term
+# starting with '?' is a variable, anything else is a constant matched
+# exactly. The result is the DISTINCT set of variable bindings (set
+# semantics, like SPARQL SELECT DISTINCT over a BGP).
+
+_COLS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_vars(pat) -> list:
+    return [t[1:] for t in pat if _is_var(t)]
+
+
+def _order_patterns(patterns) -> list:
+    """Greedy join order: most-bound pattern first, then repeatedly the
+    pattern sharing the most variables with the bound set (ties: more
+    constants, then input order). Keeps every join keyed when the
+    pattern graph is connected."""
+    remaining = list(range(len(patterns)))
+    bound: set = set()
+    order: list = []
+
+    def n_const(i):
+        return sum(0 if _is_var(t) else 1 for t in patterns[i])
+
+    while remaining:
+        best = max(
+            remaining,
+            key=lambda i: (
+                len(bound & set(_pattern_vars(patterns[i]))),
+                n_const(i),
+                -i,
+            ),
+        )
+        order.append(best)
+        bound |= set(_pattern_vars(patterns[best]))
+        remaining.remove(best)
+    return order
+
+
+def _scan(triples: DataFrame, pat) -> DataFrame:
+    """One pattern -> filtered scan projecting its variables."""
+    df = triples
+    seen: dict = {}
+    for term, col in zip(pat, _COLS):
+        if _is_var(term):
+            v = term[1:]
+            if v in seen:  # repeated var within one pattern: ?x p ?x
+                df = df.where(F.col(col) == F.col(seen[v]))
+            else:
+                seen[v] = col
+        else:
+            df = df.where(F.col(col) == F.lit(term))
+    return df.select(*[F.col(c).alias(v) for v, c in seen.items()])
+
+
+def bgp_query(triples: DataFrame, patterns, neq=()) -> DataFrame:
+    """Evaluate a basic graph pattern over a (subj, pred, obj) triples
+    DataFrame. `patterns` is a list of (s, p, o) term triples ('?name'
+    marks a variable); `neq` is a list of (var_a, var_b) pairs that must
+    bind to different values (the SPARQL `FILTER(?a != ?b)` idiom that
+    makes path/triangle queries meaningful). Returns the distinct
+    variable bindings, one column per variable."""
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    order = _order_patterns(patterns)
+    acc = _scan(triples, patterns[order[0]])
+    bound = set(acc.columns)
+    for i in order[1:]:
+        nxt = _scan(triples, patterns[i])
+        shared = sorted(bound & set(nxt.columns))
+        acc = acc.join(nxt, on=shared) if shared else acc.crossJoin(nxt)
+        bound |= set(nxt.columns)
+    for a, b in neq:
+        acc = acc.where(F.col(a) != F.col(b))
+    return acc.distinct()
+
+
+def bgp_query_sql(triples_cte: str, patterns, neq=()) -> str:
+    """Final-select DuckDB twin of :func:`bgp_query`: one aliased scan
+    per pattern, flat-joined with explicit conjuncts (DuckDB's optimizer
+    picks its own join order — same result set by construction)."""
+    first_occ: dict = {}
+    conjuncts: list = []
+    for i, pat in enumerate(patterns):
+        for term, col in zip(pat, _COLS):
+            ref = f"t{i}.{col}"
+            if _is_var(term):
+                v = term[1:]
+                if v in first_occ:
+                    conjuncts.append(f"{ref} = {first_occ[v]}")
+                else:
+                    first_occ[v] = ref
+            else:
+                lit = term.replace("'", "''")
+                conjuncts.append(f"{ref} = '{lit}'")
+    for a, b in neq:
+        conjuncts.append(f"{first_occ[a]} <> {first_occ[b]}")
+    sel = ", ".join(f"{ref} as {v}" for v, ref in first_occ.items())
+    frm = ", ".join(f"{triples_cte} t{i}" for i in range(len(patterns)))
+    where = " and ".join(conjuncts) if conjuncts else "true"
+    return f"select distinct {sel} from {frm} where {where}"
+
+
+# ---------------------------------------------------------------------------
+# SHACL-lite validation
+# ---------------------------------------------------------------------------
+
+
+def validate_triples(
+    triples: DataFrame,
+    functional=(),
+    ref=(),
+    literal_shapes=(),
+) -> DataFrame:
+    """Shape-validation report over a triples table. Rules:
+
+    * ``functional``: predicates expected to bind at most one object per
+      subject — emits (rule='functional', subj, pred, obj=NULL,
+      n_violations=distinct-object count) where the count exceeds 1.
+    * ``ref``: predicates whose objects must resolve to a subject of
+      SOME triple — emits one row per distinct dangling (subj, pred,
+      obj) with rule='dangling'.
+    * ``literal_shapes``: (pred, regex) pairs; objects of `pred` not
+      fully matching `regex` are emitted with rule='malformed'.
+
+    Output: (rule, subj, pred, obj, n_violations)."""
+    t = triples.select("subj", "pred", "obj")
+    branches = []
+    if functional:
+        branches.append(
+            t.where(F.col("pred").isin(list(functional)))
+            .groupBy("subj", "pred")
+            .agg(F.countDistinct("obj").alias("n_violations"))
+            .where(F.col("n_violations") > 1)
+            .select(
+                F.lit("functional").alias("rule"),
+                "subj",
+                "pred",
+                F.lit(None).cast("string").alias("obj"),
+                "n_violations",
+            )
+        )
+    if ref:
+        subjects = t.select(F.col("subj").alias("_node")).distinct()
+        branches.append(
+            t.where(F.col("pred").isin(list(ref)))
+            .distinct()
+            .join(subjects, F.col("obj") == F.col("_node"), "left_anti")
+            .select(
+                F.lit("dangling").alias("rule"),
+                "subj",
+                "pred",
+                "obj",
+                F.lit(1).cast("long").alias("n_violations"),
+            )
+        )
+    for pred, regex in literal_shapes:
+        # rlike is partial-match; anchor to mirror the oracle's
+        # regexp_full_match (patterns stay in the RE2 ∩ java subset)
+        branches.append(
+            t.where((F.col("pred") == pred) & ~F.col("obj").rlike(f"^(?:{regex})$"))
+            .distinct()
+            .select(
+                F.lit("malformed").alias("rule"),
+                "subj",
+                "pred",
+                "obj",
+                F.lit(1).cast("long").alias("n_violations"),
+            )
+        )
+    if not branches:
+        raise ValueError("no validation rules given")
+    acc = branches[0]
+    for b in branches[1:]:
+        acc = acc.unionByName(b)
+    return acc
+
+
+def validate_triples_sql(
+    triples_cte: str, functional=(), ref=(), literal_shapes=()
+) -> str:
+    """Final-select DuckDB twin of :func:`validate_triples`."""
+
+    def _in(preds):
+        return ", ".join("'" + p.replace("'", "''") + "'" for p in preds)
+
+    parts = []
+    if functional:
+        parts.append(
+            f"""
+      select 'functional' as rule, subj, pred,
+             cast(null as varchar) as obj,
+             count(distinct obj)::bigint as n_violations
+      from {triples_cte} where pred in ({_in(functional)})
+      group by 1, 2, 3 having count(distinct obj) > 1"""
+        )
+    if ref:
+        parts.append(
+            f"""
+      select distinct 'dangling' as rule, subj, pred, obj,
+             1::bigint as n_violations
+      from {triples_cte}
+      where pred in ({_in(ref)})
+        and obj not in (select subj from {triples_cte})"""
+        )
+    for pred, regex in literal_shapes:
+        p = pred.replace("'", "''")
+        r = regex.replace("'", "''")
+        parts.append(
+            f"""
+      select distinct 'malformed' as rule, subj, pred, obj,
+             1::bigint as n_violations
+      from {triples_cte}
+      where pred = '{p}' and not regexp_full_match(obj, '{r}')"""
+        )
+    return "\nunion all\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec corpus generation)
+# ---------------------------------------------------------------------------
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    a_col: str = "subj",
+    b_col: str = "obj",
+) -> DataFrame:
+    """Fixed-length directed random walks from every node, with the
+    successor at each step chosen by a PORTABLE deterministic hash:
+    idx = md5_60bit(walk_id || ':' || step) mod out_degree. Determinism
+    makes the walk corpus reproducible across reruns/resumes and lets
+    the DuckDB oracle recompute it exactly — the same reason the
+    corrupt-tail negative sampler (graph.link_training_pairs) and the
+    IVF codebook seed from hashes rather than RNGs.
+
+    Walks that reach a sink node stop growing (the standard DeepWalk
+    truncation). Output: (walk_id, path) with path the space-joined
+    node sequence, starting node included."""
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    indexed = (
+        e.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reps = F.explode(
+        F.array(*[F.lit(j) for j in range(walks_per_node)])
+    ).alias("rep")
+    frontier = nodes.select("node", reps).select(
+        F.concat(F.col("node"), F.lit("#"), F.col("rep")).alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    for step in range(walk_length):
+        pick = F.pmod(
+            portable_token_hash(
+                F.concat(F.col("walk_id"), F.lit(f":{step}"))
+            ),
+            F.col("deg"),
+        )
+        frontier = (
+            frontier.join(
+                indexed,
+                (frontier["cur"] == indexed["src"]) & (indexed["idx"] == pick),
+                "left",
+            )
+            .select(
+                "walk_id",
+                F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.concat(F.col("path"), F.lit(" "), F.col("dst")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return frontier.select("walk_id", "path")
+
+
+def random_walks_sql(
+    edges_cte: str, walk_length: int = 4, walks_per_node: int = 1
+) -> str:
+    """CTE-chain DuckDB twin of :func:`random_walks` (unrolled steps);
+    `edges_cte` must expose (subj, obj). Ends in a final select."""
+    reps = ", ".join(f"({j})" for j in range(walks_per_node))
+    parts = [
+        f"""
+    rw_edges as (
+      select distinct subj as src, obj as dst
+      from {edges_cte} where subj <> obj),
+    rw_idx as (
+      select src, dst,
+             row_number() over (partition by src order by dst) - 1 as idx,
+             count(*) over (partition by src) as deg
+      from rw_edges),
+    rw_nodes as (
+      select src as node from rw_edges
+      union
+      select dst as node from rw_edges),
+    rw_w0 as (
+      select node || '#' || rep as walk_id, node as cur, node as path
+      from rw_nodes, (values {reps}) reps(rep))"""
+    ]
+    prev = "rw_w0"
+    for step in range(walk_length):
+        nxt = f"rw_w{step + 1}"
+        parts.append(
+            f"""
+    {nxt} as (
+      select w.walk_id,
+             coalesce(e.dst, w.cur) as cur,
+             case when e.dst is not null then w.path || ' ' || e.dst
+                  else w.path end as path
+      from {prev} w left join rw_idx e
+        on w.cur = e.src
+       and e.idx = ('0x' || substr(md5(w.walk_id || ':{step}'), 1, 15))::bigint
+                   % e.deg)"""
+        )
+        prev = nxt
+    body = ",".join(parts)
+    return f"""{body}
+    select walk_id, path from {prev}"""

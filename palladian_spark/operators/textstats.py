@@ -253,6 +253,121 @@ def length_histogram(
     )
 
 
+LM_HEAD_MILLI = 8_500  # mean NLL < 8.5 nats -> 'head'
+LM_TAIL_MILLI = 9_800  # mean NLL >= 9.8 nats -> 'tail'
+
+
+def lm_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one
+    unigram LM over the corpus' word tokens IN the same plan, score each
+    document by its mean token negative-log-likelihood, and bucket into
+    head/middle/tail by fixed thresholds (CCNet buckets perplexity-sorted
+    thirds; fixed cut points keep the score per-document deterministic
+    and oracle-recomputable instead of depending on a global sort).
+
+    All arithmetic is integer-exact across engines: per-token NLL is
+    floor(1000 * ln((N + V)/(c + 1)) + 0.5) milli-nats (the engine-
+    portable floor(x+0.5) idiom from embedding_quantize), summed as
+    BIGINT; the per-doc mean is floor(sum / n). Documents with no word
+    tokens bucket as 'unscored'.
+
+    Scale shape: one token-explode scan feeds BOTH the model build (hash
+    aggregate on token, map-side combined) and the scoring join; corpus
+    totals (N, V) ride a one-row broadcast crossJoin; the score join is
+    an equi-join on the token key (vocabulary-sized build side). Nothing
+    collects; nothing is quadratic. Output:
+    (doc_id, n_tokens, nll_milli_sum, nll_milli_mean, bucket)."""
+    from .util import spread
+
+    tok = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(_extract_all(F.lower(F.col(text_col)), _WORD_REGEX)).alias("w"),
+        )
+    )
+    model = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_total")
+    )
+    scores = model.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.floor(
+            F.lit(1000.0)
+            * F.log(
+                (F.col("n_total") + F.col("v_total")).cast("double")
+                / (F.col("c") + F.lit(1)).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("milli"),
+    )
+    per_doc = (
+        tok.join(scores, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("milli").alias("nll_milli_sum"),
+        )
+    )
+    mean_col = F.floor(
+        F.col("nll_milli_sum").cast("double") / F.col("n_tokens")
+    ).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("nll_milli_sum", F.lit(0)).cast("long").alias("nll_milli_sum"),
+            F.when(F.col("n_tokens") > 0, mean_col)
+            .cast("long")
+            .alias("nll_milli_mean"),
+            F.when(F.col("n_tokens").isNull(), F.lit("unscored"))
+            .when(mean_col < LM_HEAD_MILLI, F.lit("head"))
+            .when(mean_col < LM_TAIL_MILLI, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def lm_quality_sql(documents: str = "documents") -> str:
+    """Full independent DuckDB oracle for :func:`lm_quality`."""
+    return f"""
+        with lmq_tok as (
+          select doc_id,
+                 unnest(regexp_extract_all(lower(text), '{_WORD_REGEX}')) as w
+          from {documents}),
+        lmq_model as (select w, count(*)::bigint as c from lmq_tok group by 1),
+        lmq_tot as (select sum(c)::bigint as n_total, count(*)::bigint as v_total
+                    from lmq_model),
+        lmq_scores as (
+          select w,
+                 cast(floor(1000.0 * ln((n_total + v_total) * 1.0 / (c + 1))
+                            + 0.5) as bigint) as milli
+          from lmq_model, lmq_tot),
+        lmq_doc as (
+          select t.doc_id, count(*)::bigint as n_tokens,
+                 sum(s.milli)::bigint as nll_milli_sum
+          from lmq_tok t join lmq_scores s using (w) group by 1)
+        select d.doc_id,
+               coalesce(p.n_tokens, 0)::bigint as n_tokens,
+               coalesce(p.nll_milli_sum, 0)::bigint as nll_milli_sum,
+               case when p.n_tokens > 0
+                    then cast(floor(p.nll_milli_sum * 1.0 / p.n_tokens) as bigint)
+               end as nll_milli_mean,
+               case when p.n_tokens is null then 'unscored'
+                    when floor(p.nll_milli_sum * 1.0 / p.n_tokens)
+                         < {LM_HEAD_MILLI} then 'head'
+                    when floor(p.nll_milli_sum * 1.0 / p.n_tokens)
+                         < {LM_TAIL_MILLI} then 'middle'
+                    else 'tail' end as bucket
+        from {documents} d left join lmq_doc p using (doc_id)
+    """
+
+
 def length_histogram_sql(group_col: str = "lang", size_col: str = "n_chars") -> str:
     """Full independent DuckDB oracle for :func:`length_histogram`."""
     return f"""

@@ -1,0 +1,193 @@
+"""Unit gates for the KG query surface (operators/kg_query.py) and the
+unigram-LM quality scorer (operators/textstats.lm_quality): BGP
+semantics against hand-enumerated bindings, validation rules against a
+hand-built triples table, walk determinism + successor-choice law, and
+the LM score against an independent pure-Python recomputation."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from palladian_spark.operators.kg_query import (
+    bgp_query,
+    random_walks,
+    validate_triples,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+TRIPLES = [
+    ("a", "calls", "b"),
+    ("b", "calls", "c"),
+    ("b", "calls", "d"),
+    ("c", "calls", "a"),
+    ("c", "defines", "K"),
+    ("d", "defines", "L"),
+    ("d", "defines", "M"),
+]
+
+
+def test_bgp_two_hop_chain(spark):
+    t = _triples(spark, TRIPLES)
+    out = bgp_query(
+        t,
+        [("?x", "calls", "?y"), ("?y", "calls", "?z")],
+        neq=[("x", "z")],
+    )
+    got = {tuple(r) for r in out.select("x", "y", "z").collect()}
+    # enumerate by hand: edges a->b, b->c, b->d, c->a
+    want = {("a", "b", "c"), ("a", "b", "d"), ("b", "c", "a")}
+    # c->a->b has x=c z=b ok
+    want.add(("c", "a", "b"))
+    assert got == want
+
+
+def test_bgp_constant_terms_and_attribute_join(spark):
+    t = _triples(spark, TRIPLES)
+    out = bgp_query(t, [("?x", "calls", "?y"), ("?y", "defines", "?k")])
+    got = {tuple(r) for r in out.select("x", "y", "k").collect()}
+    assert got == {("b", "c", "K"), ("b", "d", "L"), ("b", "d", "M")}
+    # constant object: only files defining K
+    out2 = bgp_query(t, [("?x", "defines", "K")])
+    assert [r["x"] for r in out2.collect()] == ["c"]
+
+
+def test_bgp_repeated_var_and_disconnected(spark):
+    t = _triples(spark, TRIPLES + [("e", "calls", "e")])
+    loop = bgp_query(t, [("?x", "calls", "?x")])
+    assert [r["x"] for r in loop.collect()] == ["e"]
+    # disconnected components -> cartesian semantics
+    cross = bgp_query(t, [("?x", "defines", "K"), ("?y", "defines", "L")])
+    assert {tuple(r) for r in cross.select("x", "y").collect()} == {("c", "d")}
+
+
+def test_bgp_distinct_bindings(spark):
+    # duplicate triples must not duplicate bindings (set semantics)
+    t = _triples(spark, TRIPLES + TRIPLES)
+    out = bgp_query(t, [("?x", "defines", "?k")])
+    assert out.count() == 3
+
+
+def test_validate_rules(spark):
+    t = _triples(
+        spark,
+        [
+            ("f1", "defines-class", "A"),
+            ("f1", "defines-class", "B"),
+            ("f2", "defines-class", "C"),
+            ("r1", "depends-on", "f1"),  # f1 IS a subject -> resolves
+            ("r1", "depends-on", "numpy"),  # dangling
+            ("f2", "imports", "os.path"),  # ok shape
+            ("f2", "imports", "bad mod!"),  # malformed
+        ],
+    )
+    out = validate_triples(
+        t,
+        functional=("defines-class",),
+        ref=("depends-on",),
+        literal_shapes=(("imports", "[A-Za-z_][A-Za-z0-9_./-]*"),),
+    )
+    rows = {(r["rule"], r["subj"], r["pred"], r["obj"], r["n_violations"])
+            for r in out.collect()}
+    assert rows == {
+        ("functional", "f1", "defines-class", None, 2),
+        ("dangling", "r1", "depends-on", "numpy", 1),
+        ("malformed", "f2", "imports", "bad mod!", 1),
+    }
+
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("c", "d"),  # d is a sink
+]
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_walks_deterministic_and_lawful(spark):
+    e = spark.createDataFrame(EDGES, "subj string, obj string")
+    out1 = {tuple(r) for r in random_walks(e, walk_length=3).collect()}
+    out2 = {tuple(r) for r in random_walks(e, walk_length=3).collect()}
+    assert out1 == out2  # rerun-identical (portable hash, no RNG)
+    walks = dict(out1)
+    # one walk per node, including the sink-only node d
+    assert set(walks) == {"a#0", "b#0", "c#0", "d#0"}
+    assert walks["d#0"] == "d"  # sink start never grows
+    # replay each walk against the hash-successor law
+    adj = {}
+    for s, o in EDGES:
+        adj.setdefault(s, []).append(o)
+    for nbrs in adj.values():
+        nbrs.sort()
+    for wid, path in walks.items():
+        nodes = path.split(" ")
+        assert nodes[0] == wid.split("#")[0]
+        assert len(nodes) <= 4  # start + walk_length
+        for step, (cur, nxt) in enumerate(zip(nodes, nodes[1:])):
+            nbrs = adj[cur]
+            assert nxt == nbrs[_hash60(f"{wid}:{step}") % len(nbrs)]
+        # a walk shorter than walk_length must have ended at a sink
+        if len(nodes) < 4:
+            assert nodes[-1] not in adj
+
+
+def test_walks_per_node_fanout(spark):
+    e = spark.createDataFrame(EDGES, "subj string, obj string")
+    out = random_walks(e, walk_length=2, walks_per_node=3)
+    ids = [r["walk_id"] for r in out.collect()]
+    assert len(ids) == 12 and len(set(ids)) == 12
+    assert {i.split("#")[1] for i in ids} == {"0", "1", "2"}
+
+
+def test_lm_quality_matches_python_model(spark):
+    from palladian_spark.operators.textstats import lm_quality
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "???"),  # no word tokens -> unscored
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_quality(df).collect()}
+
+    toks = {1: "the cat sat on the mat".split(), 2: "the dog sat".split(), 3: []}
+    counts = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+    milli = {
+        w: math.floor(1000.0 * math.log((n + v) / (c + 1)) + 0.5)
+        for w, c in counts.items()
+    }
+    for d, ts in toks.items():
+        row = out[d]
+        assert row["n_tokens"] == len(ts)
+        if not ts:
+            assert row["bucket"] == "unscored"
+            assert row["nll_milli_mean"] is None
+            continue
+        s = sum(milli[t] for t in ts)
+        assert row["nll_milli_sum"] == s
+        assert row["nll_milli_mean"] == s // len(ts)
+    # rarer tokens must cost more than frequent ones
+    assert milli["cat"] > milli["the"]
+
+
+@pytest.mark.parametrize("qname", ["kg_bgp_query", "kg_validate", "kg_walks",
+                                   "doc_lm_quality"])
+def test_contract_queries_nonempty(spark, sf_dir, qname):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[qname](spark, sf_dir)
+    assert df.count() > 0
