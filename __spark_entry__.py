@@ -1128,9 +1128,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             walks_per_node=1,
         )
 
+    def kg_snapshot_diff(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code import code_triples as _ct
+        from palladian_spark.operators.kg_query import diff_triples
+
+        # incremental-maintenance delta between two ingest windows (75%
+        # overlap): added / removed / support-changed triples only — the
+        # per-batch report the merge_triples path emits alongside the
+        # additive fold
+        docs = _read(spark, sf_dir, "documents")
+        old = _ct(code_corpus(docs.where(F.col("doc_id") % 4 != 3)))
+        new = _ct(code_corpus(docs.where(F.col("doc_id") % 4 != 0)))
+        return diff_triples(
+            old.select("subj", "pred", "obj", "support"),
+            new.select("subj", "pred", "obj", "support"),
+        )
+
     q["kg_bgp_query"] = kg_bgp_query
     q["kg_validate"] = kg_validate
     q["kg_walks"] = kg_walks
+    q["kg_snapshot_diff"] = kg_snapshot_diff
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -2224,9 +2242,11 @@ def oracle_sql() -> dict[str, str]:
         KG_LITERAL_SHAPES as _KG_LITERAL_SHAPES,
         KG_REF_PREDS as _KG_REF_PREDS,
         bgp_query_sql as _bgp_sql,
+        diff_triples_sql as _diff_triples_sql,
         random_walks_sql as _random_walks_sql,
         validate_triples_sql as _validate_sql,
     )
+    from palladian_spark.operators.code import triples_spo_sql as _triples_spo_sql
     from palladian_spark.operators.textstats import lm_quality_sql as _lm_quality_sql
     from palladian_spark.operators.bpe import (
         bpe_merges_sql as _bpe_merges_sql,
@@ -2809,6 +2829,17 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_call_edges_sql()},
             {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1)}
+        """,
+        "kg_snapshot_diff": f"""
+            with docs_old as (select * from documents where doc_id % 4 <> 3),
+            docs_new as (select * from documents where doc_id % 4 <> 0),
+            {_code_corpus_sql(documents="docs_old", prefix="old_")},
+            {_code_corpus_sql(documents="docs_new", prefix="new_")},
+            {_code_entities_sql(src="old_code_src", name="old_ents")},
+            {_code_entities_sql(src="new_code_src", name="new_ents")},
+            {_triples_spo_sql("old_ents", prefix="old_")},
+            {_triples_spo_sql("new_ents", prefix="new_")}
+            {_diff_triples_sql("old_spo", "new_spo")}
         """,
         "doc_lm_quality": _lm_quality_sql(),
         "code_components": f"""

@@ -65,6 +65,10 @@ HEADLINE = [
     "kg_clustering",
     "kg_label_prop",
     "kg_training_pairs",
+    "kg_bgp_query",
+    "kg_validate",
+    "kg_walks",
+    "kg_snapshot_diff",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",
@@ -108,6 +112,7 @@ HEADLINE = [
     "doc_repetition",
     "doc_pii_redact",
     "doc_token_counts",
+    "doc_lm_quality",
     "doc_term_corpus",
     "doc_keywords",
     "tpch_pricing",

@@ -379,9 +379,10 @@ def _sql_template(lang: str) -> str:
     return " || ".join(parts)
 
 
-def code_corpus_sql(documents: str = "documents") -> str:
-    """CTE body list: `code_toks`, `code_src` — DuckDB twin of
-    :func:`code_corpus` (append to a WITH clause)."""
+def code_corpus_sql(documents: str = "documents", prefix: str = "") -> str:
+    """CTE body list: `{prefix}code_toks`, `{prefix}code_src` — DuckDB
+    twin of :func:`code_corpus` (append to a WITH clause). `prefix` lets
+    one query derive several corpora (snapshot-diff oracles)."""
     toks = ", ".join(
         f"coalesce(nullif(tk[{i + 1}], ''), 'w{i}') as tok{i}"
         for i in range(N_TOKENS)
@@ -393,24 +394,24 @@ def code_corpus_sql(documents: str = "documents") -> str:
         f"when {i} then {_sql_template(l)}" for i, l in enumerate(CODE_LANGS)
     ) + " end"
     return f"""
-    code_toks as (
+    {prefix}code_toks as (
       select doc_id, coalesce(source, 'synthetic') as source,
              str_split(coalesce(text, ''), ' ') as tk
       from {documents}),
-    code_tok as (
-      select doc_id, source, {toks} from code_toks),
-    code_src as (
+    {prefix}code_tok as (
+      select doc_id, source, {toks} from {prefix}code_toks),
+    {prefix}code_src as (
       select 'corpus/' || source as repo,
              'src/' || cast(doc_id as varchar)
                  || ({ext_arr})[cast(doc_id % {_n} as int) + 1] as path,
              substr(sha256(cast(doc_id as varchar)), 1, 12) as commit,
              ({lang_arr})[cast(doc_id % {_n} as int) + 1] as lang,
              {content_case} as content
-      from code_tok)"""
+      from {prefix}code_tok)"""
 
 
-def code_entities_sql() -> str:
-    """CTE body: `code_ents` over `code_src` — DuckDB twin of
+def code_entities_sql(src: str = "code_src", name: str = "code_ents") -> str:
+    """CTE body: `{name}` over `{src}` — DuckDB twin of
     :func:`extract_code_entities`."""
     branches = []
     for lang in sorted(PATTERNS):
@@ -420,10 +421,27 @@ def code_entities_sql() -> str:
                 f"select repo, path, lang, '{pred}' as pred,\n"
                 f"       unnest(regexp_extract_all(coalesce(content, ''),"
                 f" '{sql_pat}', 1)) as obj\n"
-                f"from code_src where lang = '{lang}'"
+                f"from {src} where lang = '{lang}'"
             )
     body = "\nunion all\n".join(branches)
-    return f"code_ents as (\n{body})"
+    return f"{name} as (\n{body})"
+
+
+def triples_spo_sql(ents: str = "code_ents", prefix: str = "t_") -> str:
+    """CTE bodies `{prefix}fa`, `{prefix}spo`: the (subj, pred, obj,
+    support) core of :func:`code_triples` minus lineage — the shape
+    snapshot-diff consumers compare."""
+    return f"""
+    {prefix}fa as (
+      select repo, path, pred, obj, count(*)::bigint as support
+      from {ents} group by 1, 2, 3, 4),
+    {prefix}spo as (
+      select repo || '/' || path as subj, pred, obj, support
+      from {prefix}fa
+      union all
+      select repo as subj, 'depends-on' as pred, obj,
+             count(*)::bigint as support
+      from {prefix}fa where pred = 'imports' group by 1, 2, 3)"""
 
 
 # ---------------------------------------------------------------------------

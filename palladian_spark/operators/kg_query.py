@@ -295,6 +295,65 @@ def validate_triples_sql(
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff (incremental KG maintenance)
+# ---------------------------------------------------------------------------
+
+
+def diff_triples(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Triple-level delta between two KG snapshots — the maintenance
+    report an incremental build emits per ingest batch (the companion of
+    pipeline.merge_triples, which folds batches ADDITIVELY; diff answers
+    "what changed", merge answers "what is"). Inputs are
+    (subj, pred, obj, support) tables with unique triples.
+
+    Output: (subj, pred, obj, status, support_old, support_new) where
+    status is 'added' / 'removed' / 'changed'; unchanged triples (the
+    bulk) are filtered before anything widens. One full-outer hash join
+    keyed on the triple — at 100 TB both sides are pre-aggregated triple
+    tables partitioned the same way (repo-hash), so the join co-locates.
+    """
+    o = old.select(
+        "subj", "pred", "obj", F.col("support").alias("support_old")
+    )
+    n = new.select(
+        "subj", "pred", "obj", F.col("support").alias("support_new")
+    )
+    j = o.join(n, ["subj", "pred", "obj"], "full_outer")
+    return j.where(
+        F.col("support_old").isNull()
+        | F.col("support_new").isNull()
+        | (F.col("support_old") != F.col("support_new"))
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("support_new").isNull(), F.lit("removed"))
+        .when(F.col("support_old").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "support_old",
+        "support_new",
+    )
+
+
+def diff_triples_sql(old_cte: str, new_cte: str) -> str:
+    """Final-select DuckDB twin of :func:`diff_triples`; both CTEs must
+    expose (subj, pred, obj, support)."""
+    return f"""
+    select coalesce(o.subj, n.subj) as subj,
+           coalesce(o.pred, n.pred) as pred,
+           coalesce(o.obj, n.obj) as obj,
+           case when n.subj is null then 'removed'
+                when o.subj is null then 'added'
+                else 'changed' end as status,
+           o.support as support_old,
+           n.support as support_new
+    from {old_cte} o full join {new_cte} n
+      on o.subj = n.subj and o.pred = n.pred and o.obj = n.obj
+    where o.subj is null or n.subj is null or o.support <> n.support"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic random walks (DeepWalk/node2vec corpus generation)
 # ---------------------------------------------------------------------------
 

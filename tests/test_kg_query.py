@@ -101,6 +101,28 @@ def test_validate_rules(spark):
     }
 
 
+def test_diff_triples(spark):
+    from palladian_spark.operators.kg_query import diff_triples
+
+    schema = "subj string, pred string, obj string, support long"
+    old = spark.createDataFrame(
+        [("a", "p", "x", 2), ("a", "p", "y", 1), ("b", "p", "x", 3)], schema
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x", 2), ("a", "p", "y", 4), ("c", "p", "z", 1)], schema
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["status"],
+         r["support_old"], r["support_new"])
+        for r in diff_triples(old, new).collect()
+    }
+    assert got == {
+        ("a", "p", "y", "changed", 1, 4),
+        ("b", "p", "x", "removed", 3, None),
+        ("c", "p", "z", "added", None, 1),
+    }  # the unchanged (a,p,x) triple is filtered
+
+
 EDGES = [
     ("a", "b"),
     ("a", "c"),
