@@ -1145,10 +1145,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             new.select("subj", "pred", "obj", "support"),
         )
 
+    def _code_spo(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code import code_triples as _ct
+
+        return _ct(code_corpus(_read(spark, sf_dir, "documents"))).select(
+            "subj", "pred", "obj"
+        )
+
+    def kg_node_types(spark, sf_dir):
+        from palladian_spark.operators.kg_query import infer_node_types
+
+        # ontology induction: majority predicate-participation vote per
+        # node with a deterministic tie-break (typed nodes for export)
+        return infer_node_types(_code_spo(spark, sf_dir))
+
+    def kg_schema(spark, sf_dir):
+        from palladian_spark.operators.kg_query import (
+            infer_node_types,
+            schema_graph,
+        )
+
+        # the induced schema summary: triples per (subj_type, pred,
+        # obj_type) under the inferred node typing
+        spo = _code_spo(spark, sf_dir)
+        return schema_graph(spo, infer_node_types(spo))
+
     q["kg_bgp_query"] = kg_bgp_query
     q["kg_validate"] = kg_validate
     q["kg_walks"] = kg_walks
     q["kg_snapshot_diff"] = kg_snapshot_diff
+    q["kg_node_types"] = kg_node_types
+    q["kg_schema"] = kg_schema
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -2243,7 +2271,9 @@ def oracle_sql() -> dict[str, str]:
         KG_REF_PREDS as _KG_REF_PREDS,
         bgp_query_sql as _bgp_sql,
         diff_triples_sql as _diff_triples_sql,
+        infer_node_types_sql as _node_types_sql,
         random_walks_sql as _random_walks_sql,
+        schema_graph_sql as _schema_graph_sql,
         validate_triples_sql as _validate_sql,
     )
     from palladian_spark.operators.code import triples_spo_sql as _triples_spo_sql
@@ -2829,6 +2859,20 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_call_edges_sql()},
             {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1)}
+        """,
+        "kg_node_types": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_triples_spo_sql("code_ents", prefix="kgt_")},
+            {_node_types_sql("kgt_spo")}
+            select node, node_type, n_votes from nt_types
+        """,
+        "kg_schema": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_triples_spo_sql("code_ents", prefix="kgt_")},
+            {_node_types_sql("kgt_spo")}
+            {_schema_graph_sql("kgt_spo")}
         """,
         "kg_snapshot_diff": f"""
             with docs_old as (select * from documents where doc_id % 4 <> 3),

@@ -69,6 +69,8 @@ HEADLINE = [
     "kg_validate",
     "kg_walks",
     "kg_snapshot_diff",
+    "kg_node_types",
+    "kg_schema",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -295,6 +295,133 @@ def validate_triples_sql(
 
 
 # ---------------------------------------------------------------------------
+# Ontology induction: node typing + schema summary graph
+# ---------------------------------------------------------------------------
+# A materialized KG needs typed nodes for export (graph.export_nodes
+# ships untyped ids) and a schema summary for consumers deciding what to
+# query. Types are INFERRED from predicate participation — each (role,
+# pred) appearance casts a vote; a node's type is its majority vote with
+# a deterministic (count desc, type desc) tie-break — so nodes appearing
+# in conflicting roles (a file that is also imported as a module) resolve
+# stably. The schema graph then counts triples per (subj_type, pred,
+# obj_type) — non-trivial exactly because node type is a per-node global
+# decision, not a per-triple lookup.
+
+# (role, pred) -> voted type, for the code KG's predicate set.
+CODE_TYPE_VOTES = (
+    ("subj", "depends-on", "repo"),
+    ("subj", "imports", "file"),
+    ("subj", "defines-function", "file"),
+    ("subj", "defines-class", "file"),
+    ("subj", "calls", "file"),
+    ("obj", "imports", "module"),
+    ("obj", "depends-on", "module"),
+    ("obj", "defines-class", "class"),
+    ("obj", "defines-function", "function"),
+    ("obj", "calls", "callsite"),
+)
+
+
+def _vote_case(role: str, votes) -> "F.Column":
+    expr = None
+    for r, pred, typ in votes:
+        if r != role:
+            continue
+        cond = F.col("pred") == pred
+        expr = F.when(cond, typ) if expr is None else expr.when(cond, typ)
+    return expr.otherwise(F.lit(None)) if expr is not None else F.lit(None)
+
+
+def infer_node_types(triples: DataFrame, votes=CODE_TYPE_VOTES) -> DataFrame:
+    """(node, node_type, n_votes): majority predicate-participation vote
+    per node. Two column-pruned projections -> one hash aggregate on
+    (node, type) -> one (node)-partitioned window pick. The vote table is
+    node-dictionary-sized; nothing content-sized shuffles."""
+    v = (
+        triples.select(
+            F.col("subj").alias("node"), _vote_case("subj", votes).alias("t")
+        )
+        .unionByName(
+            triples.select(
+                F.col("obj").alias("node"), _vote_case("obj", votes).alias("t")
+            )
+        )
+        .where(F.col("t").isNotNull())
+        .groupBy("node", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("t").desc()
+    )
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "node",
+            F.col("t").alias("node_type"),
+            F.col("n").alias("n_votes"),
+        )
+    )
+
+
+def infer_node_types_sql(triples_cte: str, votes=CODE_TYPE_VOTES) -> str:
+    """CTE bodies `nt_votes`, `nt_types` — DuckDB twin of
+    :func:`infer_node_types` (`nt_types` is the final table)."""
+
+    def _case(role):
+        whens = "\n             ".join(
+            f"when pred = '{p}' then '{t}'" for r, p, t in votes if r == role
+        )
+        return f"case {whens} end"
+
+    return f"""
+    nt_votes as (
+      select node, t, count(*)::bigint as n from (
+        select subj as node, {_case("subj")} as t from {triples_cte}
+        union all
+        select obj as node, {_case("obj")} as t from {triples_cte})
+      where t is not null group by 1, 2),
+    nt_types as (
+      select node, t as node_type, n as n_votes from (
+        select *, row_number() over (partition by node
+                                     order by n desc, t desc) as rn
+        from nt_votes)
+      where rn = 1)"""
+
+
+def schema_graph(triples: DataFrame, node_types: DataFrame) -> DataFrame:
+    """(subj_type, pred, obj_type, n_triples): the induced schema
+    summary. Two equi-joins of the triple table against the
+    node-dictionary-sized type table (broadcast at contract scale,
+    node-key hash join at 100 TB) + one tiny aggregate."""
+    st = node_types.select(
+        F.col("node").alias("subj"), F.col("node_type").alias("subj_type")
+    )
+    ot = node_types.select(
+        F.col("node").alias("obj"), F.col("node_type").alias("obj_type")
+    )
+    return (
+        triples.select("subj", "pred", "obj")
+        .join(st, "subj", "left")
+        .join(ot, "obj", "left")
+        .groupBy("subj_type", "pred", "obj_type")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+
+
+def schema_graph_sql(triples_cte: str, types_cte: str = "nt_types") -> str:
+    """Final-select DuckDB twin of :func:`schema_graph` (append after
+    :func:`infer_node_types_sql`)."""
+    return f"""
+    select st.node_type as subj_type, t.pred, ot.node_type as obj_type,
+           count(*)::bigint as n_triples
+    from {triples_cte} t
+    left join {types_cte} st on t.subj = st.node
+    left join {types_cte} ot on t.obj = ot.node
+    group by 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff (incremental KG maintenance)
 # ---------------------------------------------------------------------------
 

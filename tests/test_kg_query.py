@@ -101,6 +101,54 @@ def test_validate_rules(spark):
     }
 
 
+def test_node_typing_and_schema(spark):
+    from palladian_spark.operators.kg_query import (
+        infer_node_types,
+        schema_graph,
+    )
+
+    # "util" is imported twice (module votes) but defines a function once
+    # (file vote) -> majority says module; "r" depends-on twice -> repo
+    t = _triples(
+        spark,
+        [
+            ("f1", "imports", "util"),
+            ("f2", "imports", "util"),
+            ("util", "defines-function", "helper"),
+            ("r", "depends-on", "util"),
+            ("r", "depends-on", "numpy"),
+        ],
+    )
+    types = {r["node"]: (r["node_type"], r["n_votes"])
+             for r in infer_node_types(t).collect()}
+    assert types["util"] == ("module", 3)  # 2 imports-obj + 1 depends-obj
+    assert types["f1"] == ("file", 1)
+    assert types["r"] == ("repo", 2)
+    assert types["helper"] == ("function", 1)
+    sg = {
+        (r["subj_type"], r["pred"], r["obj_type"]): r["n_triples"]
+        for r in schema_graph(t, infer_node_types(t)).collect()
+    }
+    # the cross-role node surfaces in the schema: a module-typed node
+    # appears as the SUBJECT of defines-function
+    assert sg[("module", "defines-function", "function")] == 1
+    assert sg[("file", "imports", "module")] == 2
+    assert sg[("repo", "depends-on", "module")] == 2
+
+
+def test_node_typing_tie_break(spark):
+    from palladian_spark.operators.kg_query import infer_node_types
+
+    # one imports-obj vote (module) vs one defines-function-subj vote
+    # (file): tie on count -> lexicographically greatest type wins
+    t = _triples(
+        spark,
+        [("f1", "imports", "x"), ("x", "defines-function", "g")],
+    )
+    types = {r["node"]: r["node_type"] for r in infer_node_types(t).collect()}
+    assert types["x"] == "module"  # 'module' > 'file'
+
+
 def test_diff_triples(spark):
     from palladian_spark.operators.kg_query import diff_triples
 
