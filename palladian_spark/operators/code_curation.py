@@ -717,11 +717,19 @@ def near_clone_pairs(
     """
     from pyspark.sql.window import Window
 
-    files = source.select(
-        "lang",
-        F.concat_ws("/", "repo", "path").alias("file"),
-        token_set_col(F.col("content")).alias("toks"),
-    ).where(F.size("toks") > 0)
+    # lazy localCheckpoint: `files` feeds the token explode AND both
+    # verify-join sides — without it the content scan + tokenization
+    # regex runs three times (the _entity_agg idiom; checkpointed blocks
+    # are GC-reclaimed, no unpersist placement needed)
+    files = (
+        source.select(
+            "lang",
+            F.concat_ws("/", "repo", "path").alias("file"),
+            token_set_col(F.col("content")).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
 
     tok = files.select(
         "lang",
