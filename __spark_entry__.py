@@ -1178,6 +1178,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_node_types"] = kg_node_types
     q["kg_schema"] = kg_schema
 
+    def kg_pmi_edges(spark, sf_dir):
+        from palladian_spark.operators.graph import pmi_edges
+
+        # PMI-weighted entity co-occurrence (marginal-normalized relation
+        # strength over the gazetteer mention presence table)
+        return pmi_edges(
+            _doc_mentions(spark, sf_dir).select("doc_id", "value"),
+            _read(spark, sf_dir, "documents"),
+        )
+
+    def kg_reachability(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.graph import bfs_distances
+
+        # min-distance pairs to depth 3 over the directed call graph —
+        # the pair-grain traversal surface (WordDB getRelatedWords twin)
+        return bfs_distances(
+            call_edges(code_corpus(_read(spark, sf_dir, "documents"))),
+            max_hops=3,
+        )
+
+    q["kg_pmi_edges"] = kg_pmi_edges
+    q["kg_reachability"] = kg_reachability
+
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
         from palladian_spark.operators.canonicalize import canonicalize_values
@@ -2389,6 +2413,8 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.graph import (
         clustering_coefficients_sql as _clustering_sql,
     )
+    from palladian_spark.operators.graph import bfs_distances_sql as _bfs_sql
+    from palladian_spark.operators.graph import pmi_edges_sql as _pmi_edges_sql
     from palladian_spark.operators.textstats import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -2859,6 +2885,16 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_call_edges_sql()},
             {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1)}
+        """,
+        "kg_pmi_edges": f"""
+            with pres as ({_gazetteer_presence_sql()}),
+            {_pmi_edges_sql("pres", "documents")}
+        """,
+        "kg_reachability": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_bfs_sql("call_edges", max_hops=3)}
         """,
         "kg_node_types": f"""
             with {_code_corpus_sql()},

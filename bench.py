@@ -71,6 +71,8 @@ HEADLINE = [
     "kg_snapshot_diff",
     "kg_node_types",
     "kg_schema",
+    "kg_pmi_edges",
+    "kg_reachability",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -641,6 +641,150 @@ def k_hop_counts_sql(edges_cte: str, k: int = 2) -> str:
 # (the node dictionary build), never per edge per iteration.
 
 
+def pmi_edges(presence: DataFrame, total_docs: DataFrame) -> DataFrame:
+    """PMI-weighted entity co-occurrence edges — the statistical relation
+    strength the reference's CoOccurrenceRetriever consumers rank by
+    (co-occurrence counts alone over-weight frequent entities; PMI
+    normalizes by marginals). `presence` is a (doc_id, value) table;
+    `total_docs` any DataFrame whose row count is the document universe.
+
+    pmi_milli = floor(1000 * ln(n_ab * N / (n_a * n_b)) + 0.5) — the
+    engine-portable integer idiom, so the DuckDB oracle matches exactly.
+
+    Scale shape: one distinct + one marginal aggregate (entity key), the
+    doc-keyed pair self-join (the doc_cooccur plan), the dictionary-sized
+    marginal table joined back twice (broadcast), totals as a 1-row
+    broadcast crossJoin. Output: (subj, obj, n_ab, pmi_milli)."""
+    tot = total_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    m = (
+        presence.select("doc_id", "value")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    freq = m.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.value") < F.col("b.value")),
+        )
+        .groupBy(
+            F.col("a.value").alias("subj"), F.col("b.value").alias("obj")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(F.col("value").alias("subj"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("value").alias("obj"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "subj")
+        .join(F.broadcast(fb), "obj")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "subj",
+            "obj",
+            "n_ab",
+            F.floor(
+                F.lit(1000.0)
+                * F.log(
+                    (F.col("n_ab") * F.col("n_docs")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_milli"),
+        )
+    )
+
+
+def pmi_edges_sql(presence_cte: str, documents: str = "documents") -> str:
+    """Final-select DuckDB twin of :func:`pmi_edges`; `presence_cte`
+    must expose (doc_id, value)."""
+    return f"""
+    pmi_m as (select distinct doc_id, value from {presence_cte}),
+    pmi_tot as (select count(*)::bigint as n_docs from {documents}),
+    pmi_freq as (select value, count(*)::bigint as n from pmi_m group by 1),
+    pmi_pairs as (
+      select a.value as subj, b.value as obj, count(*)::bigint as n_ab
+      from pmi_m a join pmi_m b
+        on a.doc_id = b.doc_id and a.value < b.value
+      group by 1, 2)
+    select p.subj, p.obj, p.n_ab,
+           cast(floor(1000.0 * ln(p.n_ab * t.n_docs * 1.0
+                                  / (fa.n * fb.n)) + 0.5) as bigint)
+               as pmi_milli
+    from pmi_pairs p
+    join pmi_freq fa on p.subj = fa.value
+    join pmi_freq fb on p.obj = fb.value
+    cross join pmi_tot t"""
+
+
+def bfs_distances(
+    edges: DataFrame, max_hops: int = 3, a_col: str = "subj", b_col: str = "obj"
+) -> DataFrame:
+    """(src, dst, dist) minimum-distance pairs up to `max_hops` over the
+    DIRECTED graph — the pair-grain companion of :func:`k_hop_counts`
+    (which returns undirected ball sizes only). BFS layering: each round
+    extends the previous frontier by one hop and anti-joins everything
+    already reached, so the first time a pair appears IS its minimum
+    distance and rounds shrink as the frontier saturates.
+
+    Per round: one equi-join on the frontier's endpoint key + one anti
+    join against the reach set, both keyed — at 10^12 nodes cost is the
+    k-hop pair count (the intrinsic output size), never all-pairs."""
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    reach = e.select("src", "dst", F.lit(1).cast("int").alias("dist"))
+    frontier = reach
+    for d in range(2, max_hops + 1):
+        step = e.select(F.col("src").alias("dst"), F.col("dst").alias("nxt"))
+        frontier = (
+            frontier.join(step, "dst")
+            .select("src", F.col("nxt").alias("dst"), F.lit(d).cast("int").alias("dist"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.unionByName(frontier)
+    return reach
+
+
+def bfs_distances_sql(edges_cte: str, max_hops: int = 3) -> str:
+    """Final-select DuckDB twin of :func:`bfs_distances` (unrolled
+    rounds); `edges_cte` must expose (subj, obj)."""
+    parts = [
+        f"""
+    bfs_e as (
+      select distinct subj as src, obj as dst
+      from {edges_cte} where subj <> obj),
+    bfs_r1 as (select src, dst, 1 as dist from bfs_e),
+    bfs_f1 as (select src, dst, dist from bfs_r1)"""
+    ]
+    for d in range(2, max_hops + 1):
+        parts.append(
+            f"""
+    bfs_f{d} as (
+      select distinct f.src, e.dst, {d} as dist
+      from bfs_f{d - 1} f join bfs_e e on f.dst = e.src
+      where f.src <> e.dst
+        and not exists (select 1 from bfs_r{d - 1} r
+                        where r.src = f.src and r.dst = e.dst)),
+    bfs_r{d} as (
+      select src, dst, dist from bfs_r{d - 1}
+      union all
+      select src, dst, dist from bfs_f{d})"""
+        )
+    body = ",".join(parts)
+    return f"""{body}
+    select src, dst, dist from bfs_r{max_hops}"""
+
+
 def _id_lo(col):
     from palladian_spark.operators.dedup import portable_token_hash
 

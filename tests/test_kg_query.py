@@ -219,6 +219,43 @@ def test_walks_per_node_fanout(spark):
     assert {i.split("#")[1] for i in ids} == {"0", "1", "2"}
 
 
+def test_bfs_distances_min_dist(spark):
+    from palladian_spark.operators.graph import bfs_distances
+
+    # chain a->b->c->d plus shortcut a->c: dist(a,c) must be 1, not 2;
+    # dist(a,d) must be 2 via the shortcut, not 3
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "subj string, obj string",
+    )
+    got = {(r["src"], r["dst"]): r["dist"]
+           for r in bfs_distances(e, max_hops=3).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("a", "c"): 1,
+        ("a", "d"): 2, ("b", "d"): 2,
+    }
+
+
+def test_pmi_edges_hand_computed(spark):
+    import math
+
+    from palladian_spark.operators.graph import pmi_edges
+
+    pres = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"), (4, "x")],
+        "doc_id long, value string",
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    got = {(r["subj"], r["obj"]): (r["n_ab"], r["pmi_milli"])
+           for r in pmi_edges(pres, docs).collect()}
+    # n_docs=10, n_x=4, n_y=2, n_z=1, n_xy=2, n_xz=1
+    assert got[("x", "y")] == (
+        2, math.floor(1000 * math.log(2 * 10 / (4 * 2)) + 0.5))
+    assert got[("x", "z")] == (
+        1, math.floor(1000 * math.log(1 * 10 / (4 * 1)) + 0.5))
+    assert set(got) == {("x", "y"), ("x", "z")}
+
+
 def test_lm_quality_matches_python_model(spark):
     from palladian_spark.operators.textstats import lm_quality
 
