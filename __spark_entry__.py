@@ -64,6 +64,7 @@ _ADDRESS_WORDS = ["Baker", "Cherry", "Oak", "Maple", "King", "Queen", "Garden", 
 
 # term set for the scoped co-occurrence queries (substring semantics)
 _COOC_TERMS = ["filter", "join", "row", "spark", "table", "vector"]
+_BM25_QUERY = ("spark", "table", "vector")  # the fixed retrieval query
 
 # AnnotationRuleEngine fixture rules (reference grammar,
 # AnnotationRuleEngine.java:140-193): `X |` = suffix rule, matches the
@@ -177,6 +178,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from palladian_spark.operators.termcorpus import term_corpus
 
         return term_corpus(_read(spark, sf_dir, "documents"))
+
+    def doc_bm25_topk(spark, sf_dir):
+        from palladian_spark.operators.termcorpus import bm25_topk
+
+        # ranked retrieval: BM25 top-k docs for the fixed query-term set
+        # (integer milli scoring — engine-exact ranking)
+        return bm25_topk(_read(spark, sf_dir, "documents"), _BM25_QUERY)
 
     def doc_keywords(spark, sf_dir):
         # top-3 keywords per doc by the integer tf/(df+1) rarity score
@@ -1709,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_dup_spans=doc_dup_spans,
         doc_term_corpus=doc_term_corpus,
         doc_keywords=doc_keywords,
+        doc_bm25_topk=doc_bm25_topk,
         bpe_merges=bpe_merges,
         bpe_token_counts=bpe_token_counts,
         doc_token_hll=doc_token_hll,
@@ -2389,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         pii_redact_sql as _pii_redact_sql,
     )
     from palladian_spark.operators.termcorpus import (
+        bm25_topk_sql as _bm25_sql,
         doc_keywords_sql as _doc_keywords_sql,
         doc_terms_sql as _doc_terms_sql,
         term_corpus_sql as _term_corpus_sql,
@@ -2519,6 +2529,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": f"""
             with {_doc_terms_sql()}
             {_doc_keywords_sql()}
+        """,
+        "doc_bm25_topk": f"""
+            with {_doc_terms_sql()},
+            {_bm25_sql(_BM25_QUERY)}
         """,
         "doc_pii_redact": f"""
             with {_with_pii_sql()}

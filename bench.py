@@ -117,6 +117,7 @@ HEADLINE = [
     "doc_pii_redact",
     "doc_token_counts",
     "doc_lm_quality",
+    "doc_bm25_topk",
     "doc_term_corpus",
     "doc_keywords",
     "tpch_pricing",

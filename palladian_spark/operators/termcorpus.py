@@ -175,6 +175,139 @@ def doc_terms_sql(documents: str = "documents") -> str:
       group by 1, 2)"""
 
 
+BM25_K1_MILLI = 1200  # k1 = 1.2 (Robertson defaults), integer milli
+BM25_B_MILLI = 750    # b = 0.75
+BM25_TOP_K = 15
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = BM25_TOP_K,
+    k1_milli: int = BM25_K1_MILLI,
+    b_milli: int = BM25_B_MILLI,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a fixed query-term set —
+    the ranked read path over the corpus (tf-idf keywords rank terms
+    per doc; BM25 ranks docs per query). Okapi scoring with the +1 idf
+    (Lucene's non-negative variant).
+
+    Engine-exact determinism: idf is integer-rounded FIRST
+    (floor(1000·ln((N−df+0.5)/(df+0.5)+1)+0.5)); the per-(doc, term)
+    score floor(idf_milli·tf / (tf + k1·(1−b + b·dl/avgdl)) + 0.5) is
+    then pure IEEE double arithmetic over integers — bit-identical in
+    both engines — and per-doc totals are INTEGER sums, so no
+    float-summation order can flip the ranking. Ties break on doc asc.
+
+    Scale shape: one token scan -> per-doc lengths + the query-filtered
+    tf table (|q| terms — tiny); idf and corpus stats ride 1-row/|q|-row
+    broadcasts; top-k is orderBy+limit (TakeOrdered, no global sort
+    shuffle); the rank window runs over k rows. Output:
+    (doc, bm25_milli, n_q_terms, rnk)."""
+    qt = sorted(set(query_terms))
+    terms = _doc_terms(df, text_col, id_col).localCheckpoint(eager=False)
+    lens = terms.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = lens.agg(
+        F.sum("dl").alias("n_tok"), F.count(F.lit(1)).alias("nd")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = terms.where(F.col("term").isin(qt))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.floor(
+                F.lit(1000.0)
+                * F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_milli"),
+        )
+    )
+    k1 = F.lit(k1_milli) / F.lit(1000.0)
+    b = F.lit(b_milli) / F.lit(1000.0)
+    avgdl = F.col("n_tok") * F.lit(1.0) / F.col("nd")
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            F.floor(
+                (F.col("idf_milli") * F.col("tf")) * F.lit(1.0)
+                / (
+                    F.col("tf")
+                    + k1 * ((F.lit(1) - b) + b * F.col("dl") / avgdl)
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score_milli"),
+        )
+    )
+    docs_scored = scored.groupBy("doc").agg(
+        F.sum("score_milli").alias("bm25_milli"),
+        F.count(F.lit(1)).alias("n_q_terms"),
+    )
+    top = docs_scored.orderBy(
+        F.col("bm25_milli").desc(), F.col("doc").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("bm25_milli").desc(), F.col("doc").asc())
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def bm25_topk_sql(
+    query_terms,
+    documents: str = "documents",
+    top_k: int = BM25_TOP_K,
+    k1_milli: int = BM25_K1_MILLI,
+    b_milli: int = BM25_B_MILLI,
+) -> str:
+    """Final SELECT (appended after :func:`doc_terms_sql`) — DuckDB twin
+    of :func:`bm25_topk`, expression-for-expression."""
+    qt = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms)))
+    return f"""
+    bm_lens as (select doc, sum(tf)::bigint as dl from tc_terms group by 1),
+    bm_stats as (select sum(dl)::bigint as n_tok, count(*)::bigint as nd
+                 from bm_lens),
+    bm_tot as (select count(*)::bigint as n_docs from {documents}),
+    bm_tf as (select doc, term, tf from tc_terms where term in ({qt})),
+    bm_idf as (
+      select term,
+             cast(floor(1000.0 * ln((t.n_docs - d.df + 0.5) / (d.df + 0.5)
+                                    + 1.0) + 0.5) as bigint) as idf_milli
+      from (select term, count(*)::bigint as df from bm_tf group by 1) d,
+           bm_tot t),
+    bm_scored as (
+      select f.doc,
+             cast(floor((i.idf_milli * f.tf) * 1.0
+                        / (f.tf + ({k1_milli} / 1000.0)
+                           * ((1 - {b_milli} / 1000.0)
+                              + ({b_milli} / 1000.0) * l.dl
+                                / (s.n_tok * 1.0 / s.nd)))
+                        + 0.5) as bigint) as score_milli
+      from bm_tf f
+      join bm_idf i using (term)
+      join bm_lens l using (doc), bm_stats s),
+    bm_docs as (select doc, sum(score_milli)::bigint as bm25_milli,
+                       count(*)::bigint as n_q_terms
+                from bm_scored group by 1)
+    select doc, bm25_milli, n_q_terms,
+           row_number() over (order by bm25_milli desc, doc asc) as rnk
+    from bm_docs
+    order by bm25_milli desc, doc asc
+    limit {top_k}"""
+
+
 def term_corpus_sql(
     documents: str = "documents", min_df: int = CORPUS_MIN_DF
 ) -> str:

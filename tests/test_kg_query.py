@@ -291,6 +291,45 @@ def test_lm_quality_matches_python_model(spark):
     assert milli["cat"] > milli["the"]
 
 
+def test_bm25_topk_hand_computed(spark):
+    from palladian_spark.operators.termcorpus import bm25_topk
+
+    docs = [
+        (1, "spark spark spark engine engine"),
+        (2, "spark table"),
+        (3, "engine engine engine"),
+        (4, "table table table table spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc"]: (r["bm25_milli"], r["n_q_terms"], r["rnk"])
+           for r in bm25_topk(df, ("spark", "table"), top_k=3).collect()}
+    # replicate the integer scoring exactly
+    import math
+
+    tfs = {1: {"spark": 3}, 2: {"spark": 1, "table": 1},
+           3: {}, 4: {"table": 4, "spark": 1}}
+    dls = {1: 5, 2: 2, 3: 3, 4: 5}
+    n_tok, nd, n_docs = 15, 4, 4
+    dfreq = {"spark": 3, "table": 2}
+    idf = {t: math.floor(1000.0 * math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+                         + 0.5) for t, d in dfreq.items()}
+    avgdl = n_tok * 1.0 / nd
+    exp = {}
+    for doc, terms in tfs.items():
+        if not terms:
+            continue
+        s = sum(
+            math.floor((idf[t] * tf) * 1.0
+                       / (tf + 1.2 * (0.25 + 0.75 * dls[doc] / avgdl)) + 0.5)
+            for t, tf in terms.items()
+        )
+        exp[doc] = (s, len(terms))
+    order = sorted(exp, key=lambda d: (-exp[d][0], d))
+    assert set(out) == set(exp)
+    for rnk, doc in enumerate(order, 1):
+        assert out[doc] == (*exp[doc], rnk)
+
+
 @pytest.mark.parametrize("qname", ["kg_bgp_query", "kg_validate", "kg_walks",
                                    "doc_lm_quality"])
 def test_contract_queries_nonempty(spark, sf_dir, qname):
