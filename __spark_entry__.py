@@ -1207,8 +1207,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_hops=3,
         )
 
+    def kg_triple_history(spark, sf_dir):
+        from palladian_spark.operators.code import code_corpus
+        from palladian_spark.operators.code import code_triples as _ct
+        from palladian_spark.operators.kg_query import triple_history
+
+        # temporal-KG fold: first-seen / last-seen / liveness per triple
+        # across three overlapping ingest generations (gen g drops the
+        # doc_id % 4 == g slice; gen 2 is live)
+        docs = _read(spark, sf_dir, "documents")
+        gens = [
+            (
+                g,
+                _ct(code_corpus(docs.where(F.col("doc_id") % 4 != g))).select(
+                    "subj", "pred", "obj"
+                ),
+            )
+            for g in (0, 1, 2)
+        ]
+        return triple_history(gens, last_gen=2)
+
+    def kg_describe(spark, sf_dir):
+        from palladian_spark.operators.kg_query import describe_hubs
+
+        # SPARQL-DESCRIBE for the top-5 hub nodes: full adjacency
+        # (direction, pred, counterpart, support), deterministic hub pick
+        return describe_hubs(_code_spo(spark, sf_dir), top_n=5)
+
     q["kg_pmi_edges"] = kg_pmi_edges
     q["kg_reachability"] = kg_reachability
+    q["kg_triple_history"] = kg_triple_history
+    q["kg_describe"] = kg_describe
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -2303,8 +2332,10 @@ def oracle_sql() -> dict[str, str]:
         KG_LITERAL_SHAPES as _KG_LITERAL_SHAPES,
         KG_REF_PREDS as _KG_REF_PREDS,
         bgp_query_sql as _bgp_sql,
+        describe_hubs_sql as _describe_hubs_sql,
         diff_triples_sql as _diff_triples_sql,
         infer_node_types_sql as _node_types_sql,
+        triple_history_sql as _triple_history_sql,
         random_walks_sql as _random_walks_sql,
         schema_graph_sql as _schema_graph_sql,
         validate_triples_sql as _validate_sql,
@@ -2909,6 +2940,27 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_call_edges_sql()},
             {_bfs_sql("call_edges", max_hops=3)}
+        """,
+        "kg_triple_history": f"""
+            with docs_g0 as (select * from documents where doc_id % 4 <> 0),
+            docs_g1 as (select * from documents where doc_id % 4 <> 1),
+            docs_g2 as (select * from documents where doc_id % 4 <> 2),
+            {_code_corpus_sql(documents="docs_g0", prefix="g0_")},
+            {_code_corpus_sql(documents="docs_g1", prefix="g1_")},
+            {_code_corpus_sql(documents="docs_g2", prefix="g2_")},
+            {_code_entities_sql(src="g0_code_src", name="g0_ents")},
+            {_code_entities_sql(src="g1_code_src", name="g1_ents")},
+            {_code_entities_sql(src="g2_code_src", name="g2_ents")},
+            {_triples_spo_sql("g0_ents", prefix="g0_")},
+            {_triples_spo_sql("g1_ents", prefix="g1_")},
+            {_triples_spo_sql("g2_ents", prefix="g2_")}
+            {_triple_history_sql([(0, "g0_spo"), (1, "g1_spo"), (2, "g2_spo")], last_gen=2)}
+        """,
+        "kg_describe": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_triples_spo_sql("code_ents", prefix="kgt_")}
+            {_describe_hubs_sql("kgt_spo", top_n=5)}
         """,
         "kg_node_types": f"""
             with {_code_corpus_sql()},

@@ -73,6 +73,8 @@ HEADLINE = [
     "kg_schema",
     "kg_pmi_edges",
     "kg_reachability",
+    "kg_triple_history",
+    "kg_describe",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -481,6 +481,130 @@ def diff_triples_sql(old_cte: str, new_cte: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Temporal triple validity (generation-tagged history)
+# ---------------------------------------------------------------------------
+
+
+def triple_history(gen_triples, last_gen: int) -> DataFrame:
+    """Per-triple temporal validity over generation-tagged snapshots —
+    the temporal-KG view an incremental build accumulates (diff_triples
+    answers "what changed between two snapshots"; this folds ALL
+    generations into first-seen / last-seen / liveness per triple).
+
+    `gen_triples` is a list of (gen:int, DataFrame(subj, pred, obj))
+    snapshot triple tables; `last_gen` marks the live generation.
+    Output: (subj, pred, obj, first_gen, last_gen, n_gens, status) with
+    status 'live' iff the triple is present in the newest snapshot.
+    One union of gen-tagged projections + one hash aggregate on the
+    triple key — the union never widens past the triple tables."""
+    parts = []
+    for gen, df in gen_triples:
+        parts.append(
+            df.select(
+                "subj", "pred", "obj", F.lit(int(gen)).alias("gen")
+            )
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc.groupBy("subj", "pred", "obj").agg(
+        F.min("gen").alias("first_gen"),
+        F.max("gen").alias("last_gen"),
+        F.countDistinct("gen").alias("n_gens"),
+        F.when(F.max("gen") == last_gen, F.lit("live"))
+        .otherwise(F.lit("retired"))
+        .alias("status"),
+    )
+
+
+def triple_history_sql(gen_ctes, last_gen: int) -> str:
+    """Final-select DuckDB twin of :func:`triple_history`; `gen_ctes` is
+    a list of (gen, cte_name) with each CTE exposing (subj, pred, obj)."""
+    union = "\n      union all\n".join(
+        f"      select subj, pred, obj, {int(g)} as gen from {cte}"
+        for g, cte in gen_ctes
+    )
+    return f"""
+    select subj, pred, obj,
+           min(gen) as first_gen, max(gen) as last_gen,
+           count(distinct gen)::bigint as n_gens,
+           case when max(gen) = {int(last_gen)} then 'live'
+                else 'retired' end as status
+    from (
+{union})
+    group by 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE: hub-entity adjacency summaries
+# ---------------------------------------------------------------------------
+
+
+def describe_hubs(triples: DataFrame, top_n: int = 5) -> DataFrame:
+    """SPARQL-DESCRIBE for the graph's hubs: pick the `top_n`
+    highest-degree nodes (ties break on node asc — deterministic) and
+    emit their full adjacency as (node, direction, pred, other,
+    support). The degree aggregate is node-keyed; the hub set is
+    top-n-sized and broadcast back into two semi-restricted projections
+    — output is the hubs' adjacency, never the full graph."""
+    deg = (
+        triples.select(F.col("subj").alias("node"))
+        .unionByName(triples.select(F.col("obj").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hubs = deg.orderBy(F.col("degree").desc(), F.col("node").asc()).limit(
+        top_n
+    )
+    out_edges = triples.join(
+        F.broadcast(hubs.select(F.col("node").alias("subj"))), "subj"
+    ).select(
+        F.col("subj").alias("node"),
+        F.lit("out").alias("direction"),
+        "pred",
+        F.col("obj").alias("other"),
+    )
+    in_edges = triples.join(
+        F.broadcast(hubs.select(F.col("node").alias("obj"))), "obj"
+    ).select(
+        F.col("obj").alias("node"),
+        F.lit("in").alias("direction"),
+        "pred",
+        F.col("subj").alias("other"),
+    )
+    return (
+        out_edges.unionByName(in_edges)
+        .groupBy("node", "direction", "pred", "other")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def describe_hubs_sql(triples_cte: str, top_n: int = 5) -> str:
+    """Final-select DuckDB twin of :func:`describe_hubs`."""
+    return f"""
+    select node, direction, pred, other, count(*)::bigint as support
+    from (
+      select t.subj as node, 'out' as direction, t.pred, t.obj as other
+      from {triples_cte} t
+      where t.subj in (
+        select node from (
+          select node, count(*) as degree from (
+            select subj as node from {triples_cte}
+            union all select obj from {triples_cte})
+          group by 1 order by degree desc, node asc limit {top_n}))
+      union all
+      select t.obj as node, 'in' as direction, t.pred, t.subj as other
+      from {triples_cte} t
+      where t.obj in (
+        select node from (
+          select node, count(*) as degree from (
+            select subj as node from {triples_cte}
+            union all select obj from {triples_cte})
+          group by 1 order by degree desc, node asc limit {top_n})))
+    group by 1, 2, 3, 4"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic random walks (DeepWalk/node2vec corpus generation)
 # ---------------------------------------------------------------------------
 

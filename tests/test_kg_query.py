@@ -291,6 +291,48 @@ def test_lm_quality_matches_python_model(spark):
     assert milli["cat"] > milli["the"]
 
 
+def test_triple_history_fold(spark):
+    from palladian_spark.operators.kg_query import triple_history
+
+    schema = "subj string, pred string, obj string"
+    g0 = spark.createDataFrame([("a", "p", "x"), ("b", "p", "y")], schema)
+    g1 = spark.createDataFrame([("a", "p", "x"), ("c", "p", "z")], schema)
+    g2 = spark.createDataFrame([("a", "p", "x"), ("b", "p", "y")], schema)
+    got = {
+        (r["subj"], r["pred"], r["obj"]):
+            (r["first_gen"], r["last_gen"], r["n_gens"], r["status"])
+        for r in triple_history([(0, g0), (1, g1), (2, g2)], last_gen=2).collect()
+    }
+    assert got == {
+        ("a", "p", "x"): (0, 2, 3, "live"),
+        ("b", "p", "y"): (0, 2, 2, "live"),   # gap in gen 1, back in 2
+        ("c", "p", "z"): (1, 1, 1, "retired"),
+    }
+
+
+def test_describe_hubs(spark):
+    from palladian_spark.operators.kg_query import describe_hubs
+
+    t = _triples(
+        spark,
+        [
+            ("hub", "p", "a"),
+            ("hub", "p", "b"),
+            ("c", "q", "hub"),
+            ("a", "p", "b"),
+        ],
+    )
+    out = describe_hubs(t, top_n=1).collect()
+    # hub has degree 3 (2 out + 1 in) — the unique top-1
+    assert {r["node"] for r in out} == {"hub"}
+    got = {(r["direction"], r["pred"], r["other"]): r["support"] for r in out}
+    assert got == {
+        ("out", "p", "a"): 1,
+        ("out", "p", "b"): 1,
+        ("in", "q", "c"): 1,
+    }
+
+
 def test_bm25_topk_hand_computed(spark):
     from palladian_spark.operators.termcorpus import bm25_topk
 
