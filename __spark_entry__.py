@@ -2903,12 +2903,9 @@ def oracle_sql() -> dict[str, str]:
             with {_code_corpus_sql()},
             {_code_entities_sql()},
             {_call_edges_sql()},
+            {_triples_spo_sql("code_ents", prefix="bgp_")},
             bgp_triples as (
-              select distinct repo || '/' || path as subj, pred, obj
-              from code_ents
-              union
-              select distinct repo as subj, 'depends-on' as pred, obj
-              from code_ents where pred = 'imports'
+              select subj, pred, obj from bgp_spo
               union
               select distinct subj, 'calls-file' as pred, obj
               from call_edges)
@@ -2917,12 +2914,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_validate": f"""
             with {_code_corpus_sql()},
             {_code_entities_sql()},
-            kgv_triples as (
-              select distinct repo || '/' || path as subj, pred, obj
-              from code_ents
-              union
-              select distinct repo as subj, 'depends-on' as pred, obj
-              from code_ents where pred = 'imports')
+            {_triples_spo_sql("code_ents", prefix="kgv_")},
+            kgv_triples as (select subj, pred, obj from kgv_spo)
             {_validate_sql("kgv_triples", _KG_FUNCTIONAL_PREDS, _KG_REF_PREDS, _KG_LITERAL_SHAPES)}
         """,
         "kg_walks": f"""

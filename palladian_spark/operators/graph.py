@@ -686,9 +686,13 @@ def pmi_edges(presence: DataFrame, total_docs: DataFrame) -> DataFrame:
             "n_ab",
             F.floor(
                 F.lit(1000.0)
+                # cast each factor to double BEFORE multiplying: int64
+                # products overflow at n_ab * n_docs ~ 1e22 (the 10^12
+                # regime); double products don't, and both engines
+                # compute the identical IEEE value
                 * F.log(
-                    (F.col("n_ab") * F.col("n_docs")).cast("double")
-                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                    (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
                 )
                 + F.lit(0.5)
             )
@@ -711,8 +715,9 @@ def pmi_edges_sql(presence_cte: str, documents: str = "documents") -> str:
         on a.doc_id = b.doc_id and a.value < b.value
       group by 1, 2)
     select p.subj, p.obj, p.n_ab,
-           cast(floor(1000.0 * ln(p.n_ab * t.n_docs * 1.0
-                                  / (fa.n * fb.n)) + 0.5) as bigint)
+           cast(floor(1000.0 * ln((p.n_ab * 1.0) * (t.n_docs * 1.0)
+                                  / ((fa.n * 1.0) * (fb.n * 1.0)))
+                      + 0.5) as bigint)
                as pmi_milli
     from pmi_pairs p
     join pmi_freq fa on p.subj = fa.value

@@ -233,10 +233,14 @@ def validate_triples(
             )
         )
     for pred, regex in literal_shapes:
-        # rlike is partial-match; anchor to mirror the oracle's
-        # regexp_full_match (patterns stay in the RE2 ∩ java subset)
+        # rlike is partial-match; anchor with \A...\z to mirror the
+        # oracle's regexp_full_match EXACTLY (a bare $ would also match
+        # before a trailing line terminator, silently passing 'mod\n')
         branches.append(
-            t.where((F.col("pred") == pred) & ~F.col("obj").rlike(f"^(?:{regex})$"))
+            t.where(
+                (F.col("pred") == pred)
+                & ~F.col("obj").rlike(f"\\A(?:{regex})\\z")
+            )
             .distinct()
             .select(
                 F.lit("malformed").alias("rule"),
@@ -273,13 +277,16 @@ def validate_triples_sql(
       group by 1, 2, 3 having count(distinct obj) > 1"""
         )
     if ref:
+        # NOT EXISTS, not NOT IN: a single NULL subj would make NOT IN
+        # return zero rows while the Spark left-anti join reports all
         parts.append(
             f"""
-      select distinct 'dangling' as rule, subj, pred, obj,
+      select distinct 'dangling' as rule, t.subj, t.pred, t.obj,
              1::bigint as n_violations
-      from {triples_cte}
-      where pred in ({_in(ref)})
-        and obj not in (select subj from {triples_cte})"""
+      from {triples_cte} t
+      where t.pred in ({_in(ref)})
+        and not exists (select 1 from {triples_cte} s
+                        where s.subj = t.obj)"""
         )
     for pred, regex in literal_shapes:
         p = pred.replace("'", "''")
@@ -497,6 +504,8 @@ def triple_history(gen_triples, last_gen: int) -> DataFrame:
     status 'live' iff the triple is present in the newest snapshot.
     One union of gen-tagged projections + one hash aggregate on the
     triple key — the union never widens past the triple tables."""
+    if not gen_triples:
+        raise ValueError("empty generation list")
     parts = []
     for gen, df in gen_triples:
         parts.append(
@@ -547,14 +556,22 @@ def describe_hubs(triples: DataFrame, top_n: int = 5) -> DataFrame:
     support). The degree aggregate is node-keyed; the hub set is
     top-n-sized and broadcast back into two semi-restricted projections
     — output is the hubs' adjacency, never the full graph."""
+    # lazy localCheckpoints: triples feeds four scans (degree union 2x +
+    # both adjacency branches) and hubs feeds two broadcasts — cut the
+    # lineage so each pipeline runs once
+    triples = triples.select("subj", "pred", "obj").localCheckpoint(
+        eager=False
+    )
     deg = (
         triples.select(F.col("subj").alias("node"))
         .unionByName(triples.select(F.col("obj").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    hubs = deg.orderBy(F.col("degree").desc(), F.col("node").asc()).limit(
-        top_n
+    hubs = (
+        deg.orderBy(F.col("degree").desc(), F.col("node").asc())
+        .limit(top_n)
+        .localCheckpoint(eager=False)
     )
     out_edges = triples.join(
         F.broadcast(hubs.select(F.col("node").alias("subj"))), "subj"
@@ -580,27 +597,24 @@ def describe_hubs(triples: DataFrame, top_n: int = 5) -> DataFrame:
 
 
 def describe_hubs_sql(triples_cte: str, top_n: int = 5) -> str:
-    """Final-select DuckDB twin of :func:`describe_hubs`."""
+    """Final-select DuckDB twin of :func:`describe_hubs` (the hub set is
+    bound once as a CTE, not inlined per branch)."""
     return f"""
     select node, direction, pred, other, count(*)::bigint as support
     from (
-      select t.subj as node, 'out' as direction, t.pred, t.obj as other
-      from {triples_cte} t
-      where t.subj in (
+      with dh_hubs as (
         select node from (
           select node, count(*) as degree from (
             select subj as node from {triples_cte}
             union all select obj from {triples_cte})
           group by 1 order by degree desc, node asc limit {top_n}))
+      select t.subj as node, 'out' as direction, t.pred, t.obj as other
+      from {triples_cte} t
+      where t.subj in (select node from dh_hubs)
       union all
       select t.obj as node, 'in' as direction, t.pred, t.subj as other
       from {triples_cte} t
-      where t.obj in (
-        select node from (
-          select node, count(*) as degree from (
-            select subj as node from {triples_cte}
-            union all select obj from {triples_cte})
-          group by 1 order by degree desc, node asc limit {top_n})))
+      where t.obj in (select node from dh_hubs))
     group by 1, 2, 3, 4"""
 
 
@@ -627,10 +641,13 @@ def random_walks(
     Walks that reach a sink node stop growing (the standard DeepWalk
     truncation). Output: (walk_id, path) with path the space-joined
     node sequence, starting node included."""
+    # e feeds the index build AND both node-set projections — checkpoint
+    # so the upstream edge pipeline (call resolution etc.) runs once
     e = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("src").orderBy("dst")
     indexed = (

@@ -279,12 +279,16 @@ def lm_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     (doc_id, n_tokens, nll_milli_sum, nll_milli_mean, bucket)."""
     from .util import spread
 
+    # lazy localCheckpoint: tok feeds BOTH the model aggregate and the
+    # scoring join — without it the corpus tokenize/explode scan runs
+    # twice (the near_clone_pairs / doc_cooccur idiom)
     tok = (
         spread(df)
         .select(
             F.col(id_col),
             F.explode(_extract_all(F.lower(F.col(text_col)), _WORD_REGEX)).alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     model = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     totals = model.agg(

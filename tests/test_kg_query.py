@@ -171,6 +171,43 @@ def test_diff_triples(spark):
     }  # the unchanged (a,p,x) triple is filtered
 
 
+def test_validate_cross_engine_edge_cases(spark):
+    """The two review-found divergences: (1) a trailing newline in obj
+    must be malformed on BOTH engines (\\A..\\z vs regexp_full_match —
+    a bare $ would pass it on the Spark side); (2) a NULL subj row must
+    not blank the oracle's dangling rule (NOT EXISTS vs NOT IN)."""
+    import duckdb
+
+    from palladian_spark.operators.kg_query import validate_triples_sql
+
+    rows = [
+        ("f1", "imports", "mod\n"),   # malformed: trailing newline
+        ("r1", "depends-on", "numpy"),  # dangling
+        (None, "imports", "os"),      # NULL subj: must not nuke dangling
+    ]
+    t = _triples(spark, rows)
+    shapes = (("imports", "[A-Za-z_][A-Za-z0-9_./-]*"),)
+    out = validate_triples(
+        t, ref=("depends-on",), literal_shapes=shapes
+    )
+    got = {(r["rule"], r["obj"]) for r in out.collect()}
+    assert ("malformed", "mod\n") in got
+    assert ("dangling", "numpy") in got
+
+    con = duckdb.connect()
+    con.execute(
+        "create table trips as select * from (values "
+        "('f1', 'imports', 'mod' || chr(10)), "
+        "('r1', 'depends-on', 'numpy'), "
+        "(null, 'imports', 'os')) v(subj, pred, obj)"
+    )
+    sql = "with t as (select * from trips)\n" + validate_triples_sql(
+        "t", ref=("depends-on",), literal_shapes=shapes
+    )
+    oracle = {(r[0], r[3]) for r in con.execute(sql).fetchall()}
+    assert oracle == got
+
+
 EDGES = [
     ("a", "b"),
     ("a", "c"),
