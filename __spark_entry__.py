@@ -1234,10 +1234,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (direction, pred, counterpart, support), deterministic hub pick
         return describe_hubs(_code_spo(spark, sf_dir), top_n=5)
 
+    def kg_path_query(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.code import code_triples as _ct
+        from palladian_spark.operators.kg_query import (
+            BGP_PATH_QUERY,
+            BGP_PATH_QUERY_NEQ,
+            bgp_query,
+        )
+
+        # SPARQL 1.1 property path: `?a calls-file+ ?c . ?c
+        # defines-class ?k` — the transitive-closure pattern compiled to
+        # a bounded BFS scan joined like any other pattern
+        corpus = code_corpus(_read(spark, sf_dir, "documents"))
+        triples = (
+            _ct(corpus)
+            .select("subj", "pred", "obj")
+            .unionByName(
+                call_edges(corpus).select(
+                    "subj", F.lit("calls-file").alias("pred"), "obj"
+                )
+            )
+        )
+        return bgp_query(
+            triples, BGP_PATH_QUERY, neq=BGP_PATH_QUERY_NEQ, max_path_hops=3
+        )
+
     q["kg_pmi_edges"] = kg_pmi_edges
     q["kg_reachability"] = kg_reachability
     q["kg_triple_history"] = kg_triple_history
     q["kg_describe"] = kg_describe
+    q["kg_path_query"] = kg_path_query
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -2328,6 +2355,8 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.kg_query import (
         BGP_CALL_CHAIN as _BGP_CALL_CHAIN,
         BGP_CALL_CHAIN_NEQ as _BGP_CALL_CHAIN_NEQ,
+        BGP_PATH_QUERY as _BGP_PATH,
+        BGP_PATH_QUERY_NEQ as _BGP_PATH_NEQ,
         KG_FUNCTIONAL_PREDS as _KG_FUNCTIONAL_PREDS,
         KG_LITERAL_SHAPES as _KG_LITERAL_SHAPES,
         KG_REF_PREDS as _KG_REF_PREDS,
@@ -2910,6 +2939,18 @@ def oracle_sql() -> dict[str, str]:
               select distinct subj, 'calls-file' as pred, obj
               from call_edges)
             {_bgp_sql("bgp_triples", _BGP_CALL_CHAIN, _BGP_CALL_CHAIN_NEQ)}
+        """,
+        "kg_path_query": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_triples_spo_sql("code_ents", prefix="bgp_")},
+            bgp_triples as (
+              select subj, pred, obj from bgp_spo
+              union
+              select distinct subj, 'calls-file' as pred, obj
+              from call_edges)
+            {_bgp_sql("bgp_triples", _BGP_PATH, _BGP_PATH_NEQ, max_path_hops=3)}
         """,
         "kg_validate": f"""
             with {_code_corpus_sql()},

@@ -75,6 +75,7 @@ HEADLINE = [
     "kg_reachability",
     "kg_triple_history",
     "kg_describe",
+    "kg_path_query",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -760,34 +760,43 @@ def bfs_distances(
     return reach
 
 
-def bfs_distances_sql(edges_cte: str, max_hops: int = 3) -> str:
-    """Final-select DuckDB twin of :func:`bfs_distances` (unrolled
-    rounds); `edges_cte` must expose (subj, obj)."""
+def bfs_distances_ctes(
+    edges_cte: str, max_hops: int = 3, prefix: str = "bfs_"
+) -> tuple:
+    """CTE chain for the unrolled BFS (no final select): returns
+    (cte_chain_str, reach_cte_name). `prefix` keeps multiple closures in
+    one query from colliding (property-path BGP oracles)."""
     parts = [
         f"""
-    bfs_e as (
+    {prefix}e as (
       select distinct subj as src, obj as dst
       from {edges_cte} where subj <> obj),
-    bfs_r1 as (select src, dst, 1 as dist from bfs_e),
-    bfs_f1 as (select src, dst, dist from bfs_r1)"""
+    {prefix}r1 as (select src, dst, 1 as dist from {prefix}e),
+    {prefix}f1 as (select src, dst, dist from {prefix}r1)"""
     ]
     for d in range(2, max_hops + 1):
         parts.append(
             f"""
-    bfs_f{d} as (
+    {prefix}f{d} as (
       select distinct f.src, e.dst, {d} as dist
-      from bfs_f{d - 1} f join bfs_e e on f.dst = e.src
+      from {prefix}f{d - 1} f join {prefix}e e on f.dst = e.src
       where f.src <> e.dst
-        and not exists (select 1 from bfs_r{d - 1} r
+        and not exists (select 1 from {prefix}r{d - 1} r
                         where r.src = f.src and r.dst = e.dst)),
-    bfs_r{d} as (
-      select src, dst, dist from bfs_r{d - 1}
+    {prefix}r{d} as (
+      select src, dst, dist from {prefix}r{d - 1}
       union all
-      select src, dst, dist from bfs_f{d})"""
+      select src, dst, dist from {prefix}f{d})"""
         )
-    body = ",".join(parts)
+    return ",".join(parts), f"{prefix}r{max_hops}"
+
+
+def bfs_distances_sql(edges_cte: str, max_hops: int = 3) -> str:
+    """Final-select DuckDB twin of :func:`bfs_distances` (unrolled
+    rounds); `edges_cte` must expose (subj, obj)."""
+    body, reach = bfs_distances_ctes(edges_cte, max_hops)
     return f"""{body}
-    select src, dst, dist from bfs_r{max_hops}"""
+    select src, dst, dist from {reach}"""
 
 
 def _id_lo(col):

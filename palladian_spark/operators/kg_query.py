@@ -65,6 +65,13 @@ BGP_CALL_CHAIN = (
     ("?c", "defines-class", "?k"),
 )
 BGP_CALL_CHAIN_NEQ = (("a", "c"),)
+# Property-path twin: files that TRANSITIVELY reach a class-defining
+# file (SPARQL 1.1 `calls-file+`, bounded closure).
+BGP_PATH_QUERY = (
+    ("?a", "calls-file+", "?c"),
+    ("?c", "defines-class", "?k"),
+)
+BGP_PATH_QUERY_NEQ = (("a", "c"),)
 KG_FUNCTIONAL_PREDS = ("defines-class",)
 KG_REF_PREDS = ("depends-on",)
 KG_LITERAL_SHAPES = (("imports", "[A-Za-z_][A-Za-z0-9_./-]*"),)
@@ -115,11 +122,31 @@ def _order_patterns(patterns) -> list:
     return order
 
 
-def _scan(triples: DataFrame, pat) -> DataFrame:
-    """One pattern -> filtered scan projecting its variables."""
-    df = triples
+def _is_path(term: str) -> bool:
+    """A constant predicate ending in '+' is a SPARQL property path
+    (one-or-more transitive closure of the base predicate)."""
+    return not _is_var(term) and term.endswith("+") and len(term) > 1
+
+
+def _scan(triples: DataFrame, pat, max_path_hops: int = 3) -> DataFrame:
+    """One pattern -> filtered scan projecting its variables. A `pred+`
+    pattern scans the depth-bounded transitive closure of pred instead
+    of the triple table (graph.bfs_distances — the SPARQL 1.1
+    one-or-more path, bounded like every production path engine)."""
+    s, p, o = pat
+    if _is_path(p):
+        from palladian_spark.operators.graph import bfs_distances
+
+        df = bfs_distances(
+            triples.where(F.col("pred") == F.lit(p[:-1])),
+            max_hops=max_path_hops,
+        ).select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
+        terms = ((s, "subj"), (o, "obj"))
+    else:
+        df = triples
+        terms = tuple(zip(pat, _COLS))
     seen: dict = {}
-    for term, col in zip(pat, _COLS):
+    for term, col in terms:
         if _is_var(term):
             v = term[1:]
             if v in seen:  # repeated var within one pattern: ?x p ?x
@@ -131,20 +158,24 @@ def _scan(triples: DataFrame, pat) -> DataFrame:
     return df.select(*[F.col(c).alias(v) for v, c in seen.items()])
 
 
-def bgp_query(triples: DataFrame, patterns, neq=()) -> DataFrame:
+def bgp_query(
+    triples: DataFrame, patterns, neq=(), max_path_hops: int = 3
+) -> DataFrame:
     """Evaluate a basic graph pattern over a (subj, pred, obj) triples
     DataFrame. `patterns` is a list of (s, p, o) term triples ('?name'
-    marks a variable); `neq` is a list of (var_a, var_b) pairs that must
-    bind to different values (the SPARQL `FILTER(?a != ?b)` idiom that
-    makes path/triangle queries meaningful). Returns the distinct
-    variable bindings, one column per variable."""
+    marks a variable; a constant predicate `p+` means the one-or-more
+    transitive closure of p, to `max_path_hops`); `neq` is a list of
+    (var_a, var_b) pairs that must bind to different values (the SPARQL
+    `FILTER(?a != ?b)` idiom that makes path/triangle queries
+    meaningful). Returns the distinct variable bindings, one column per
+    variable."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
     order = _order_patterns(patterns)
-    acc = _scan(triples, patterns[order[0]])
+    acc = _scan(triples, patterns[order[0]], max_path_hops)
     bound = set(acc.columns)
     for i in order[1:]:
-        nxt = _scan(triples, patterns[i])
+        nxt = _scan(triples, patterns[i], max_path_hops)
         shared = sorted(bound & set(nxt.columns))
         acc = acc.join(nxt, on=shared) if shared else acc.crossJoin(nxt)
         bound |= set(nxt.columns)
@@ -153,14 +184,45 @@ def bgp_query(triples: DataFrame, patterns, neq=()) -> DataFrame:
     return acc.distinct()
 
 
-def bgp_query_sql(triples_cte: str, patterns, neq=()) -> str:
-    """Final-select DuckDB twin of :func:`bgp_query`: one aliased scan
-    per pattern, flat-joined with explicit conjuncts (DuckDB's optimizer
-    picks its own join order — same result set by construction)."""
+def bgp_query_sql(
+    triples_cte: str, patterns, neq=(), max_path_hops: int = 3
+) -> str:
+    """DuckDB twin of :func:`bgp_query`: one aliased scan per pattern,
+    flat-joined with explicit conjuncts (DuckDB's optimizer picks its
+    own join order — same result set by construction). `pred+` patterns
+    scan an unrolled-BFS closure CTE instead of the triple table; when
+    any are present the returned string BEGINS with ', <ctes>' so it
+    splices after the caller's last CTE."""
+    from palladian_spark.operators.graph import bfs_distances_ctes
+
+    pre: list = []
+    scan_of: dict = {}
+    for i, pat in enumerate(patterns):
+        p = pat[1]
+        if _is_path(p):
+            base = p[:-1].replace("'", "''")
+            chain, reach = bfs_distances_ctes(
+                f"(select subj, obj from {triples_cte} where pred = '{base}')",
+                max_hops=max_path_hops,
+                prefix=f"pp{i}_",
+            )
+            pre.append(chain)
+            pre.append(
+                f"""
+    pp{i} as (select src as subj, dst as obj from {reach})"""
+            )
+            scan_of[i] = f"pp{i}"
+        else:
+            scan_of[i] = triples_cte
     first_occ: dict = {}
     conjuncts: list = []
     for i, pat in enumerate(patterns):
-        for term, col in zip(pat, _COLS):
+        terms = (
+            ((pat[0], "subj"), (pat[2], "obj"))
+            if _is_path(pat[1])
+            else tuple(zip(pat, _COLS))
+        )
+        for term, col in terms:
             ref = f"t{i}.{col}"
             if _is_var(term):
                 v = term[1:]
@@ -174,9 +236,12 @@ def bgp_query_sql(triples_cte: str, patterns, neq=()) -> str:
     for a, b in neq:
         conjuncts.append(f"{first_occ[a]} <> {first_occ[b]}")
     sel = ", ".join(f"{ref} as {v}" for v, ref in first_occ.items())
-    frm = ", ".join(f"{triples_cte} t{i}" for i in range(len(patterns)))
+    frm = ", ".join(f"{scan_of[i]} t{i}" for i in range(len(patterns)))
     where = " and ".join(conjuncts) if conjuncts else "true"
-    return f"select distinct {sel} from {frm} where {where}"
+    select = f"select distinct {sel} from {frm} where {where}"
+    if pre:
+        return "," + ",".join(pre) + "\n    " + select
+    return select
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,32 @@ def test_bgp_repeated_var_and_disconnected(spark):
     assert {tuple(r) for r in cross.select("x", "y").collect()} == {("c", "d")}
 
 
+def test_bgp_property_path(spark):
+    # chain a->b->c->d: `calls+` to 3 hops reaches (a,b),(a,c),(a,d),
+    # (b,c),(b,d),(c,d); join with the defines attribute on the endpoint
+    t = _triples(
+        spark,
+        [
+            ("a", "calls", "b"),
+            ("b", "calls", "c"),
+            ("c", "calls", "d"),
+            ("d", "defines", "K"),
+        ],
+    )
+    out = bgp_query(
+        t,
+        [("?x", "calls+", "?y"), ("?y", "defines", "?k")],
+        max_path_hops=3,
+    )
+    got = {(r["x"], r["y"], r["k"]) for r in out.collect()}
+    assert got == {("a", "d", "K"), ("b", "d", "K"), ("c", "d", "K")}
+    # bounded closure: 2 hops cannot reach a->d
+    out2 = bgp_query(
+        t, [("?x", "calls+", "?y"), ("?y", "defines", "?k")], max_path_hops=2
+    )
+    assert {(r["x"],) for r in out2.collect()} == {("b",), ("c",)}
+
+
 def test_bgp_distinct_bindings(spark):
     # duplicate triples must not duplicate bindings (set semantics)
     t = _triples(spark, TRIPLES + TRIPLES)
