@@ -1078,9 +1078,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["code_secret_hits"] = code_secret_hits
 
     # ---- KG query surface: BGP / shape validation / walk corpus ----
-    def kg_bgp_query(spark, sf_dir):
+    def _bgp_triples_df(spark, sf_dir):
+        # the BGP triple universe: code triples + the resolved call graph
+        # as 'calls-file' edges (single source of truth for kg_bgp_query
+        # and kg_path_query — mirrors the oracle's bgp_triples CTE)
         from palladian_spark.operators.code import call_edges, code_corpus
         from palladian_spark.operators.code import code_triples as _ct
+
+        corpus = code_corpus(_read(spark, sf_dir, "documents"))
+        return (
+            _ct(corpus)
+            .select("subj", "pred", "obj")
+            .unionByName(
+                call_edges(corpus).select(
+                    "subj", F.lit("calls-file").alias("pred"), "obj"
+                )
+            )
+        )
+
+    def kg_bgp_query(spark, sf_dir):
         from palladian_spark.operators.kg_query import (
             BGP_CALL_CHAIN,
             BGP_CALL_CHAIN_NEQ,
@@ -1090,17 +1106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the declarative read path over the materialized KG: triple
         # patterns compiled to selectivity-ordered joins (SPARQL BGP
         # semantics, distinct bindings)
-        corpus = code_corpus(_read(spark, sf_dir, "documents"))
-        triples = (
-            _ct(corpus)
-            .select("subj", "pred", "obj")
-            .unionByName(
-                call_edges(corpus).select(
-                    "subj", F.lit("calls-file").alias("pred"), "obj"
-                )
-            )
+        return bgp_query(
+            _bgp_triples_df(spark, sf_dir),
+            BGP_CALL_CHAIN,
+            neq=BGP_CALL_CHAIN_NEQ,
         )
-        return bgp_query(triples, BGP_CALL_CHAIN, neq=BGP_CALL_CHAIN_NEQ)
 
     def kg_validate(spark, sf_dir):
         from palladian_spark.operators.code import code_corpus
@@ -1235,8 +1245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return describe_hubs(_code_spo(spark, sf_dir), top_n=5)
 
     def kg_path_query(spark, sf_dir):
-        from palladian_spark.operators.code import call_edges, code_corpus
-        from palladian_spark.operators.code import code_triples as _ct
         from palladian_spark.operators.kg_query import (
             BGP_PATH_QUERY,
             BGP_PATH_QUERY_NEQ,
@@ -1246,18 +1254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SPARQL 1.1 property path: `?a calls-file+ ?c . ?c
         # defines-class ?k` — the transitive-closure pattern compiled to
         # a bounded BFS scan joined like any other pattern
-        corpus = code_corpus(_read(spark, sf_dir, "documents"))
-        triples = (
-            _ct(corpus)
-            .select("subj", "pred", "obj")
-            .unionByName(
-                call_edges(corpus).select(
-                    "subj", F.lit("calls-file").alias("pred"), "obj"
-                )
-            )
-        )
         return bgp_query(
-            triples, BGP_PATH_QUERY, neq=BGP_PATH_QUERY_NEQ, max_path_hops=3
+            _bgp_triples_df(spark, sf_dir),
+            BGP_PATH_QUERY,
+            neq=BGP_PATH_QUERY_NEQ,
+            max_path_hops=3,
         )
 
     q["kg_pmi_edges"] = kg_pmi_edges

@@ -726,7 +726,11 @@ def pmi_edges_sql(presence_cte: str, documents: str = "documents") -> str:
 
 
 def bfs_distances(
-    edges: DataFrame, max_hops: int = 3, a_col: str = "subj", b_col: str = "obj"
+    edges: DataFrame,
+    max_hops: int = 3,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    start_filter=None,
 ) -> DataFrame:
     """(src, dst, dist) minimum-distance pairs up to `max_hops` over the
     DIRECTED graph — the pair-grain companion of :func:`k_hop_counts`
@@ -735,23 +739,30 @@ def bfs_distances(
     already reached, so the first time a pair appears IS its minimum
     distance and rounds shrink as the frontier saturates.
 
+    Reflexive pairs ARE emitted when a cycle (or self-loop) closes back
+    to the start — dist(x, x) = shortest cycle length through x — the
+    SPARQL 1.1 one-or-more semantics the property-path BGP relies on.
+
+    `start_filter` (a Column predicate over `src`) seeds the BFS from a
+    subset of nodes — single/bounded-source traversal costs that
+    source set's k-hop ball, not the all-pairs closure.
+
     Per round: one equi-join on the frontier's endpoint key + one anti
     join against the reach set, both keyed — at 10^12 nodes cost is the
     k-hop pair count (the intrinsic output size), never all-pairs."""
     e = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    reach = e.select("src", "dst", F.lit(1).cast("int").alias("dist"))
+    seed = e.where(start_filter) if start_filter is not None else e
+    reach = seed.select("src", "dst", F.lit(1).cast("int").alias("dist"))
     frontier = reach
     for d in range(2, max_hops + 1):
         step = e.select(F.col("src").alias("dst"), F.col("dst").alias("nxt"))
         frontier = (
             frontier.join(step, "dst")
             .select("src", F.col("nxt").alias("dst"), F.lit(d).cast("int").alias("dist"))
-            .where(F.col("src") != F.col("dst"))
             .distinct()
             .join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
             .localCheckpoint(eager=False)
@@ -761,17 +772,25 @@ def bfs_distances(
 
 
 def bfs_distances_ctes(
-    edges_cte: str, max_hops: int = 3, prefix: str = "bfs_"
+    edges_cte: str,
+    max_hops: int = 3,
+    prefix: str = "bfs_",
+    start_where: str = "",
 ) -> tuple:
     """CTE chain for the unrolled BFS (no final select): returns
     (cte_chain_str, reach_cte_name). `prefix` keeps multiple closures in
-    one query from colliding (property-path BGP oracles)."""
+    one query from colliding (property-path BGP oracles); `start_where`
+    is an optional predicate over `src` restricting the SEED round
+    (single-source traversal), mirroring bfs_distances' start_filter.
+    Reflexive (cycle-closing) pairs are emitted, per SPARQL 1.1
+    one-or-more semantics."""
+    seed = f" where {start_where}" if start_where else ""
     parts = [
         f"""
     {prefix}e as (
       select distinct subj as src, obj as dst
-      from {edges_cte} where subj <> obj),
-    {prefix}r1 as (select src, dst, 1 as dist from {prefix}e),
+      from {edges_cte}),
+    {prefix}r1 as (select src, dst, 1 as dist from {prefix}e{seed}),
     {prefix}f1 as (select src, dst, dist from {prefix}r1)"""
     ]
     for d in range(2, max_hops + 1):
@@ -780,8 +799,7 @@ def bfs_distances_ctes(
     {prefix}f{d} as (
       select distinct f.src, e.dst, {d} as dist
       from {prefix}f{d - 1} f join {prefix}e e on f.dst = e.src
-      where f.src <> e.dst
-        and not exists (select 1 from {prefix}r{d - 1} r
+      where not exists (select 1 from {prefix}r{d - 1} r
                         where r.src = f.src and r.dst = e.dst)),
     {prefix}r{d} as (
       select src, dst, dist from {prefix}r{d - 1}

@@ -137,9 +137,15 @@ def _scan(triples: DataFrame, pat, max_path_hops: int = 3) -> DataFrame:
     if _is_path(p):
         from palladian_spark.operators.graph import bfs_distances
 
+        # a constant SUBJECT seeds the BFS (single-source traversal —
+        # cost is that node's k-hop ball, not the all-pairs closure);
+        # the generic term loop below re-applies it as a filter, which
+        # is then a no-op
+        start = None if _is_var(s) else (F.col("src") == F.lit(s))
         df = bfs_distances(
             triples.where(F.col("pred") == F.lit(p[:-1])),
             max_hops=max_path_hops,
+            start_filter=start,
         ).select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
         terms = ((s, "subj"), (o, "obj"))
     else:
@@ -201,10 +207,17 @@ def bgp_query_sql(
         p = pat[1]
         if _is_path(p):
             base = p[:-1].replace("'", "''")
+            s_term = pat[0]
+            start = (
+                ""
+                if _is_var(s_term)
+                else "src = '" + s_term.replace("'", "''") + "'"
+            )
             chain, reach = bfs_distances_ctes(
                 f"(select subj, obj from {triples_cte} where pred = '{base}')",
                 max_hops=max_path_hops,
                 prefix=f"pp{i}_",
+                start_where=start,
             )
             pre.append(chain)
             pre.append(

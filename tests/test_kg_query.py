@@ -92,6 +92,42 @@ def test_bgp_property_path(spark):
     assert {(r["x"],) for r in out2.collect()} == {("b",), ("c",)}
 
 
+def test_bgp_path_cycles_and_sql_twin(spark):
+    """SPARQL 1.1 `p+` must emit reflexive pairs when a cycle closes
+    back to the start; and the SQL twin (comma-spliced closure CTEs)
+    must agree with the Spark side on the same data."""
+    import duckdb
+
+    from palladian_spark.operators.kg_query import bgp_query_sql
+
+    rows = [("a", "calls", "b"), ("b", "calls", "a"), ("c", "calls", "c")]
+    t = _triples(spark, rows)
+    pats = [("?x", "calls+", "?y")]
+    got = {(r["x"], r["y"])
+           for r in bgp_query(t, pats, max_path_hops=3).collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"), ("c", "c")}
+
+    con = duckdb.connect()
+    con.execute(
+        "create table trips as select * from (values "
+        "('a','calls','b'), ('b','calls','a'), ('c','calls','c')"
+        ") v(subj, pred, obj)"
+    )
+    sql = "with t as (select * from trips)" + bgp_query_sql(
+        "t", pats, max_path_hops=3
+    )
+    assert {tuple(r) for r in con.execute(sql).fetchall()} == got
+
+    # constant subject seeds the BFS on BOTH sides (single-source)
+    pats2 = [("a", "calls+", "?y")]
+    got2 = {(r["y"],) for r in bgp_query(t, pats2, max_path_hops=3).collect()}
+    assert got2 == {("b",), ("a",)}
+    sql2 = "with t as (select * from trips)" + bgp_query_sql(
+        "t", pats2, max_path_hops=3
+    )
+    assert {tuple(r) for r in con.execute(sql2).fetchall()} == got2
+
+
 def test_bgp_distinct_bindings(spark):
     # duplicate triples must not duplicate bindings (set semantics)
     t = _triples(spark, TRIPLES + TRIPLES)
