@@ -1261,11 +1261,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_path_hops=3,
         )
 
+    def kg_weighted_walks(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.kg_query import weighted_random_walks
+
+        # node2vec-style weighted walk corpus: successor probability
+        # proportional to call count, chosen by the portable hash over
+        # cumulative-weight intervals — deterministic and oracle-exact
+        e = (
+            call_edges(code_corpus(_read(spark, sf_dir, "documents")))
+            .groupBy("subj", "obj")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+        return weighted_random_walks(e, walk_length=4, walks_per_node=1)
+
     q["kg_pmi_edges"] = kg_pmi_edges
     q["kg_reachability"] = kg_reachability
     q["kg_triple_history"] = kg_triple_history
     q["kg_describe"] = kg_describe
+    def kg_export_ntriples(spark, sf_dir):
+        from palladian_spark.operators.graph import export_ntriples
+
+        # RDF interchange: N-Triples lines with md5-minted IRIs + one
+        # escaped label literal per node
+        return export_ntriples(_code_spo(spark, sf_dir))
+
     q["kg_path_query"] = kg_path_query
+    q["kg_weighted_walks"] = kg_weighted_walks
+    q["kg_export_ntriples"] = kg_export_ntriples
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -2368,6 +2391,7 @@ def oracle_sql() -> dict[str, str]:
         triple_history_sql as _triple_history_sql,
         random_walks_sql as _random_walks_sql,
         schema_graph_sql as _schema_graph_sql,
+        weighted_random_walks_sql as _weighted_walks_sql,
         validate_triples_sql as _validate_sql,
     )
     from palladian_spark.operators.code import triples_spo_sql as _triples_spo_sql
@@ -2485,6 +2509,9 @@ def oracle_sql() -> dict[str, str]:
         clustering_coefficients_sql as _clustering_sql,
     )
     from palladian_spark.operators.graph import bfs_distances_sql as _bfs_sql
+    from palladian_spark.operators.graph import (
+        export_ntriples_sql as _export_ntriples_sql,
+    )
     from palladian_spark.operators.graph import pmi_edges_sql as _pmi_edges_sql
     from palladian_spark.operators.textstats import LANG_MARKERS
 
@@ -2966,6 +2993,14 @@ def oracle_sql() -> dict[str, str]:
             {_call_edges_sql()},
             {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1)}
         """,
+        "kg_weighted_walks": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            wce as (select subj, obj, count(*)::bigint as weight
+                    from call_edges group by 1, 2),
+            {_weighted_walks_sql("wce", walk_length=4, walks_per_node=1)}
+        """,
         "kg_pmi_edges": f"""
             with pres as ({_gazetteer_presence_sql()}),
             {_pmi_edges_sql("pres", "documents")}
@@ -2996,6 +3031,12 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_triples_spo_sql("code_ents", prefix="kgt_")}
             {_describe_hubs_sql("kgt_spo", top_n=5)}
+        """,
+        "kg_export_ntriples": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_triples_spo_sql("code_ents", prefix="kgt_")}
+            {_export_ntriples_sql("kgt_spo")}
         """,
         "kg_node_types": f"""
             with {_code_corpus_sql()},

@@ -76,6 +76,8 @@ HEADLINE = [
     "kg_triple_history",
     "kg_describe",
     "kg_path_query",
+    "kg_weighted_walks",
+    "kg_export_ntriples",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

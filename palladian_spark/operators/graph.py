@@ -817,6 +817,82 @@ def bfs_distances_sql(edges_cte: str, max_hops: int = 3) -> str:
     select src, dst, dist from {reach}"""
 
 
+def export_ntriples(triples: DataFrame) -> DataFrame:
+    """N-Triples serialization of the KG — the RDF interchange handoff.
+    Node labels carry arbitrary bytes, so (like every production
+    exporter) we mint stable IRIs — ``<urn:kg:n:md5(label)>`` — and
+    attach each label as ONE literal triple with N-Triples string
+    escaping (backslash, quote, newline, CR, tab). Predicates come from
+    the controlled predicate vocabulary and are sanitized charwise into
+    the IRI. Two pure projections + one node-dictionary distinct; the
+    escape chain is literal `replace`, identical in both engines.
+    Output: one `ntriple` line per fact + one per distinct node."""
+
+    def iri(col):
+        return F.concat(F.lit("<urn:kg:n:"), F.md5(col), F.lit(">"))
+
+    def esc(col):
+        out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+        out = F.replace(out, F.lit('"'), F.lit('\\"'))
+        out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+        out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+        return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pred_iri = F.concat(
+        F.lit("<urn:kg:p:"),
+        F.regexp_replace(F.col("pred"), "[^A-Za-z0-9_-]", "_"),
+        F.lit(">"),
+    )
+    facts = t.select(
+        F.concat_ws(
+            " ", iri(F.col("subj")), pred_iri, iri(F.col("obj")), F.lit(".")
+        ).alias("ntriple")
+    )
+    nodes = (
+        t.select(F.col("subj").alias("label"))
+        .unionByName(t.select(F.col("obj").alias("label")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.concat(
+            iri(F.col("label")),
+            F.lit(' <urn:kg:p:label> "'),
+            esc(F.col("label")),
+            F.lit('" .'),
+        ).alias("ntriple")
+    )
+    return facts.unionByName(labels)
+
+
+def export_ntriples_sql(triples_cte: str) -> str:
+    """Final-select DuckDB twin of :func:`export_ntriples`."""
+    bs = "chr(92)"
+    esc = (
+        "replace(replace(replace(replace(replace(label, "
+        f"{bs}, {bs} || {bs}), "
+        f"'\"', {bs} || '\"'), "
+        f"chr(10), {bs} || 'n'), "
+        f"chr(13), {bs} || 'r'), "
+        f"chr(9), {bs} || 't')"
+    )
+    return f"""
+    select '<urn:kg:n:' || md5(subj) || '> <urn:kg:p:'
+           || regexp_replace(pred, '[^A-Za-z0-9_-]', '_', 'g')
+           || '> <urn:kg:n:' || md5(obj) || '> .' as ntriple
+    from (select distinct subj, pred, obj from {triples_cte})
+    union all
+    select '<urn:kg:n:' || md5(label) || '> <urn:kg:p:label> "'
+           || {esc} || '" .' as ntriple
+    from (select subj as label from {triples_cte}
+          union
+          select obj from {triples_cte})"""
+
+
 def _id_lo(col):
     from palladian_spark.operators.dedup import portable_token_hash
 

@@ -772,6 +772,141 @@ def random_walks(
     return frontier.select("walk_id", "path")
 
 
+def weighted_random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """node2vec-style WEIGHTED walks: the successor at each step is
+    chosen with probability proportional to integer edge weight, via the
+    same portable hash — r = md5_60bit(walk_id:step) mod total_weight,
+    successor = the edge whose cumulative-weight interval [cum_start,
+    cum_end) contains r. Integer weights + a deterministic (dst-ordered)
+    cumulative sum make the choice exact and identical in both engines.
+
+    Per step: ONE left join keyed on the current node with an interval
+    residual (exactly one edge matches). The cum-sum window is
+    (src)-partitioned — per-node adjacency grain, same as the uniform
+    variant. Output: (walk_id, path)."""
+    e = (
+        edges.select(
+            F.col(a_col).alias("src"),
+            F.col(b_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .where((F.col("src") != F.col("dst")) & (F.col("weight") > 0))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .localCheckpoint(eager=False)
+    )
+    w_ord = Window.partitionBy("src").orderBy("dst")
+    indexed = (
+        e.withColumn("cum_end", F.sum("weight").over(w_ord))
+        .withColumn(
+            "total", F.sum("weight").over(Window.partitionBy("src"))
+        )
+        .withColumn("cum_start", F.col("cum_end") - F.col("weight"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reps = F.explode(
+        F.array(*[F.lit(j) for j in range(walks_per_node)])
+    ).alias("rep")
+    frontier = nodes.select("node", reps).select(
+        F.concat(F.col("node"), F.lit("#"), F.col("rep")).alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    for step in range(walk_length):
+        pick = F.pmod(
+            portable_token_hash(
+                F.concat(F.col("walk_id"), F.lit(f":{step}"))
+            ),
+            F.col("total"),
+        )
+        frontier = (
+            frontier.join(
+                indexed,
+                (frontier["cur"] == indexed["src"])
+                & (pick >= indexed["cum_start"])
+                & (pick < indexed["cum_end"]),
+                "left",
+            )
+            .select(
+                "walk_id",
+                F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.concat(F.col("path"), F.lit(" "), F.col("dst")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return frontier.select("walk_id", "path")
+
+
+def weighted_random_walks_sql(
+    edges_cte: str, walk_length: int = 4, walks_per_node: int = 1
+) -> str:
+    """CTE-chain DuckDB twin of :func:`weighted_random_walks`;
+    `edges_cte` must expose (subj, obj, weight). Ends in a final
+    select."""
+    reps = ", ".join(f"({j})" for j in range(walks_per_node))
+    parts = [
+        f"""
+    wrw_edges as (
+      select subj as src, obj as dst, sum(weight)::bigint as weight
+      from {edges_cte} where subj <> obj and weight > 0
+      group by 1, 2),
+    wrw_idx as (
+      select src, dst, weight,
+             sum(weight) over (partition by src order by dst
+                               rows unbounded preceding) as cum_end,
+             sum(weight) over (partition by src order by dst
+                               rows unbounded preceding) - weight
+                 as cum_start,
+             sum(weight) over (partition by src) as total
+      from wrw_edges),
+    wrw_nodes as (
+      select src as node from wrw_edges
+      union
+      select dst as node from wrw_edges),
+    wrw_w0 as (
+      select node || '#' || rep as walk_id, node as cur, node as path
+      from wrw_nodes, (values {reps}) reps(rep))"""
+    ]
+    prev = "wrw_w0"
+    for step in range(walk_length):
+        nxt = f"wrw_w{step + 1}"
+        parts.append(
+            f"""
+    {nxt} as (
+      select w.walk_id,
+             coalesce(e.dst, w.cur) as cur,
+             case when e.dst is not null then w.path || ' ' || e.dst
+                  else w.path end as path
+      from {prev} w left join wrw_idx e
+        on w.cur = e.src
+       and ('0x' || substr(md5(w.walk_id || ':{step}'), 1, 15))::bigint
+           % e.total >= e.cum_start
+       and ('0x' || substr(md5(w.walk_id || ':{step}'), 1, 15))::bigint
+           % e.total < e.cum_end)"""
+        )
+        prev = nxt
+    body = ",".join(parts)
+    return f"""{body}
+    select walk_id, path from {prev}"""
+
+
 def random_walks_sql(
     edges_cte: str, walk_length: int = 4, walks_per_node: int = 1
 ) -> str:

@@ -310,6 +310,42 @@ def test_walks_deterministic_and_lawful(spark):
             assert nodes[-1] not in adj
 
 
+def test_weighted_walks_lawful(spark):
+    from palladian_spark.operators.kg_query import weighted_random_walks
+
+    wedges = [("a", "b", 1), ("a", "c", 9), ("b", "c", 2), ("c", "a", 5)]
+    e = spark.createDataFrame(wedges, "subj string, obj string, weight long")
+    out = dict(
+        (r["walk_id"], r["path"])
+        for r in weighted_random_walks(e, walk_length=3).collect()
+    )
+    assert set(out) == {"a#0", "b#0", "c#0"}
+    # replay the cumulative-interval law in python
+    adj = {}
+    for s, o, w in wedges:
+        adj.setdefault(s, []).append((o, w))
+    for lst in adj.values():
+        lst.sort()
+    for wid, path in out.items():
+        nodes = path.split(" ")
+        for step, (cur, nxt) in enumerate(zip(nodes, nodes[1:])):
+            lst = adj[cur]
+            total = sum(w for _, w in lst)
+            r = _hash60(f"{wid}:{step}") % total
+            acc = 0
+            for o, w in lst:
+                if acc <= r < acc + w:
+                    assert nxt == o
+                    break
+                acc += w
+    # determinism across reruns
+    out2 = dict(
+        (r["walk_id"], r["path"])
+        for r in weighted_random_walks(e, walk_length=3).collect()
+    )
+    assert out == out2
+
+
 def test_walks_per_node_fanout(spark):
     e = spark.createDataFrame(EDGES, "subj string, obj string")
     out = random_walks(e, walk_length=2, walks_per_node=3)
@@ -353,6 +389,28 @@ def test_pmi_edges_hand_computed(spark):
     assert got[("x", "z")] == (
         1, math.floor(1000 * math.log(1 * 10 / (4 * 1)) + 0.5))
     assert set(got) == {("x", "y"), ("x", "z")}
+
+
+def test_export_ntriples_escaping(spark):
+    import hashlib
+
+    from palladian_spark.operators.graph import export_ntriples
+
+    nasty = 'a"b\\c\nd'
+    t = _triples(spark, [(nasty, "calls", "x")])
+    lines = {r["ntriple"] for r in export_ntriples(t).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (
+        f"<urn:kg:n:{h(nasty)}> <urn:kg:p:calls> <urn:kg:n:{h('x')}> ."
+        in lines
+    )
+    # N-Triples escaping: \ -> \\, " -> \", newline -> \n
+    assert (
+        f'<urn:kg:n:{h(nasty)}> <urn:kg:p:label> "a\\"b\\\\c\\nd" .'
+        in lines
+    )
+    assert f'<urn:kg:n:{h("x")}> <urn:kg:p:label> "x" .' in lines
+    assert len(lines) == 3
 
 
 def test_lm_quality_matches_python_model(spark):
