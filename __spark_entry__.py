@@ -1286,9 +1286,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # escaped label literal per node
         return export_ntriples(_code_spo(spark, sf_dir))
 
+    def kg_walk_pairs(spark, sf_dir):
+        from palladian_spark.operators.code import call_edges, code_corpus
+        from palladian_spark.operators.kg_query import (
+            random_walks,
+            walk_skipgram_pairs,
+        )
+
+        # node2vec training positives: skip-gram (center, context) pairs
+        # from the deterministic walk corpus, window 2
+        walks = random_walks(
+            call_edges(code_corpus(_read(spark, sf_dir, "documents"))),
+            walk_length=4,
+            walks_per_node=1,
+        )
+        return walk_skipgram_pairs(walks, window=2)
+
     q["kg_path_query"] = kg_path_query
     q["kg_weighted_walks"] = kg_weighted_walks
     q["kg_export_ntriples"] = kg_export_ntriples
+    q["kg_walk_pairs"] = kg_walk_pairs
 
     # ---- canonicalization (SURVEY §2.7; LSH + JW + connected components) ----
     def canonicalize_mentions(spark, sf_dir):
@@ -2391,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         triple_history_sql as _triple_history_sql,
         random_walks_sql as _random_walks_sql,
         schema_graph_sql as _schema_graph_sql,
+        walk_skipgram_pairs_sql as _walk_pairs_sql,
         weighted_random_walks_sql as _weighted_walks_sql,
         validate_triples_sql as _validate_sql,
     )
@@ -2992,6 +3010,13 @@ def oracle_sql() -> dict[str, str]:
             {_code_entities_sql()},
             {_call_edges_sql()},
             {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1)}
+        """,
+        "kg_walk_pairs": f"""
+            with {_code_corpus_sql()},
+            {_code_entities_sql()},
+            {_call_edges_sql()},
+            {_random_walks_sql("call_edges", walk_length=4, walks_per_node=1, final_cte="rw_walks")},
+            {_walk_pairs_sql("rw_walks", window=2)}
         """,
         "kg_weighted_walks": f"""
             with {_code_corpus_sql()},

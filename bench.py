@@ -78,6 +78,7 @@ HEADLINE = [
     "kg_path_query",
     "kg_weighted_walks",
     "kg_export_ntriples",
+    "kg_walk_pairs",
     "string_tagger_candidates",
     "dict_mentions",
     "rule_engine_tags",

@@ -907,11 +907,67 @@ def weighted_random_walks_sql(
     select walk_id, path from {prev}"""
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs): skip-gram training pairs from a walk
+    corpus — the step that turns kg_walks/kg_weighted_walks output into
+    node2vec training data (positives; corrupt-tail negatives come from
+    graph.link_training_pairs). Each walk's path explodes into
+    (position, node) pairs once; the within-walk self-join pairs nodes
+    at distance 1..window (both directions), then one hash aggregate
+    counts multiplicity. Cost is walks × window — linear in the corpus,
+    keyed on walk_id; nothing all-pairs."""
+    pos = walks.select(
+        "walk_id",
+        F.posexplode(F.split(F.col("path"), " ")).alias("pos", "node"),
+    ).localCheckpoint(eager=False)
+    a, b = pos.alias("a"), pos.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.pos") != F.col("b.pos"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= window),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def walk_skipgram_pairs_sql(walks_cte: str, window: int = 2) -> str:
+    """Final-select DuckDB twin of :func:`walk_skipgram_pairs`;
+    `walks_cte` must expose (walk_id, path)."""
+    return f"""
+    sg_parts as (
+      select walk_id, str_split(path, ' ') as parts from {walks_cte}),
+    sg_pos as (
+      -- two aligned unnests (DuckDB expands them positionally in one
+      -- select; no WITH ORDINALITY needed)
+      select walk_id,
+             unnest(generate_series(1, len(parts))) - 1 as pos,
+             parts[unnest(generate_series(1, len(parts)))] as node
+      from sg_parts),
+    sg_pairs as (
+      select a.node as center, b.node as context
+      from sg_pos a join sg_pos b
+        on a.walk_id = b.walk_id
+       and a.pos <> b.pos
+       and abs(a.pos - b.pos) <= {window})
+    select center, context, count(*)::bigint as n_pairs
+    from sg_pairs group by 1, 2"""
+
+
 def random_walks_sql(
-    edges_cte: str, walk_length: int = 4, walks_per_node: int = 1
+    edges_cte: str,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    final_cte: str = "",
 ) -> str:
     """CTE-chain DuckDB twin of :func:`random_walks` (unrolled steps);
-    `edges_cte` must expose (subj, obj). Ends in a final select."""
+    `edges_cte` must expose (subj, obj). Ends in a final select — or,
+    with `final_cte` set, in a named CTE of that name (for composition,
+    e.g. the skip-gram pair oracle)."""
     reps = ", ".join(f"({j})" for j in range(walks_per_node))
     parts = [
         f"""
@@ -948,5 +1004,8 @@ def random_walks_sql(
         )
         prev = nxt
     body = ",".join(parts)
+    if final_cte:
+        return f"""{body},
+    {final_cte} as (select walk_id, path from {prev})"""
     return f"""{body}
     select walk_id, path from {prev}"""

@@ -346,6 +346,22 @@ def test_weighted_walks_lawful(spark):
     assert out == out2
 
 
+def test_walk_skipgram_pairs(spark):
+    from palladian_spark.operators.kg_query import walk_skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", "a b c d"), ("w2", "a b")], "walk_id string, path string"
+    )
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walk_skipgram_pairs(walks, window=2).collect()}
+    # w1 window-2 pairs: (a,b),(a,c),(b,a),(b,c),(b,d),(c,a),(c,b),
+    # (c,d),(d,b),(d,c); w2 adds (a,b),(b,a) — multiplicity 2 for a<->b
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("a", "c")] == 1 and got[("d", "b")] == 1
+    assert ("a", "d") not in got  # distance 3 > window
+    assert sum(got.values()) == 12
+
+
 def test_walks_per_node_fanout(spark):
     e = spark.createDataFrame(EDGES, "subj string, obj string")
     out = random_walks(e, walk_length=2, walks_per_node=3)
