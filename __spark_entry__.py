@@ -1275,10 +1275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return weighted_random_walks(e, walk_length=4, walks_per_node=1)
 
-    q["kg_pmi_edges"] = kg_pmi_edges
-    q["kg_reachability"] = kg_reachability
-    q["kg_triple_history"] = kg_triple_history
-    q["kg_describe"] = kg_describe
     def kg_export_ntriples(spark, sf_dir):
         from palladian_spark.operators.graph import export_ntriples
 
@@ -1302,6 +1298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return walk_skipgram_pairs(walks, window=2)
 
+    q["kg_pmi_edges"] = kg_pmi_edges
+    q["kg_reachability"] = kg_reachability
+    q["kg_triple_history"] = kg_triple_history
+    q["kg_describe"] = kg_describe
     q["kg_path_query"] = kg_path_query
     q["kg_weighted_walks"] = kg_weighted_walks
     q["kg_export_ntriples"] = kg_export_ntriples

@@ -843,9 +843,19 @@ def export_ntriples(triples: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # predicates already inside the IRI-safe charset pass through
+    # verbatim; anything else gets a short md5 suffix so two distinct
+    # predicates can never collide into one sanitized IRI
+    clean = F.col("pred").rlike("^[A-Za-z0-9_-]+$")
     pred_iri = F.concat(
         F.lit("<urn:kg:p:"),
-        F.regexp_replace(F.col("pred"), "[^A-Za-z0-9_-]", "_"),
+        F.when(clean, F.col("pred")).otherwise(
+            F.concat(
+                F.regexp_replace(F.col("pred"), "[^A-Za-z0-9_-]", "_"),
+                F.lit("-"),
+                F.substring(F.md5(F.col("pred")), 1, 8),
+            )
+        ),
         F.lit(">"),
     )
     facts = t.select(
@@ -882,7 +892,9 @@ def export_ntriples_sql(triples_cte: str) -> str:
     )
     return f"""
     select '<urn:kg:n:' || md5(subj) || '> <urn:kg:p:'
-           || regexp_replace(pred, '[^A-Za-z0-9_-]', '_', 'g')
+           || case when regexp_full_match(pred, '[A-Za-z0-9_-]+') then pred
+                   else regexp_replace(pred, '[^A-Za-z0-9_-]', '_', 'g')
+                        || '-' || substr(md5(pred), 1, 8) end
            || '> <urn:kg:n:' || md5(obj) || '> .' as ntriple
     from (select distinct subj, pred, obj from {triples_cte})
     union all

@@ -716,7 +716,10 @@ def random_walks(
 
     Walks that reach a sink node stop growing (the standard DeepWalk
     truncation). Output: (walk_id, path) with path the space-joined
-    node sequence, starting node included."""
+    node sequence, starting node included. The space delimiter is part
+    of the corpus contract: node labels must not contain spaces — walk
+    graphs with arbitrary labels should pre-encode nodes (e.g. the
+    md5 ids from graph.export_nodes) before walking."""
     # e feeds the index build AND both node-set projections — checkpoint
     # so the upstream edge pipeline (call resolution etc.) runs once
     e = (
@@ -791,6 +794,16 @@ def weighted_random_walks(
     residual (exactly one edge matches). The cum-sum window is
     (src)-partitioned — per-node adjacency grain, same as the uniform
     variant. Output: (walk_id, path)."""
+    # integer weights are a hard contract, not a docstring hint: Spark's
+    # double->long cast truncates while DuckDB's ::bigint rounds, so a
+    # fractional weight column would silently build DIFFERENT interval
+    # tables on the two engines — reject it here
+    wtype = dict(edges.dtypes).get(weight_col, "")
+    if wtype not in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        raise ValueError(
+            f"weighted_random_walks requires an integer weight column; "
+            f"got {weight_col}: {wtype}"
+        )
     e = (
         edges.select(
             F.col(a_col).alias("src"),
@@ -915,7 +928,9 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     (position, node) pairs once; the within-walk self-join pairs nodes
     at distance 1..window (both directions), then one hash aggregate
     counts multiplicity. Cost is walks × window — linear in the corpus,
-    keyed on walk_id; nothing all-pairs."""
+    keyed on walk_id; nothing all-pairs. Inherits the walk corpus'
+    space-delimiter contract: labels containing spaces must be
+    pre-encoded before walking (see random_walks)."""
     pos = walks.select(
         "walk_id",
         F.posexplode(F.split(F.col("path"), " ")).alias("pos", "node"),

@@ -429,6 +429,22 @@ def test_export_ntriples_escaping(spark):
     assert len(lines) == 3
 
 
+def test_export_ntriples_pred_no_collision(spark):
+    import hashlib
+
+    from palladian_spark.operators.graph import export_ntriples
+
+    # 'a.b' and 'a_b' both sanitize to a_b — the md5 suffix keeps the
+    # two predicates distinguishable in the export
+    t = _triples(spark, [("s", "a.b", "o"), ("s", "a_b", "o")])
+    lines = {r["ntriple"] for r in export_ntriples(t).collect()}
+    preds = {l.split(" ")[1] for l in lines if "p:label" not in l}
+    assert len(preds) == 2
+    sfx = hashlib.md5(b"a.b").hexdigest()[:8]
+    assert f"<urn:kg:p:a_b-{sfx}>" in preds
+    assert "<urn:kg:p:a_b>" in preds  # clean pred passes verbatim
+
+
 def test_lm_quality_matches_python_model(spark):
     from palladian_spark.operators.textstats import lm_quality
 
