@@ -715,8 +715,8 @@ def pmi_edges_sql(presence_cte: str, documents: str = "documents") -> str:
         on a.doc_id = b.doc_id and a.value < b.value
       group by 1, 2)
     select p.subj, p.obj, p.n_ab,
-           cast(floor(1000.0 * ln((p.n_ab * 1.0) * (t.n_docs * 1.0)
-                                  / ((fa.n * 1.0) * (fb.n * 1.0)))
+           cast(floor(1000.0 * ln((cast(p.n_ab as double) * cast(t.n_docs as double))
+                                  / (cast(fa.n as double) * cast(fb.n as double)))
                       + 0.5) as bigint)
                as pmi_milli
     from pmi_pairs p
@@ -846,7 +846,11 @@ def export_ntriples(triples: DataFrame) -> DataFrame:
     # predicates already inside the IRI-safe charset pass through
     # verbatim; anything else gets a short md5 suffix so two distinct
     # predicates can never collide into one sanitized IRI
-    clean = F.col("pred").rlike("^[A-Za-z0-9_-]+$")
+    # \A..\z anchors (not ^..$): Java's $ matches before a trailing
+    # line terminator, so "name\n" would otherwise pass as clean and
+    # embed a raw newline in the IRI — the DuckDB twin's
+    # regexp_full_match has no such carve-out
+    clean = F.col("pred").rlike("\\A[A-Za-z0-9_-]+\\z")
     pred_iri = F.concat(
         F.lit("<urn:kg:p:"),
         F.when(clean, F.col("pred")).otherwise(

@@ -799,7 +799,11 @@ def weighted_random_walks(
     # fractional weight column would silently build DIFFERENT interval
     # tables on the two engines — reject it here
     wtype = dict(edges.dtypes).get(weight_col, "")
-    if wtype not in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+    # DataFrame.dtypes emits simpleString names ('int'/'bigint', never
+    # 'long'/'integer'); decimal(p,0) is integer-valued and safe too
+    if wtype not in ("tinyint", "smallint", "int", "bigint") and not (
+        wtype.startswith("decimal(") and wtype.endswith(",0)")
+    ):
         raise ValueError(
             f"weighted_random_walks requires an integer weight column; "
             f"got {weight_col}: {wtype}"

@@ -207,6 +207,11 @@ def bm25_topk(
     shuffle); the rank window runs over k rows. Output:
     (doc, bm25_milli, n_q_terms, rnk)."""
     qt = sorted(set(query_terms))
+    if not qt:
+        # the SQL twin would render "where term in ()" — a syntax
+        # error — while this side would silently return empty; fail
+        # loudly and identically on both paths instead
+        raise ValueError("bm25_topk requires at least one query term")
     terms = _doc_terms(df, text_col, id_col).localCheckpoint(eager=False)
     lens = terms.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = lens.agg(
@@ -274,6 +279,8 @@ def bm25_topk_sql(
 ) -> str:
     """Final SELECT (appended after :func:`doc_terms_sql`) — DuckDB twin
     of :func:`bm25_topk`, expression-for-expression."""
+    if not set(query_terms):
+        raise ValueError("bm25_topk_sql requires at least one query term")
     qt = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms)))
     return f"""
     bm_lens as (select doc, sum(tf)::bigint as dl from tc_terms group by 1),
@@ -289,11 +296,11 @@ def bm25_topk_sql(
            bm_tot t),
     bm_scored as (
       select f.doc,
-             cast(floor((i.idf_milli * f.tf) * 1.0
+             cast(floor(cast(i.idf_milli * f.tf as double)
                         / (f.tf + ({k1_milli} / 1000.0)
                            * ((1 - {b_milli} / 1000.0)
                               + ({b_milli} / 1000.0) * l.dl
-                                / (s.n_tok * 1.0 / s.nd)))
+                                / (cast(s.n_tok as double) / s.nd)))
                         + 0.5) as bigint) as score_milli
       from bm_tf f
       join bm_idf i using (term)

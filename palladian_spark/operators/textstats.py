@@ -349,7 +349,7 @@ def lm_quality_sql(documents: str = "documents") -> str:
                     from lmq_model),
         lmq_scores as (
           select w,
-                 cast(floor(1000.0 * ln((n_total + v_total) * 1.0 / (c + 1))
+                 cast(floor(1000.0 * ln(cast(n_total + v_total as double) / (c + 1))
                             + 0.5) as bigint) as milli
           from lmq_model, lmq_tot),
         lmq_doc as (
@@ -360,12 +360,12 @@ def lm_quality_sql(documents: str = "documents") -> str:
                coalesce(p.n_tokens, 0)::bigint as n_tokens,
                coalesce(p.nll_milli_sum, 0)::bigint as nll_milli_sum,
                case when p.n_tokens > 0
-                    then cast(floor(p.nll_milli_sum * 1.0 / p.n_tokens) as bigint)
+                    then cast(floor(cast(p.nll_milli_sum as double) / p.n_tokens) as bigint)
                end as nll_milli_mean,
                case when p.n_tokens is null then 'unscored'
-                    when floor(p.nll_milli_sum * 1.0 / p.n_tokens)
+                    when floor(cast(p.nll_milli_sum as double) / p.n_tokens)
                          < {LM_HEAD_MILLI} then 'head'
-                    when floor(p.nll_milli_sum * 1.0 / p.n_tokens)
+                    when floor(cast(p.nll_milli_sum as double) / p.n_tokens)
                          < {LM_TAIL_MILLI} then 'middle'
                     else 'tail' end as bucket
         from {documents} d left join lmq_doc p using (doc_id)
