@@ -1,0 +1,108 @@
+"""Generate deterministic probe inputs for the PalladianSpellChecker
+golden harness (build_and_run_spell.sh): a dictionary-training text, a
+set of texts for autoCorrect, and (word, left, right) rows for
+correctWord. Covers every decision branch: dict hit, each distance-1
+edit type, distance-2 fallback, count ties (the HashMap last-put-wins
+quirk), context boosts that flip the winner, case handling, length
+gates, and the no-correction character class.
+
+Usage: python tools/gen_spell_probes.py BUILD_DIR
+"""
+
+import random
+import sys
+
+rng = random.Random(20260821)
+
+# frequency-skewed vocabulary; includes hyphens + umlauts like real text
+VOCAB = [
+    ("the", 400), ("quick", 25), ("brown", 30), ("fox", 28), ("jumps", 22),
+    ("over", 120), ("lazy", 18), ("dog", 60), ("spark", 90), ("query", 70),
+    ("table", 80), ("partition", 40), ("shuffle", 35), ("cluster", 45),
+    ("word", 50), ("ward", 50), ("work", 55), ("cord", 12), ("care", 33),
+    ("car", 44), ("cat", 41), ("can", 150), ("user", 66), ("laser", 9),
+    ("correct", 31), ("collect", 29), ("connect", 27), ("spelling", 20),
+    ("spilling", 8), ("checker", 15), ("checked", 17), ("schöner", 11),
+    ("über", 13), ("händy", 7), ("e-mail", 21), ("mail", 37), ("main", 39),
+    ("rain", 26), ("ruin", 10), ("running", 24), ("runnings", 3),
+    ("engine", 34), ("engines", 14), ("data", 110), ("date", 48),
+    ("gate", 16), ("hate", 6), ("have", 130), ("give", 47), ("live", 42),
+    ("olive", 5), ("text", 58), ("test", 62), ("best", 52), ("rest", 36),
+    ("nest", 4), ("abcdefghij", 2), ("abcdefghijklmnop", 2),
+]
+WORDS = [w for w, _ in VOCAB]
+
+
+def main() -> None:
+    build = sys.argv[1]
+
+    # dictionary text: shuffle weighted words into lines of ~8 so that
+    # context bigrams exist; then append targeted bigrams whose boosts
+    # must flip a decision
+    tokens = []
+    for w, n in VOCAB:
+        tokens.extend([w] * n)
+    rng.shuffle(tokens)
+    lines = [" ".join(tokens[i : i + 8]) for i in range(0, len(tokens), 8)]
+    # targeted contexts: "heavy ward", "ward winner" outweigh word's count
+    lines += ["heavy ward winner"] * 30
+    lines += ["the word here"] * 5
+    with open(f"{build}/spell_dict.txt", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+    texts = [
+        "the quik brown fox jumps ovr the lazy dog",
+        "speling errors are corected by the chekcer",
+        "This ls hoow the etxt is supossed to be",
+        "I like my new laserr and my e-mail",
+        "Tble and shufle and partitin in the clustr",
+        "numbers 123 and sym<bols stay as-is, right?",
+        "a bb punctuation, stays! around? words.",
+        "Wrd with one capital and WoRD with two",
+        "heavy wrd winner",
+        "the wrd here",
+        "über schoner tetx",
+        "cra crr cr c",
+        "supercalifragilisticexpialidocious stays",
+        "  double  spaces   survive splitting",
+        "qick qick qick",
+        '"quoted wrds!" and (parens)',
+    ]
+    with open(f"{build}/spell_texts.txt", "w", encoding="utf-8") as f:
+        f.write("\n".join(texts) + "\n")
+
+    probes = []
+    # dict hits, case variants
+    for w in ["the", "spark", "The", "SPark", "über", "e-mail"]:
+        probes.append((w, "", ""))
+    # distance-1: delete/transpose/alter/insert typos of every vocab word
+    for w in WORDS:
+        if len(w) >= 3:
+            probes.append((w[1:], "", ""))                      # needs insert
+            probes.append((w[0] + w[2] + w[1] + w[3:], "", ""))  # transposed
+            probes.append((w[:2] + "x" + w[3:], "", ""))         # altered
+            probes.append((w[:2] + "q" + w[2:], "", ""))         # needs delete
+    # tie-break probes: "wrd"/"wod" reach both word(50)+ward(50) etc.
+    for w in ["wrd", "wod", "crd", "cqr", "tst", "bst", "gve"]:
+        probes.append((w, "", ""))
+        probes.append((w, "heavy", ""))
+        probes.append((w, "", "winner"))
+        probes.append((w, "heavy", "winner"))
+        probes.append((w, "the", "here"))
+    # distance-2
+    for w in ["qik", "sprk", "prttion", "cnect", "spllng", "ngine", "xyz"]:
+        probes.append((w, "", ""))
+    # length gates + uppercase quirks
+    probes += [
+        ("a", "", ""), ("abcdefghijklmnopqrstu", "", ""),
+        ("Qick", "", ""), ("QicK", "", ""), ("hEllo", "", ""),
+        ("abcdefghi", "", ""), ("abcdefghijklmno", "", ""),
+    ]
+    with open(f"{build}/spell_words.tsv", "w", encoding="utf-8") as f:
+        for w, l, r in probes:
+            f.write(f"{w}\t{l}\t{r}\n")
+    print(f"{len(texts)} texts, {len(probes)} word probes")
+
+
+if __name__ == "__main__":
+    main()

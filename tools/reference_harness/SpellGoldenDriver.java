@@ -1,0 +1,38 @@
+import ws.palladian.semantics.PalladianSpellChecker;
+
+import java.io.PrintWriter;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.Files;
+import java.nio.file.Paths;
+import java.util.List;
+
+/** Freeze reference PalladianSpellChecker outputs: build the dictionary
+ * from a training text, then (a) autoCorrect each line of a text file,
+ * (b) correctWord each (word, left, right) TSV row. */
+public class SpellGoldenDriver {
+    public static void main(String[] args) throws Exception {
+        String dictPath = args[0], textsPath = args[1], textsOut = args[2],
+                wordsPath = args[3], wordsOut = args[4];
+        PalladianSpellChecker sc = new PalladianSpellChecker(dictPath);
+
+        List<String> texts = Files.readAllLines(Paths.get(textsPath), StandardCharsets.UTF_8);
+        try (PrintWriter w = new PrintWriter(textsOut, "UTF-8")) {
+            for (String t : texts) {
+                w.println(t + "\t" + sc.autoCorrect(t));
+            }
+        }
+
+        List<String> words = Files.readAllLines(Paths.get(wordsPath), StandardCharsets.UTF_8);
+        try (PrintWriter w = new PrintWriter(wordsOut, "UTF-8")) {
+            for (String line : words) {
+                if (line.isEmpty()) continue;
+                String[] p = line.split("\t", -1);
+                String word = p[0];
+                String left = p.length > 1 && !p[1].isEmpty() ? p[1] : null;
+                String right = p.length > 2 && !p[2].isEmpty() ? p[2] : null;
+                w.println(line + "\t" + sc.correctWord(word, left, right));
+            }
+        }
+        System.out.println("done: " + texts.size() + " texts, " + words.size() + " words");
+    }
+}

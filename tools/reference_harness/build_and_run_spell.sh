@@ -1,0 +1,37 @@
+#!/bin/bash
+# Build and run the reference PalladianSpellChecker offline to (re)freeze
+# its corrections as goldens (tests/fixtures/spell_*_golden.tsv). Uses the
+# same overlay/stub tricks as build_and_run.sh (the spell checker pulls
+# WordTransformer -> AbstractPosTagger -> core chain).
+#
+# Usage: bash tools/reference_harness/build_and_run_spell.sh
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF=/root/reference
+BUILD=/tmp/refharness_spell
+SLF4J=$(find /root/.cache/coursier -name "slf4j-api-*.jar" | head -1)
+OUT="$HERE/../../tests/fixtures"
+
+rm -rf "$BUILD"
+mkdir -p "$BUILD/classes" \
+    "$BUILD/overlay/ws/palladian/helper/functional" \
+    "$BUILD/overlay/ws/palladian/extraction/feature"
+
+sed -e 's/return new AndFilter<>(new LinkedHashSet<>(Arrays.asList(filters)));/return new AndFilter<T>(new LinkedHashSet<Predicate<? super T>>(Arrays.asList(filters)));/' \
+    -e 's/return new OrFilter<>(new LinkedHashSet<>(Arrays.asList(filters)));/return new OrFilter<T>(new LinkedHashSet<Predicate<? super T>>(Arrays.asList(filters)));/' \
+    "$REF/palladian-commons/src/main/java/ws/palladian/helper/functional/Predicates.java" \
+    > "$BUILD/overlay/ws/palladian/helper/functional/Predicates.java"
+cp "$HERE/overlay_Stemmer.java" "$BUILD/overlay/ws/palladian/extraction/feature/Stemmer.java"
+
+javac -nowarn -encoding UTF-8 --release 8 -d "$BUILD/classes" -cp "$SLF4J" \
+    -sourcepath "$BUILD/overlay:$REF/palladian-core/src/main/java:$REF/palladian-commons/src/main/java:$HERE/stubs" \
+    "$HERE/SpellGoldenDriver.java"
+
+python "$HERE/../gen_spell_probes.py" "$BUILD"
+java -cp "$BUILD/classes:$SLF4J" SpellGoldenDriver \
+    "$BUILD/spell_dict.txt" \
+    "$BUILD/spell_texts.txt" "$OUT/spell_text_golden.tsv" \
+    "$BUILD/spell_words.tsv" "$OUT/spell_word_golden.tsv"
+cp "$BUILD/spell_dict.txt" "$OUT/spell_dict.txt"
+wc -l "$OUT/spell_text_golden.tsv" "$OUT/spell_word_golden.tsv"

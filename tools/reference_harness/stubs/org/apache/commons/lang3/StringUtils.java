@@ -10,6 +10,11 @@ public class StringUtils {
     public static boolean isNotBlank(CharSequence cs) { return !isBlank(cs); }
     public static boolean isEmpty(CharSequence cs) { return cs == null || cs.length() == 0; }
     public static boolean isNotEmpty(CharSequence cs) { return !isEmpty(cs); }
+    public static String stripAccents(String input) {
+        if (input == null) return null;
+        String decomposed = java.text.Normalizer.normalize(input, java.text.Normalizer.Form.NFD);
+        return decomposed.replaceAll("\\p{InCombiningDiacriticalMarks}+", "");
+    }
     public static String repeat(String s, int n) {
         if (s == null) return null;
         StringBuilder b = new StringBuilder();
