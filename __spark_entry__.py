@@ -194,6 +194,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return kw(_read(spark, sf_dir, "documents"))
 
+    def doc_spell_corrections(spark, sf_dir):
+        # Norvig-style spelling correction (PalladianSpellChecker.java
+        # twin): corpus-derived frequency dictionary + context bigrams,
+        # two deterministic typo families (middle-char deletion of top
+        # bigrams; double deletion of long words), corrected by the
+        # fully distributed explode+join decision procedure — distance-1
+        # with context boosts and the reference's last-put-wins
+        # tie-break, distance-2 fallback through <=10-char intermediates
+        from palladian_spark.operators.spelling import (
+            bigram_typos,
+            corpus_context,
+            corpus_dictionary,
+            correct_tokens,
+            double_deletion_typos,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        t1 = bigram_typos(docs, top_k=150).select(
+            F.lit("bigram").alias("family"),
+            F.col("left"),
+            F.col("word").alias("orig"),
+            "token",
+        )
+        t2 = double_deletion_typos(docs).select(
+            F.lit("dist2").alias("family"),
+            F.lit(None).cast("string").alias("left"),
+            F.col("word").alias("orig"),
+            "token",
+        )
+        typos = t1.unionByName(t2)
+        res = correct_tokens(
+            typos, corpus_dictionary(docs), corpus_context(docs)
+        ).select(
+            F.col("token").alias("r_token"),
+            F.col("left").alias("r_left"),
+            "corrected",
+            "score",
+        )
+        return typos.join(
+            res,
+            (typos.token == res.r_token) & typos.left.eqNullSafe(res.r_left),
+            "left",
+        ).select(
+            "family",
+            F.col("left").alias("left_ctx"),
+            "orig",
+            "token",
+            "corrected",
+            F.col("score").cast("long").alias("score"),
+        )
+
     def bpe_merges(spark, sf_dir):
         # distributed BPE vocabulary training (Sennrich 2016): pair counts
         # and merges run over the DISTINCT-WORD table, so per-round cost is
@@ -1880,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_structure=doc_structure,
         media_features=media_features,
         streaming_triples=streaming_triples,
+        doc_spell_corrections=doc_spell_corrections,
     )
     return q
 
@@ -3897,4 +3949,7 @@ def oracle_sql() -> dict[str, str]:
                     then 1 else 0 end as keep
         from crp_flags
     """
+    from palladian_spark.operators.spelling import spell_corrections_sql
+
+    oracles["doc_spell_corrections"] = spell_corrections_sql(top_k=150)
     return oracles

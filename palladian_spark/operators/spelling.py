@@ -366,3 +366,128 @@ def double_deletion_typos(documents: DataFrame, text_col: str = "text") -> DataF
             "       substring(mid, cast((length(mid) - 1) / 2 as int) + 2, length(mid)))"
         ).alias("token"),
     )
+
+
+def spell_corrections_sql(documents: str = "documents", top_k: int = 150) -> str:
+    """Full independent DuckDB oracle for the doc_spell_corrections
+    contract query: rebuilds the dictionary + context bigrams, the two
+    deterministic typo families, the reference-ordered distance-1 edit
+    table, context-boosted scoring with the last-put-wins tie-break,
+    and the distance-2 fallback — expression-for-expression against
+    :func:`correct_tokens` over :func:`bigram_typos` /
+    :func:`double_deletion_typos`."""
+    letters = ", ".join(f"'{c}'" for c in _LETTERS)
+    return f"""
+with sp_toks as (
+  select doc_id, regexp_extract_all(lower(text), '[\\w\\p{{L}}-]+') as ts
+  from {documents}),
+sp_dict as (
+  select w as word, count(*)::bigint as cnt
+  from (select unnest(ts) as w from sp_toks) group by 1),
+sp_ctx as (
+  select lw, w, count(*)::bigint as cnt from (
+    select ts[i] as lw, ts[i + 1] as w
+    from (select ts, unnest(range(1, len(ts))) as i from sp_toks))
+  group by 1, 2),
+sp_big as (
+  select lw, w as orig,
+         substr(w, 1, cast(floor(length(w) / 2) as int))
+           || substr(w, cast(floor(length(w) / 2) as int) + 2, length(w)) as token
+  from (select lw, w, cnt from sp_ctx where length(w) >= 4
+        order by cnt desc, lw asc, w asc limit {top_k})),
+sp_dd as (
+  select word as orig,
+         substr(mid, 1, cast(floor((length(mid) - 1) / 2) as int))
+           || substr(mid, cast(floor((length(mid) - 1) / 2) as int) + 2, length(mid)) as token
+  from (select word,
+               substr(word, 1, cast(floor(length(word) / 3) as int))
+                 || substr(word, cast(floor(length(word) / 3) as int) + 2, length(word)) as mid
+        from sp_dict where length(word) >= 6)),
+sp_typos as (
+  select 'bigram' as family, lw, orig, token from sp_big
+  union all
+  select 'dist2', null, orig, token from sp_dd),
+sp_unk as (
+  select distinct token from sp_typos
+  where length(token) between 1 and 20
+    and token not in (select word from sp_dict)),
+sp_letters as (
+  select unnest([{letters}]) as ch, unnest(range(0, 29)) as li),
+sp_e1 as (
+  select token, i - 1 as seq,
+         substr(token, 1, i - 1) || substr(token, i + 1, length(token)) as edit
+  from (select token, unnest(range(1, length(token) + 1)) as i from sp_unk)
+  union all
+  select token, length(token) + i - 1,
+         substr(token, 1, i - 1) || substr(token, i + 1, 1)
+           || substr(token, i, 1) || substr(token, i + 2, length(token))
+  from (select token, unnest(range(1, length(token))) as i from sp_unk)
+  union all
+  select token, 2 * length(token) - 1 + (i - 1) * 29 + li,
+         substr(token, 1, i - 1) || ch || substr(token, i + 1, length(token))
+  from (select token, unnest(range(1, length(token) + 1)) as i from sp_unk), sp_letters
+  union all
+  select token, 2 * length(token) - 1 + 29 * length(token) + i * 29 + li,
+         substr(token, 1, i) || ch || substr(token, i + 1, length(token))
+  from (select token, unnest(range(0, length(token) + 1)) as i from sp_unk), sp_letters),
+sp_cand1 as (
+  select e.token, e.seq, e.edit, d.cnt
+  from sp_e1 e join sp_dict d on e.edit = d.word),
+sp_combos as (select distinct token, lw from sp_typos),
+sp_scored1 as (
+  select cb.token, cb.lw, c.seq, c.edit,
+         c.cnt + 100 * coalesce(x.cnt, 0) as score
+  from sp_combos cb
+  join sp_cand1 c on cb.token = c.token
+  left join sp_ctx x on x.lw = cb.lw and x.w = c.edit),
+sp_win1 as (
+  select token, lw, edit, score from (
+    select *, row_number() over (partition by token, lw
+                                 order by score desc, seq desc) as rn
+    from sp_scored1) where rn = 1),
+sp_no1 as (
+  select token from sp_unk
+  where token not in (select distinct token from sp_cand1)),
+sp_mids as (
+  select e.token, e.seq as seq1, e.edit as mid
+  from sp_e1 e join sp_no1 n on e.token = n.token
+  where length(e.edit) <= 10),
+sp_e2 as (
+  select token, seq1 * 100000 + i - 1 as seqg,
+         substr(mid, 1, i - 1) || substr(mid, i + 1, length(mid)) as edit
+  from (select token, seq1, mid, unnest(range(1, length(mid) + 1)) as i from sp_mids)
+  union all
+  select token, seq1 * 100000 + length(mid) + i - 1,
+         substr(mid, 1, i - 1) || substr(mid, i + 1, 1)
+           || substr(mid, i, 1) || substr(mid, i + 2, length(mid))
+  from (select token, seq1, mid, unnest(range(1, length(mid))) as i from sp_mids)
+  union all
+  select token, seq1 * 100000 + 2 * length(mid) - 1 + (i - 1) * 29 + li,
+         substr(mid, 1, i - 1) || ch || substr(mid, i + 1, length(mid))
+  from (select token, seq1, mid, unnest(range(1, length(mid) + 1)) as i from sp_mids),
+       sp_letters
+  union all
+  select token, seq1 * 100000 + 2 * length(mid) - 1 + 29 * length(mid) + i * 29 + li,
+         substr(mid, 1, i) || ch || substr(mid, i + 1, length(mid))
+  from (select token, seq1, mid, unnest(range(0, length(mid) + 1)) as i from sp_mids),
+       sp_letters),
+sp_cand2 as (
+  select e.token, e.seqg, e.edit, d.cnt
+  from sp_e2 e join sp_dict d on e.edit = d.word
+  where substr(e.edit, 1, 1) = substr(e.token, 1, 1)),
+sp_win2 as (
+  select token, edit, cnt as score from (
+    select *, row_number() over (partition by token
+                                 order by cnt desc, seqg desc) as rn
+    from sp_cand2) where rn = 1)
+select t.family, t.lw as left_ctx, t.orig, t.token,
+       case when length(t.token) > 20 or t.token in (select word from sp_dict)
+            then t.token
+            else coalesce(w1.edit, w2.edit, t.token) end as corrected,
+       case when length(t.token) > 20 or t.token in (select word from sp_dict)
+            then null
+            else coalesce(w1.score, w2.score) end::bigint as score
+from sp_typos t
+left join sp_win1 w1 on t.token = w1.token and t.lw is not distinct from w1.lw
+left join sp_win2 w2 on t.token = w2.token
+"""
