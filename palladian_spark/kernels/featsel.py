@@ -1,0 +1,245 @@
+"""Feature-selection rankers — faithful twins of the reference's
+``classification/featureselection/ChiSquaredFeatureRanker.java:63-116``,
+``InformationGainFeatureRanker.java:62-130``, the Fayyad–Irani MDLP
+discretization they share (``classification/discretization/
+Binner.java:104-186``, ``Discretization.java:48-78``), and the two
+merging strategies (``AverageMergingStrategy.java:21-29``,
+``RoundRobinMergingStrategy.java:23-63``).
+
+Validated against the reference's own unit-test goldens
+(ChiSquaredFeatureRankerTest / InformationGainFeatureRankerTest on the
+in-tree wineData.csv / playData.txt).
+
+A dataset here is ``list[(features: dict[str, value], category: str)]``
+where numeric feature values are int/float and nominal ones str.
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_left
+from collections import Counter, defaultdict
+
+
+def entropy(counts) -> float:
+    """CategoryEntries.getEntropy (AbstractCategoryEntries.java:102-111):
+    -sum p*log2(p) over probability = count/total."""
+    total = sum(counts)
+    ent = 0.0
+    for c in counts:
+        p = c / total
+        if p > 0:
+            ent -= p * math.log2(p)
+    return ent
+
+
+def mdlp_boundaries(pairs) -> list[float]:
+    """Fayyad–Irani MDLP cut points (Binner.findBoundaries,
+    Binner.java:127-186) over (value, category) pairs.  Recursive
+    best-gain split accepted while gain > (log2(n-1) + delta) / n with
+    delta = log2(3^k - 2) - (k*entS - k1*entS1 - k2*entS2)."""
+    data = sorted(pairs, key=lambda vc: vc[0])
+    return _find_boundaries(data)
+
+
+def _find_boundaries(data) -> list[float]:
+    n = len(data)
+    if n == 0:
+        return []
+    priors = Counter(c for _, c in data)
+    ent_s = entropy(priors.values())
+    k = len(priors)
+
+    max_gain = 0.0
+    current_boundary = 0.0
+    boundary_idx = -1
+    c1: Counter = Counter()
+    c2 = Counter(priors)
+    for i in range(1, n):
+        prev_value, prev_category = data[i - 1]
+        current_value = data[i][0]
+        c1[prev_category] += 1
+        c2[prev_category] -= 1
+        if prev_value < current_value:
+            counts1 = [v for v in c1.values() if v > 0]
+            counts2 = [v for v in c2.values() if v > 0]
+            ent_s1 = entropy(counts1)
+            ent_s2 = entropy(counts2)
+            ent = i / n * ent_s1 + (n - i) / n * ent_s2
+            gain = ent_s - ent
+            delta = math.log2(3**k - 2) - (
+                k * ent_s - len(counts1) * ent_s1 - len(counts2) * ent_s2
+            )
+            if gain > (math.log2(n - 1) + delta) / n and gain > max_gain:
+                max_gain = gain
+                current_boundary = (prev_value + current_value) / 2
+                boundary_idx = i
+
+    if max_gain == 0:
+        return []
+    return (
+        _find_boundaries(data[:boundary_idx])
+        + [current_boundary]
+        + _find_boundaries(data[boundary_idx:])
+    )
+
+
+def mdlp_boundaries_weighted(value_category_counts) -> list[float]:
+    """Same recursion over pre-aggregated (value, category, count) rows
+    — the distributed-friendly form (what the Spark operator collects is
+    DISTINCT-VALUE-sized, not row-sized).  Exactly equivalent to
+    :func:`mdlp_boundaries` on the expanded multiset: the reference's
+    per-instance loop only evaluates candidates at value changes, where
+    the cumulative counts equal these group sums."""
+    expanded = []
+    for value, category, count in value_category_counts:
+        expanded.extend([(value, category)] * int(count))
+    return mdlp_boundaries(expanded)
+
+
+class Binner:
+    """Binner.bin (Binner.java:193-196): binarySearch semantics reduce
+    to #{boundary < value} (an exact boundary hit lands in the bin it
+    upper-bounds: intervals are (lower, upper])."""
+
+    def __init__(self, boundaries: list[float]):
+        self.boundaries = list(boundaries)
+
+    @classmethod
+    def fit(cls, dataset, feature_name: str) -> "Binner":
+        pairs = [
+            (float(feats[feature_name]), cat)
+            for feats, cat in dataset
+            if feats.get(feature_name) is not None
+        ]
+        return cls(mdlp_boundaries(pairs))
+
+    def bin(self, value: float) -> int:
+        return bisect_left(self.boundaries, value)
+
+
+def discretize(dataset):
+    """Discretization (Discretization.java:48-78): fit one Binner per
+    numeric feature, map numeric values to their bin index (a stand-in
+    for the reference's Interval string — grouping-identical since
+    distinct boundaries yield distinct intervals)."""
+    numeric = set()
+    for feats, _ in dataset:
+        for name, v in feats.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                numeric.add(name)
+    binners = {name: Binner.fit(dataset, name) for name in numeric}
+    out = []
+    for feats, cat in dataset:
+        new = {}
+        for name, v in feats.items():
+            if name in binners and v is not None:
+                new[name] = f"bin{binners[name].bin(float(v))}"
+            else:
+                new[name] = v
+        out.append((new, cat))
+    return out
+
+
+def chi_squared_matrix(dataset):
+    """ChiSquaredFeatureRanker.calculateChiSquareValues
+    (ChiSquaredFeatureRanker.java:63-116) over an already-discretized
+    dataset: chi² per (feature###value, category) from the N_11/N_10/
+    N_01/N_00 contingency counts.  Java's double division semantics are
+    preserved (0/0 -> NaN, x/0 -> inf)."""
+    n = len(dataset)
+    row_counts: dict[str, Counter] = defaultdict(Counter)
+    category_counts: Counter = Counter()
+    for feats, cat in dataset:
+        for name, v in feats.items():
+            row_counts[f"{name}###{v}"][cat] += 1
+        category_counts[cat] += 1
+
+    result: dict[str, dict[str, float]] = {}
+    for fv, per_cat in row_counts.items():
+        row_sum = sum(per_cat.values())
+        out = {}
+        for cat, cat_count in category_counts.items():
+            n_11 = per_cat.get(cat, 0)
+            n_10 = row_sum - n_11
+            n_01 = cat_count - n_11
+            n_00 = n - (n_10 + n_01 + n_11)
+            numerator = (n_11 + n_10 + n_01 + n_00) * float(
+                (n_11 * n_00 - n_10 * n_01) ** 2
+            )
+            denominator = (n_11 + n_01) * (n_11 + n_10) * (n_10 + n_00) * (n_01 + n_00)
+            if denominator == 0:
+                out[cat] = float("nan") if numerator == 0 else float("inf")
+            else:
+                out[cat] = numerator / denominator
+        result[fv] = out
+    return result
+
+
+def average_merge(matrix) -> dict[str, float]:
+    """AverageMergingStrategy (AverageMergingStrategy.java:21-29):
+    per (feature###value) row, average over categories; sum those
+    averages per feature."""
+    scores: dict[str, float] = defaultdict(float)
+    for fv, per_cat in matrix.items():
+        feature = fv.split("###")[0]
+        scores[feature] += sum(per_cat.values()) / len(per_cat)
+    return dict(scores)
+
+
+def round_robin_merge(matrix) -> dict[str, float]:
+    """RoundRobinMergingStrategy (RoundRobinMergingStrategy.java:23-63):
+    per class, rank all (feature###value) rows by score desc / name asc
+    (RankedFeature.compareTo), then take features round-robin; the first
+    time a feature appears at index i it scores maxIndex - i."""
+    per_class: dict[str, list[tuple[str, float]]] = defaultdict(list)
+    for fv, per_cat in matrix.items():
+        feature = fv.split("###")[0]
+        for cat, score in per_cat.items():
+            per_class[cat].append((feature, score))
+    rankings = {
+        cat: sorted(entries, key=lambda e: (-e[1], e[0]))
+        for cat, entries in per_class.items()
+    }
+    max_index = max((len(r) for r in rankings.values()), default=0)
+    result: dict[str, float] = {}
+    for i in range(max_index):
+        for cat in sorted(rankings):
+            ranked = rankings[cat]
+            if i < len(ranked):
+                name = ranked[i][0]
+                if name not in result:
+                    result[name] = float(max_index - i)
+    return result
+
+
+def chi_squared_ranking(dataset, merging: str = "average") -> dict[str, float]:
+    """rankFeatures (ChiSquaredFeatureRanker.java:118-123): discretize,
+    build the chi² matrix, merge."""
+    matrix = chi_squared_matrix(discretize(dataset))
+    if merging == "average":
+        return average_merge(matrix)
+    if merging == "round_robin":
+        return round_robin_merge(matrix)
+    raise ValueError(merging)
+
+
+def information_gain_ranking(dataset) -> dict[str, float]:
+    """InformationGainFeatureRanker.rankFeatures
+    (InformationGainFeatureRanker.java:62-100): G(t) = H(C) -
+    (H(category###value) - H(value)) per feature, over the discretized
+    dataset (class entropy from the raw one — same counts)."""
+    prepared = discretize(dataset)
+    class_entropy = entropy(Counter(cat for _, cat in dataset).values())
+    feature_names = set()
+    for feats, _ in dataset:
+        feature_names.update(feats)
+    gains = {}
+    for name in feature_names:
+        joint = Counter(
+            f"{cat}###{feats.get(name)}" for feats, cat in prepared
+        )
+        vals = Counter(str(feats.get(name)) for feats, _ in prepared)
+        conditional = entropy(joint.values()) - entropy(vals.values())
+        gains[name] = class_entropy - conditional
+    return gains
