@@ -245,6 +245,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score").cast("long").alias("score"),
         )
 
+    def feature_ranking(spark, sf_dir):
+        # chi-squared + information-gain feature rankers
+        # (ChiSquaredFeatureRanker/InformationGainFeatureRanker twins,
+        # reference-golden kernels) over three derived nominal features
+        # with lang as the target class; micro-integerized for
+        # engine-exact hashing
+        from palladian_spark.operators.featsel import feature_ranking as fr
+
+        docs = (
+            _read(spark, sf_dir, "documents")
+            .withColumn("first_word", F.expr("element_at(split(text, ' '), 1)"))
+            .withColumn("len_bucket", F.expr("length(bin(n_chars))"))
+        )
+        return fr(docs, "lang", ["source", "first_word", "len_bucket"])
+
     def bpe_merges(spark, sf_dir):
         # distributed BPE vocabulary training (Sennrich 2016): pair counts
         # and merges run over the DISTINCT-WORD table, so per-round cost is
@@ -1932,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_features=media_features,
         streaming_triples=streaming_triples,
         doc_spell_corrections=doc_spell_corrections,
+        feature_ranking=feature_ranking,
     )
     return q
 
@@ -3952,4 +3968,15 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.spelling import spell_corrections_sql
 
     oracles["doc_spell_corrections"] = spell_corrections_sql(top_k=150)
+
+    from palladian_spark.operators.featsel import feature_ranking_sql
+
+    oracles["feature_ranking"] = feature_ranking_sql(
+        "lang",
+        {
+            "source": "source",
+            "first_word": "split_part(text, ' ', 1)",
+            "len_bucket": "length(bin(n_chars))",
+        },
+    )
     return oracles
