@@ -245,6 +245,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score").cast("long").alias("score"),
         )
 
+    def doc_noun_phrases(spark, sf_dir):
+        # NP chunking (PhraseChunker.java interface, self-contained
+        # a?j*n+ rule over Brown tags from the Java-parity POS tagger),
+        # re-expressed as window functions; oracle mirrors the windows
+        # over the inlined token->tag map (doc_pos_tags de-pin pattern)
+        import os as _os
+
+        from palladian_spark.kernels.pos import train_pos_tagger
+        from palladian_spark.operators.chunking import noun_phrase_chunks
+        from palladian_spark.operators.pos_tagging import pos_tag_documents
+
+        corpus_path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "tests", "fixtures", "reference", "pos_train_corpus.txt",
+        )
+        with open(corpus_path, encoding="utf-8") as f:
+            model = train_pos_tagger(f.read())
+        docs = _read(spark, sf_dir, "documents")
+        tagged = pos_tag_documents(docs, model, keep_cols=["doc_id"])
+        return noun_phrase_chunks(tagged)
+
     def feature_ranking(spark, sf_dir):
         # chi-squared + information-gain feature rankers
         # (ChiSquaredFeatureRanker/InformationGainFeatureRanker twins,
@@ -1948,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming_triples=streaming_triples,
         doc_spell_corrections=doc_spell_corrections,
         feature_ranking=feature_ranking,
+        doc_noun_phrases=doc_noun_phrases,
     )
     return q
 
@@ -3979,4 +4001,12 @@ def oracle_sql() -> dict[str, str]:
             "len_bucket": "length(bin(n_chars))",
         },
     )
+
+    from palladian_spark.operators.chunking import noun_phrases_sql
+
+    _tag_rows = ", ".join(
+        f"('{tok.replace(chr(39), chr(39) * 2)}', '{tag}')"
+        for tok, tag in _pos_tag_map()
+    )
+    oracles["doc_noun_phrases"] = noun_phrases_sql(_tag_rows)
     return oracles

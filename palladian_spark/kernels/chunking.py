@@ -1,0 +1,54 @@
+"""Noun-phrase chunking — the self-contained implementation of the
+reference's ``extraction/phrase/PhraseChunker.java:1-45`` interface
+(whose only in-repo implementations wrap external OpenNLP/LingPipe
+models, out of scope like the rest of retrieval).  The rule is the
+classic regex-chunker baseline over Brown-tagset POS tags (public
+knowledge, e.g. the NLTK RegexpParser ``NP: {<AT|DT>?<JJ.*>*<NN.*>+}``
+pattern), fed by the repo's Java-parity PalladianPosTagger.
+
+Semantics: scan left-to-right, greedily matching ``a? j* n+`` over the
+per-token classes (a = article AT/DT, j = adjective JJ*, n = noun
+NN*/NP*, o = other); matches never overlap.  The distributed operator
+(operators/chunking.py) re-expresses the same rule with window
+functions (n-run islands + adjacent j-run + one optional article) —
+equivalence is pytest-pinned against this kernel.
+"""
+
+from __future__ import annotations
+
+import re
+
+ARTICLE_TAGS = ("AT", "DT")
+ADJECTIVE_PREFIXES = ("JJ",)
+NOUN_PREFIXES = ("NN", "NP")
+
+_NP_RE = re.compile(r"a?j*n+")
+
+
+def tag_class(tag: str) -> str:
+    """Map a POS tag to its chunk class char: a(rticle), j (adjective),
+    n(oun), o(ther).  NP* here is the Brown PROPER NOUN tag."""
+    if tag in ARTICLE_TAGS:
+        return "a"
+    if tag.startswith(ADJECTIVE_PREFIXES):
+        return "j"
+    if tag.startswith(NOUN_PREFIXES):
+        return "n"
+    return "o"
+
+
+def chunk_tag_sequence(tags: list[str]) -> list[tuple[int, int]]:
+    """Greedy non-overlapping ``a? j* n+`` matches over the tag list.
+    Returns [start, end) token-index spans.  Note the regex engine's
+    left-to-right scan with backtracking restart IS the greedy chunker:
+    a prefix that fails to reach a noun yields no chunk."""
+    encoded = "".join(tag_class(t) for t in tags)
+    return [m.span() for m in _NP_RE.finditer(encoded) if "n" in m.group()]
+
+
+def chunk_tokens(tokens: list[str], tags: list[str]) -> list[tuple[int, str, int]]:
+    """(start_token_index, phrase, n_tokens) for each noun phrase."""
+    out = []
+    for s, e in chunk_tag_sequence(tags):
+        out.append((s, " ".join(tokens[s:e]), e - s))
+    return out

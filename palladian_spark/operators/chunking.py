@@ -1,0 +1,183 @@
+"""Distributed noun-phrase chunking — the Spark shape of the
+``a? j* n+`` regex chunker (kernels/chunking.py, which implements the
+reference's ``extraction/phrase/PhraseChunker.java:1-45`` interface
+self-contained).
+
+The greedy regex is re-expressed as pure window functions so the whole
+plan is JVM-side and the DuckDB oracle can mirror it exactly:
+
+* a maximal run of noun tokens (gaps-and-islands on the 'n' class) is
+  the CORE of exactly one chunk — preceding articles/adjectives are
+  never consumed by an earlier chunk (chunks end at their last noun),
+  so greedy left-to-right scanning and per-island expansion coincide;
+* each core extends left over the adjacent maximal adjective run
+  (``j*``), computed as last-position-of-a-non-j before the island;
+* then over at most ONE article immediately before that (``a?``).
+
+Equivalence with the kernel regex is pytest-pinned on randomized tag
+sequences.  Scale shape: one shuffle by doc_id for the ordinal window;
+everything else is narrow.  Output: (doc_id, np_index, np, n_tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def noun_phrase_chunks(
+    tagged: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "value",
+    tag_col: str = "tag",
+    order_col: str = "start",
+) -> DataFrame:
+    """Chunk (id, token, tag) rows (one per token, ordered by
+    `order_col` within a document) into noun phrases."""
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    cls = (
+        F.when(F.col(tag_col).isin("AT", "DT"), "a")
+        .when(F.col(tag_col).startswith("JJ"), "j")
+        .when(
+            F.col(tag_col).startswith("NN") | F.col(tag_col).startswith("NP"), "n"
+        )
+        .otherwise("o")
+    )
+    toks = tagged.select(
+        F.col(id_col).alias("doc"),
+        F.col(token_col).alias("token"),
+        cls.alias("cls"),
+        F.row_number().over(w).alias("ord"),
+    ).localCheckpoint(eager=False)
+
+    wo = Window.partitionBy("doc").orderBy("ord")
+    marked = toks.select(
+        "doc", "token", "cls", "ord",
+        # island id for n-runs: ord - rank among n's; non-n rows keep null
+        F.when(
+            F.col("cls") == "n",
+            F.col("ord")
+            - F.sum(F.when(F.col("cls") == "n", 1).otherwise(0)).over(wo),
+        ).alias("n_grp"),
+        # last position (< current, inclusive of current row's own value
+        # handled below) holding a non-'j' class — bounds the adjacent
+        # adjective run
+        F.max(F.when(F.col("cls") != "j", F.col("ord"))).over(
+            wo.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("last_non_j_before"),
+        F.lag("cls").over(wo).alias("prev_cls"),
+    ).localCheckpoint(eager=False)
+
+    cores = (
+        marked.where(F.col("cls") == "n")
+        .groupBy("doc", "n_grp")
+        .agg(F.min("ord").alias("core_start"), F.max("ord").alias("core_end"))
+    )
+    # j-run start: tokens (core_start - k .. core_start - 1) are all 'j'
+    # iff last_non_j_before AT core_start equals core_start - k - 1
+    run_info = marked.select(
+        "doc",
+        F.col("ord").alias("core_start"),
+        F.coalesce("last_non_j_before", F.lit(0)).alias("jrun_lo"),
+    )
+    chunks0 = cores.join(run_info, ["doc", "core_start"]).select(
+        "doc", "core_start", "core_end",
+        (F.col("jrun_lo") + 1).alias("start_after_j"),
+    )
+    # article attach: class at (start_after_j - 1) == 'a'
+    art = marked.select(
+        "doc", (F.col("ord") + 1).alias("start_after_j"),
+        (F.col("cls") == "a").alias("art_before"),
+    )
+    chunks = (
+        chunks0.join(art, ["doc", "start_after_j"], "left")
+        .select(
+            "doc", "core_end",
+            F.when(F.coalesce("art_before", F.lit(False)), F.col("start_after_j") - 1)
+            .otherwise(F.col("start_after_j"))
+            .alias("np_start"),
+        )
+    )
+    joined = (
+        chunks.join(toks, "doc")
+        .where((F.col("ord") >= F.col("np_start")) & (F.col("ord") <= F.col("core_end")))
+        .groupBy("doc", "np_start", "core_end")
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("ord", "token")))
+                        .getField("token")).alias("np"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    wi = Window.partitionBy("doc").orderBy("np_start")
+    return joined.select(
+        F.col("doc").alias(id_col),
+        F.row_number().over(wi).alias("np_index"),
+        "np",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def noun_phrases_sql(tag_values_rows: str, documents: str = "documents") -> str:
+    """Full independent DuckDB recomputation of the doc_noun_phrases
+    contract query: \\S+ tokenization with ordinals, the inlined
+    token->tag map (`tag_values_rows` = "('tok','TAG'), ..." — same
+    de-pinning pattern as doc_pos_tags), then the identical
+    window-function chunker."""
+    return f"""
+with np_toks as (
+  select doc_id, ord, ts[ord] as token
+  from (select doc_id, ts, unnest(range(1, len(ts) + 1)) as ord
+        from (select doc_id, regexp_extract_all(text, '\\S+') as ts
+              from {documents}))),
+np_tagged as (
+  select t.doc_id, t.ord, t.token,
+         coalesce(tm.tag, 'UNSEEN:' || t.token) as tag
+  from np_toks t
+  left join (values {tag_values_rows}) tm(token, tag) on t.token = tm.token),
+np_cls as (
+  select doc_id, ord, token,
+         case when tag in ('AT', 'DT') then 'a'
+              when tag like 'JJ%' then 'j'
+              when tag like 'NN%' or tag like 'NP%' then 'n'
+              else 'o' end as cls
+  from np_tagged),
+np_marked as (
+  select doc_id, ord, token, cls,
+         case when cls = 'n' then
+           ord - sum(case when cls = 'n' then 1 else 0 end)
+                   over (partition by doc_id order by ord)
+         end as n_grp,
+         max(case when cls <> 'j' then ord end)
+           over (partition by doc_id order by ord
+                 rows between unbounded preceding and 1 preceding)
+           as last_non_j_before
+  from np_cls),
+np_cores as (
+  select doc_id, n_grp, min(ord) as core_start, max(ord) as core_end
+  from np_marked where cls = 'n' group by 1, 2),
+np_chunks0 as (
+  select c.doc_id, c.core_start, c.core_end,
+         coalesce(m.last_non_j_before, 0) + 1 as start_after_j
+  from np_cores c
+  join np_marked m on m.doc_id = c.doc_id and m.ord = c.core_start),
+np_chunks as (
+  select c.doc_id, c.core_end,
+         case when a.cls = 'a' then c.start_after_j - 1
+              else c.start_after_j end as np_start
+  from np_chunks0 c
+  left join np_marked a
+    on a.doc_id = c.doc_id and a.ord = c.start_after_j - 1),
+np_joined as (
+  select c.doc_id, c.np_start, c.core_end,
+         string_agg(t.token, ' ' order by t.ord) as np,
+         count(*)::bigint as n_tokens
+  from np_chunks c
+  join np_cls t on t.doc_id = c.doc_id
+               and t.ord between c.np_start and c.core_end
+  group by 1, 2, 3)
+select doc_id,
+       row_number() over (partition by doc_id order by np_start) as np_index,
+       np, n_tokens
+from np_joined
+"""

@@ -1,0 +1,99 @@
+"""NP chunker: kernel regex semantics + window-function reformulation
+equivalence (randomized), and the Spark operator against the kernel."""
+
+import random
+
+from palladian_spark.kernels.chunking import (
+    chunk_tag_sequence,
+    chunk_tokens,
+    tag_class,
+)
+
+
+def test_tag_class():
+    assert tag_class("AT") == "a" and tag_class("DT") == "a"
+    assert tag_class("JJ") == "j" and tag_class("JJR") == "j"
+    assert tag_class("NN") == "n" and tag_class("NNS") == "n"
+    assert tag_class("NP") == "n" and tag_class("NPS") == "n"
+    assert tag_class("VB") == "o" and tag_class("IN") == "o"
+
+
+def test_chunk_examples():
+    # "the big table" -> one chunk covering all three
+    assert chunk_tag_sequence(["AT", "JJ", "NN"]) == [(0, 3)]
+    # article not followed by noun chain is skipped
+    assert chunk_tag_sequence(["AT", "JJ", "VB", "NN"]) == [(3, 4)]
+    # double article: only one attaches (a?)
+    assert chunk_tag_sequence(["AT", "AT", "NN"]) == [(1, 3)]
+    # adjacent noun runs split by other tags
+    assert chunk_tag_sequence(["NN", "VB", "JJ", "NN", "NN"]) == [(0, 1), (2, 5)]
+    # j-run must touch the noun core
+    assert chunk_tag_sequence(["JJ", "AT", "NN"]) == [(1, 3)]
+    assert chunk_tag_sequence(["VB", "IN"]) == []
+
+
+def test_chunk_tokens():
+    out = chunk_tokens(["the", "big", "table", "runs"], ["AT", "JJ", "NN", "VB"])
+    assert out == [(0, "the big table", 3)]
+
+
+def _reference_windows_chunker(tags):
+    """Independent reimplementation of the operator's islands+extension
+    logic in plain Python, to pin the regex<->windows equivalence."""
+    cls = [tag_class(t) for t in tags]
+    n = len(cls)
+    chunks = []
+    i = 0
+    while i < n:
+        if cls[i] != "n":
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and cls[j + 1] == "n":
+            j += 1
+        start = i
+        while start - 1 >= 0 and cls[start - 1] == "j":
+            start -= 1
+        if start - 1 >= 0 and cls[start - 1] == "a":
+            start -= 1
+        chunks.append((start, j + 1))
+        i = j + 1
+    return chunks
+
+
+def test_windows_equivalence_randomized():
+    rng = random.Random(42)
+    tagset = ["AT", "DT", "JJ", "JJR", "NN", "NNS", "NP", "VB", "IN", "RB"]
+    for _ in range(500):
+        tags = [rng.choice(tagset) for _ in range(rng.randint(0, 20))]
+        assert chunk_tag_sequence(tags) == _reference_windows_chunker(tags), tags
+
+
+def test_spark_operator_matches_kernel(spark):
+    from palladian_spark.operators.chunking import noun_phrase_chunks
+
+    rng = random.Random(7)
+    tagset = ["AT", "JJ", "NN", "NNS", "VB", "IN"]
+    docs = []
+    rows = []
+    for doc_id in range(40):
+        k = rng.randint(0, 15)
+        tags = [rng.choice(tagset) for _ in range(k)]
+        tokens = [f"w{i}_{tags[i].lower()}" for i in range(k)]
+        docs.append((doc_id, tokens, tags))
+        for i, (tok, tag) in enumerate(zip(tokens, tags)):
+            rows.append((doc_id, i * 5, tok, tag))
+    df = spark.createDataFrame(
+        rows, "doc_id long, start long, value string, tag string"
+    )
+    got = {}
+    for r in noun_phrase_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["np_index"], r["np"], r["n_tokens"])
+        )
+    for doc_id, tokens, tags in docs:
+        want = [
+            (i + 1, phrase, nt)
+            for i, (_, phrase, nt) in enumerate(chunk_tokens(tokens, tags))
+        ]
+        assert sorted(got.get(doc_id, [])) == want, (doc_id, tags)
