@@ -245,6 +245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score").cast("long").alias("score"),
         )
 
+    def nb_classify(spark, sf_dir):
+        # general Naive Bayes (nominal + Gaussian numeric; NaiveBayes
+        # Learner/Classifier/Model twins, reference-test-golden kernel):
+        # train on the documents table (class = lang; features source,
+        # first_word, n_chars) and classify every row; engine-exact via
+        # bigint sums + nano-int normalization + fixed-order log terms
+        from palladian_spark.operators.naive_bayes import nb_classify as nbc
+
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "first_word", F.expr("element_at(split(text, ' '), 1)")
+        )
+        return nbc(docs, "lang", "doc_id", ["source", "first_word"], ["n_chars"])
+
     def doc_noun_phrases(spark, sf_dir):
         # NP chunking (PhraseChunker.java interface, self-contained
         # a?j*n+ rule over Brown tags from the Java-parity POS tagger),
@@ -1970,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_spell_corrections=doc_spell_corrections,
         feature_ranking=feature_ranking,
         doc_noun_phrases=doc_noun_phrases,
+        nb_classify=nb_classify,
     )
     return q
 
@@ -4009,4 +4023,13 @@ def oracle_sql() -> dict[str, str]:
         for tok, tag in _pos_tag_map()
     )
     oracles["doc_noun_phrases"] = noun_phrases_sql(_tag_rows)
+
+    from palladian_spark.operators.naive_bayes import nb_classify_sql
+
+    oracles["nb_classify"] = nb_classify_sql(
+        "lang",
+        "doc_id",
+        {"source": "source", "first_word": "split_part(text, ' ', 1)"},
+        ["n_chars"],
+    )
     return oracles
