@@ -245,6 +245,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score").cast("long").alias("score"),
         )
 
+    def media_pixel_colors(spark, sf_dir):
+        # nearest-named-color per sampled pixel of the real-PNG media
+        # table (ColorSpaceConverter + ImageHandler color matching
+        # twins): decode is the only Python hop; Lab + argmin run
+        # JVM-side with the same SQL expressions the oracle uses, and
+        # the oracle recomputes pixels analytically so a wrong decode
+        # fails the hash
+        from palladian_spark.operators.colors import media_pixel_colors as mpc
+        from palladian_spark.operators.multimodal import synthesize_media_table
+
+        media = synthesize_media_table(spark, _read(spark, sf_dir, "documents"))
+        return mpc(media)
+
+    def media_colors(spark, sf_dir):
+        # full detectColors greedy clustering (ImageHandler.java:977-1050
+        # twin, golden-tested kernel): top-3 distinct main colors per
+        # image; sequential per image by design -> no SQL oracle (rows
+        # check only), semantics pinned by tests/test_colors.py
+        from palladian_spark.operators.colors import detect_media_colors
+        from palladian_spark.operators.multimodal import synthesize_media_table
+
+        media = synthesize_media_table(spark, _read(spark, sf_dir, "documents"))
+        return detect_media_colors(media)
+
     def nb_classify(spark, sf_dir):
         # general Naive Bayes (nominal + Gaussian numeric; NaiveBayes
         # Learner/Classifier/Model twins, reference-test-golden kernel):
@@ -1984,6 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feature_ranking=feature_ranking,
         doc_noun_phrases=doc_noun_phrases,
         nb_classify=nb_classify,
+        media_pixel_colors=media_pixel_colors,
+        media_colors=media_colors,
     )
     return q
 
@@ -4032,4 +4058,8 @@ def oracle_sql() -> dict[str, str]:
         {"source": "source", "first_word": "split_part(text, ' ', 1)"},
         ["n_chars"],
     )
+
+    from palladian_spark.operators.colors import media_pixel_colors_sql
+
+    oracles["media_pixel_colors"] = media_pixel_colors_sql()
     return oracles

@@ -1,0 +1,149 @@
+"""Color features — faithful twins of the reference's
+``extraction/multimedia/ColorSpaceConverter.java:200-314`` (sRGB ->
+XYZ -> CIE-Lab with the exact literal matrix + D65 white point),
+``ImageHandler.colorDistance`` (Lab Euclidean, ``ImageHandler
+.java:1060-1069``), ``ImageHandler.getNearestColor`` semantics used by
+``detectColors`` (``:977-1050``: scan the named-color table in file
+order, strict < so the FIRST best match wins), and the
+``detectColors`` greedy pixel clustering itself (column-major pixel
+scan, near-white/near-black discard, running-mean clusters absorbed at
+Lab distance < 50, population-sorted top-3 distinct main colors).
+
+Golden-tested against the compiled reference converter
+(tools/reference_harness/build_and_run_colors.sh).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .color_table import COLORS
+
+# sRGB -> XYZ matrix, ColorSpaceConverter.java:31-33 (literal, not the
+# higher-precision IEC values — the reference's numbers ARE the spec here)
+_M = (
+    (0.4124, 0.3576, 0.1805),
+    (0.2126, 0.7152, 0.0722),
+    (0.0193, 0.1192, 0.9505),
+)
+_D65 = (95.0429, 100.0, 108.8900)
+
+MAX_CLUSTER_DISTANCE = 50.0
+UPPER_BOUND = 245
+LOWER_BOUND = 10
+
+
+def rgb_to_xyz(red: int, green: int, blue: int) -> tuple[float, float, float]:
+    """ColorSpaceConverter.rgbToXyz (:200-235)."""
+    out = []
+    for v in (red, green, blue):
+        c = v / 255.0
+        if c <= 0.04045:
+            c = c / 12.92
+        else:
+            c = ((c + 0.055) / 1.055) ** 2.4
+        out.append(c * 100.0)
+    r, g, b = out
+    return (
+        r * _M[0][0] + g * _M[0][1] + b * _M[0][2],
+        r * _M[1][0] + g * _M[1][1] + b * _M[1][2],
+        r * _M[2][0] + g * _M[2][1] + b * _M[2][2],
+    )
+
+
+def xyz_to_lab(x: float, y: float, z: float) -> tuple[float, float, float]:
+    """ColorSpaceConverter.xyzToLab (:281-310)."""
+    res = []
+    for v, w in zip((x, y, z), _D65):
+        t = v / w
+        if t > 0.008856:
+            t = t ** (1.0 / 3.0)
+        else:
+            t = 7.787 * t + 16.0 / 116.0
+        res.append(t)
+    fx, fy, fz = res
+    return (116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz))
+
+
+def rgb_to_lab(red: int, green: int, blue: int) -> tuple[float, float, float]:
+    return xyz_to_lab(*rgb_to_xyz(red, green, blue))
+
+
+def color_distance(rgb1, rgb2) -> float:
+    """ImageHandler.colorDistance (:1060-1069)."""
+    l1 = rgb_to_lab(*rgb1)
+    l2 = rgb_to_lab(*rgb2)
+    return math.sqrt(
+        (l1[0] - l2[0]) ** 2 + (l1[1] - l2[1]) ** 2 + (l1[2] - l2[2]) ** 2
+    )
+
+
+def hex_to_rgb(hex_code: str) -> tuple[int, int, int]:
+    """ImageHandler.hexToRgb (:966-971)."""
+    s = hex_code.lstrip("#")
+    return int(s[0:2], 16), int(s[2:4], 16), int(s[4:6], 16)
+
+
+def rgb_to_hex(rgb) -> str:
+    return "#%02x%02x%02x" % tuple(rgb)
+
+
+def nearest_color(rgb) -> tuple[str, str]:
+    """(specific, main) of the nearest named color — detectColors'
+    inner loop (``ImageHandler.java:1029-1038``): file order, strict <,
+    first best wins."""
+    best = None
+    best_score = None
+    for hex_code, fine, main in COLORS:
+        d = color_distance(rgb, hex_to_rgb(hex_code))
+        if best is None or d < best_score:
+            best = (fine, main)
+            best_score = d
+    return best
+
+
+def detect_colors(pixels) -> list[tuple[str, str, str]]:
+    """ImageHandler.detectColors (:977-1050) over a HxWx3 uint8 array
+    (numpy or nested lists).  Returns up to 3 (hex_of_cluster_center,
+    specific_name, main_name) — one per distinct MAIN color, clusters
+    visited by population desc (stable sort keeps creation order on
+    ties, like Java's Collections.sort)."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    clusters: list[list[int]] = []  # [tr, tg, tb, population]
+    # Java iterates i over WIDTH then j over HEIGHT: column-major
+    for i in range(w):
+        for j in range(h):
+            px = pixels[j][i]
+            r, g, b = int(px[0]), int(px[1]), int(px[2])
+            if (r > UPPER_BOUND and g > UPPER_BOUND and b > UPPER_BOUND) or (
+                r < LOWER_BOUND and g < LOWER_BOUND and b < LOWER_BOUND
+            ):
+                continue
+            for cl in clusters:
+                center = (
+                    int(cl[0] / cl[3]),
+                    int(cl[1] / cl[3]),
+                    int(cl[2] / cl[3]),
+                )
+                if color_distance(center, (r, g, b)) < MAX_CLUSTER_DISTANCE:
+                    cl[0] += r
+                    cl[1] += g
+                    cl[2] += b
+                    cl[3] += 1
+                    break
+            else:
+                clusters.append([r, g, b, 1])
+
+    clusters.sort(key=lambda c: -c[3])
+    out: list[tuple[str, str, str]] = []
+    seen_main: set[str] = set()
+    for cl in clusters:
+        center = (int(cl[0] / cl[3]), int(cl[1] / cl[3]), int(cl[2] / cl[3]))
+        fine, main = nearest_color(center)
+        if main not in seen_main:
+            seen_main.add(main)
+            out.append((rgb_to_hex(center), fine, main))
+        if len(seen_main) >= 3:
+            break
+    return out

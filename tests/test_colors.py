@@ -1,0 +1,84 @@
+"""Color kernels vs the compiled reference ColorSpaceConverter goldens,
+plus detectColors cluster semantics on hand-traceable images."""
+
+import os
+
+import numpy as np
+import pytest
+
+from palladian_spark.kernels.color_table import COLORS
+from palladian_spark.kernels.colors import (
+    color_distance,
+    detect_colors,
+    hex_to_rgb,
+    nearest_color,
+    rgb_to_hex,
+    rgb_to_lab,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_lab_goldens_exact():
+    path = os.path.join(FIX, "color_lab_golden.tsv")
+    with open(path, encoding="utf-8") as f:
+        rows = [line.split("\t") for line in f.read().splitlines()]
+    assert len(rows) == 4096
+    exact = 0
+    for r, g, b, gl, ga, gb in rows:
+        L, a, bb = rgb_to_lab(int(r), int(g), int(b))
+        want = (float(gl), float(ga), float(gb))
+        # Java Math.pow and C libm pow differ by 1-2 ulp on a handful of
+        # inputs (11/4096 here) — everything else must be bit-exact
+        for got_v, want_v in zip((L, a, bb), want):
+            assert got_v == pytest.approx(want_v, rel=1e-12, abs=1e-12), (r, g, b)
+        if (L, a, bb) == want:
+            exact += 1
+    assert exact >= 4000
+
+
+def test_color_table():
+    assert len(COLORS) == 348
+    assert COLORS[0] == ("#000000", "Black", "Black")
+    assert hex_to_rgb("#00008B") == (0, 0, 139)
+    assert rgb_to_hex((0, 0, 139)) == "#00008b"
+
+
+def test_nearest_color():
+    assert nearest_color((0, 0, 255)) == ("Blue", "Blue")
+    assert nearest_color((0, 0, 0)) == ("Black", "Black")
+    # strict <: the FIRST best match in table order wins on exact ties
+    dup = {}
+    for h, fine, main in COLORS:
+        dup.setdefault(h, (fine, main))
+    some_hex, (fine, main) = next(iter(dup.items()))
+    assert nearest_color(hex_to_rgb(some_hex)) == (fine, main)
+
+
+def test_detect_colors_clusters():
+    # solid red block (not too bright/dark) + white border (discarded)
+    img = np.full((10, 10, 3), 255, dtype=np.uint8)
+    img[2:8, 2:8] = (200, 20, 20)
+    out = detect_colors(img)
+    assert len(out) == 1
+    assert out[0][2] == "Red"
+    # two well-separated colors -> two main colors, population order
+    img2 = np.full((10, 20, 3), 255, dtype=np.uint8)
+    img2[:, :12] = (30, 30, 200)   # blue, larger population
+    img2[:, 14:] = (20, 160, 20)   # green
+    out2 = detect_colors(img2)
+    mains = [m for _, _, m in out2]
+    assert mains[0] == "Blue" and "Green" in mains
+
+
+def test_detect_colors_discards_extremes():
+    img = np.zeros((5, 5, 3), dtype=np.uint8)  # all near-black
+    assert detect_colors(img) == []
+    img[:, :] = (250, 250, 250)  # all near-white
+    assert detect_colors(img) == []
+
+
+def test_distance_symmetry():
+    assert color_distance((10, 20, 30), (10, 20, 30)) == 0.0
+    a = color_distance((255, 0, 0), (0, 0, 255))
+    assert a == color_distance((0, 0, 255), (255, 0, 0)) and a > 100

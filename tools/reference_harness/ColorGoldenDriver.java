@@ -1,0 +1,22 @@
+import ws.palladian.extraction.multimedia.ColorSpaceConverter;
+
+import java.io.PrintWriter;
+
+/** Freeze reference ColorSpaceConverter.rgbToLab outputs over an RGB
+ * grid (step 17 covers 0 and 255 exactly: 16^3 = 4096 probes). */
+public class ColorGoldenDriver {
+    public static void main(String[] args) throws Exception {
+        ColorSpaceConverter conv = new ColorSpaceConverter();
+        try (PrintWriter w = new PrintWriter(args[0], "UTF-8")) {
+            for (int r = 0; r <= 255; r += 17) {
+                for (int g = 0; g <= 255; g += 17) {
+                    for (int b = 0; b <= 255; b += 17) {
+                        double[] lab = conv.rgbToLab(r, g, b);
+                        w.println(r + "\t" + g + "\t" + b + "\t" + lab[0] + "\t" + lab[1] + "\t" + lab[2]);
+                    }
+                }
+            }
+        }
+        System.out.println("done");
+    }
+}

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Freeze reference ColorSpaceConverter.rgbToLab outputs as goldens
+# (tests/fixtures/color_lab_golden.tsv). Only needs the converter class
+# (java.awt.Color import); no stubs.
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF=/root/reference
+BUILD=/tmp/refharness_colors
+OUT="$HERE/../../tests/fixtures"
+
+rm -rf "$BUILD"
+mkdir -p "$BUILD/classes"
+
+javac -nowarn -encoding UTF-8 --release 8 -d "$BUILD/classes" \
+    -sourcepath "$REF/palladian-core/src/main/java" \
+    "$HERE/ColorGoldenDriver.java"
+
+java -cp "$BUILD/classes" ColorGoldenDriver "$OUT/color_lab_golden.tsv"
+wc -l "$OUT/color_lab_golden.tsv"
