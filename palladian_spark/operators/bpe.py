@@ -328,3 +328,89 @@ def bpe_token_counts(
     # the plan is the caller's job — the join keeps a reference, so leave
     # unpersist to GC here (bounded: one table per call)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Production-vocabulary path: frequency-weighted sample -> in-driver trainer
+# ---------------------------------------------------------------------------
+def _train_local(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact in-driver BPE trainer over a (word, freq) vocabulary with
+    the SAME semantics as the distributed rounds (overlap-counting pair
+    frequencies, argmax tie-break count desc / left asc / right asc,
+    greedy left-to-right merge application).  Incremental pair-count
+    maintenance (the standard learn-bpe bookkeeping): after a merge only
+    words CONTAINING that pair are re-tokenized, so per-round cost is
+    proportional to affected words, not the vocabulary."""
+    from collections import Counter, defaultdict
+
+    words = [(list(w), int(f)) for w, f in vocab]
+    counts: Counter = Counter()
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+
+    def _count_word(idx: int, sign: int) -> None:
+        tokens, freq = words[idx]
+        for a, b in zip(tokens, tokens[1:]):
+            counts[(a, b)] += sign * freq
+            if sign > 0:
+                index[(a, b)].add(idx)
+
+    for i in range(len(words)):
+        _count_word(i, +1)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        for pair, cnt in counts.items():
+            if cnt <= 0:
+                continue
+            key = (-cnt, pair[0], pair[1])
+            if best is None or key < best[0]:
+                best = (key, pair, cnt)
+        if best is None:
+            break
+        _, (left, right), cnt = best
+        merges.append((rank, left, right, cnt))
+        for idx in list(index[(left, right)]):
+            tokens, freq = words[idx]
+            merged = _greedy_merge(tokens, left, right)
+            if merged == tokens:
+                continue
+            _count_word(idx, -1)
+            words[idx] = (merged, freq)
+            _count_word(idx, +1)
+    return merges
+
+
+def bpe_train_sampled(
+    docs: DataFrame,
+    n_merges: int = 8,
+    sample_words: int = 1_000_000,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Production-vocabulary BPE path: ONE corpus scan builds the
+    distinct-word frequency table; the top ``sample_words`` words by
+    (freq desc, word asc) — frequency-weighted, deterministic — are
+    collected and trained in-driver by :func:`_train_local`.
+
+    Regime guidance (the round-4 review's bound, now closed by this
+    path): the exact distributed trainer (:func:`bpe_train`) runs one
+    synchronous pair-count aggregate + 1-row argmax + one Arrow
+    re-tokenize per merge — correct and vocabulary-sized per round, but
+    a production 32k-merge vocabulary means 32k sequential Spark jobs
+    whose fixed scheduling cost (~0.5 s/round locally) dominates: days
+    of driver latency regardless of data size.  This sampled path pays
+    the corpus scan once and then trains merge rounds at in-memory
+    speed; when ``sample_words`` covers the whole vocabulary it is
+    EXACTLY equivalent (pytest-pinned), and at 100 TB a 1-10M-word
+    frequency sample preserves the head of the pair distribution that
+    determines early merges (Sennrich's published trainer operates on
+    exactly this word-frequency representation)."""
+    top = (
+        _word_freqs(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(sample_words)
+        .collect()
+    )
+    return _train_local([(r["word"], r["freq"]) for r in top], n_merges)

@@ -150,3 +150,46 @@ def test_bpe_early_stop_and_hostile_inputs(spark):
     )
     assert bpe_merges(docs2, n_merges=3).count() == 0
     assert bpe_token_counts(docs2, n_merges=3).count() == 0
+
+
+def test_sampled_trainer_exact_when_vocab_fits(spark, sf_dir):
+    # full-vocabulary sample -> the in-driver trainer must reproduce the
+    # distributed merge list EXACTLY (same tie-breaks, same counts)
+    import os
+    from palladian_spark.operators.bpe import bpe_merges, bpe_train_sampled
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dist = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=8).collect()
+    ]
+    sampled = bpe_train_sampled(docs, n_merges=8, sample_words=10_000_000)
+    assert sampled == sorted(dist)
+
+
+def test_sampled_trainer_truncation_smoke(spark, sf_dir):
+    import os
+    from palladian_spark.operators.bpe import bpe_train_sampled
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = bpe_train_sampled(docs, n_merges=5, sample_words=15)
+    assert 1 <= len(merges) <= 5
+    assert all(cnt > 0 for _, _, _, cnt in merges)
+
+
+def test_local_trainer_many_rounds_fast():
+    # the production-vocab regime the distributed loop cannot serve:
+    # hundreds of merge rounds in well under a second in-driver
+    import time
+    from palladian_spark.operators.bpe import _train_local
+
+    vocab = [(w1 + w2 + w3, 5 + (i % 17))
+             for i, (w1, w2, w3) in enumerate(
+                 (a, b, c)
+                 for a in ("data", "spark", "table", "query", "merge")
+                 for b in ("ing", "er", "ed", "ly", "ion")
+                 for c in ("fast", "slow", "big", "small", "wide"))]
+    t0 = time.time()
+    merges = _train_local(vocab, 300)
+    dt = time.time() - t0
+    assert len(merges) >= 100 and dt < 5.0
