@@ -1,0 +1,81 @@
+"""Dense-graph probe for the bounded-BFS property-path engine (verdict
+r4 stretch item): the 3-hop closure behind `pred+` is output-bound on
+the sparse call graph; this measures it on a DENSE deterministic graph
+to confirm the frontier+anti-join keeps rounds bounded with no
+superlinear step.
+
+Graph: n_nodes nodes, avg_degree out-edges per node, endpoints derived
+from xxhash64 (deterministic, no external data).  All-pairs closure is
+intentionally NOT the query shape (that is output-quadratic by
+definition); the probe mirrors kg_path_query's single-source seeding
+over a batch of sources.
+
+Usage: python tools/probe_path_dense.py [n_nodes] [avg_degree] [n_sources]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    avg_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    n_sources = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.graph import bfs_distances
+    from palladian_spark.sources.session import get_spark
+
+    spark = get_spark("path-dense-probe", master="local[32]", shuffle_partitions=64)
+
+    edges = (
+        spark.range(n_nodes * avg_degree)
+        .select(
+            F.concat(F.lit("n"), (F.col("id") % n_nodes).cast("string")).alias("subj"),
+            F.concat(
+                F.lit("n"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(n_nodes)).cast("string"),
+            ).alias("obj"),
+        )
+        .where(F.col("subj") != F.col("obj"))
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+
+    sources = [f"n{i * (n_nodes // n_sources)}" for i in range(n_sources)]
+    t0 = time.time()
+    out = bfs_distances(
+        edges, max_hops=3, start_filter=F.col("src").isin(sources)
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.max("dist").alias("max_dist"),
+    ).collect()[0]
+    dt = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "path_dense_probe",
+                "n_nodes": n_nodes,
+                "n_edges": n_edges,
+                "avg_degree": avg_degree,
+                "n_sources": n_sources,
+                "closure_pairs": stats["pairs"],
+                "max_dist": stats["max_dist"],
+                "wall_sec": round(dt, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
