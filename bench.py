@@ -134,6 +134,13 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "events_topk",
+    # round-5 additions
+    "doc_spell_corrections",
+    "feature_ranking",
+    "doc_noun_phrases",
+    "nb_classify",
+    "media_pixel_colors",
+    "media_colors",
 ]
 
 
