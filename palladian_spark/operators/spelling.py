@@ -79,10 +79,15 @@ def corpus_context(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         toks.select(
             F.explode(
+                # guard: sequence(1, 0) runs DESCENDING in Spark ([1,0]),
+                # so a 0/1-token document would index an empty array —
+                # emit no bigrams instead
                 F.expr(
-                    "transform(sequence(1, size(ts) - 1),"
+                    "case when size(ts) >= 2 then"
+                    " transform(sequence(1, size(ts) - 1),"
                     " i -> struct(element_at(ts, i) as left,"
                     "             element_at(ts, i + 1) as word))"
+                    " else array() end"
                 )
             ).alias("bg")
         )
