@@ -75,3 +75,32 @@ def test_manual_mappings_and_dict_build():
     assert sc.correct_word("cov", None, None) == "cow"
     assert sc.correct_word("Cov", None, None) == "Cow"
     assert sc.auto_correct("buy my i pad now") == "buy my ipad now"
+
+
+def test_german_compound_support():
+    # PalladianSpellChecker.java:395-419: when compound support is on and
+    # no strong candidate exists, a word whose compound parts (or their
+    # singulars) are all known is returned UNCHANGED instead of corrected
+    from palladian_spark.kernels.morphology import GermanMorphology
+
+    from palladian_spark.kernels.spelling import SpellChecker, build_dictionary
+
+    # morphology knows "kette" (so splitting peels it off the tail);
+    # the dictionary knows the PARTS and a near-miss full form, but not
+    # the compound itself
+    gm = GermanMorphology(["x\tkette\tf\tketten"])
+    assert gm.split_compound_words("goldkette") == ["gold", "kette"]
+    words, ctx = build_dictionary(["gold kette ketten goldketten"])
+    plain = SpellChecker(words, ctx)
+    compound = SpellChecker(
+        words, ctx, german_morphology=gm, german_compound_support=True
+    )
+    # "goldkette" is NOT in the dict; without compound support the
+    # distance-1 edit "goldketten" (count 1) wins; with it, the split
+    # [gold, kette] is all-known -> word returned unchanged
+    assert plain.correct_word("goldkette", None, None) == "goldketten"
+    assert compound.correct_word("goldkette", None, None) == "goldkette"
+    # a compound with an unknown head is NOT compound-protected: "silber"
+    # is neither in the dict nor singularizable, so correction proceeds
+    # (no distance-1/2 dictionary hit here -> unchanged)
+    assert compound.correct_word("xyzkette", None, None) == "xyzkette"
