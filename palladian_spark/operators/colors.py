@@ -136,17 +136,26 @@ def media_pixel_colors(
         "pos int, hex string, specific_color string, main_color string,"
         " cr int, cg int, cb int",
     )
+    # project Lab ONCE per pixel row and ONCE per color row BEFORE the
+    # cross join — inlining the pow-heavy conversion into the distance
+    # expression would recompute it per (pixel, color) pair (~350x)
     pl, pa, pb = lab_exprs("r", "g", "b")
     cl, ca, cb = lab_exprs("cr", "cg", "cb")
-    scored = (
-        pixels.crossJoin(F.broadcast(colors))
-        .withColumn(
-            "dist",
-            F.expr(
-                f"sqrt(pow(({pl}) - ({cl}), 2) + pow(({pa}) - ({ca}), 2)"
-                f" + pow(({pb}) - ({cb}), 2))"
-            ),
-        )
+    # Lab columns are named lab1_*/lab2_* — 'cb' would COLLIDE with the
+    # blue-channel column of the color table (ambiguous in DuckDB,
+    # silently replaced in Spark)
+    pixels_lab = pixels.withColumns(
+        {"lab1_l": F.expr(pl), "lab1_a": F.expr(pa), "lab1_b": F.expr(pb)}
+    ).localCheckpoint(eager=False)
+    colors_lab = colors.withColumns(
+        {"lab2_l": F.expr(cl), "lab2_a": F.expr(ca), "lab2_b": F.expr(cb)}
+    )
+    scored = pixels_lab.crossJoin(F.broadcast(colors_lab)).withColumn(
+        "dist",
+        F.expr(
+            "sqrt(pow(lab1_l - lab2_l, 2) + pow(lab1_a - lab2_a, 2)"
+            " + pow(lab1_b - lab2_b, 2))"
+        ),
     )
     w = Window.partitionBy("media_id", "px").orderBy(
         F.col("dist").asc(), F.col("pos").asc()
@@ -234,15 +243,20 @@ mc_px as (
          ((y * 5 + doc_id * 11) % 256)::int as g,
          ((x + y + doc_id * 7) % 256)::int as b
   from mc_pts),
+mc_px_lab as (
+  select media_id, px, r, g, b,
+         {pl} as lab1_l, {pa} as lab1_a, {pb} as lab1_b
+  from mc_px),
 mc_colors as (
-  select * from (values {rows})
+  select *, {cl} as lab2_l, {ca} as lab2_a, {cb} as lab2_b
+  from (values {rows})
     t(pos, hex, specific_color, main_color, cr, cg, cb)),
 mc_scored as (
   select p.media_id, p.px, p.r, p.g, p.b,
          c.pos, c.specific_color, c.main_color,
-         sqrt(pow(({pl}) - ({cl}), 2) + pow(({pa}) - ({ca}), 2)
-              + pow(({pb}) - ({cb}), 2)) as dist
-  from mc_px p cross join mc_colors c)
+         sqrt(pow(p.lab1_l - c.lab2_l, 2) + pow(p.lab1_a - c.lab2_a, 2)
+              + pow(p.lab1_b - c.lab2_b, 2)) as dist
+  from mc_px_lab p cross join mc_colors c)
 select media_id, px, r, g, b, specific_color, main_color from (
   select *, row_number() over (partition by media_id, px
                                order by dist asc, pos asc) as rn
