@@ -82,3 +82,38 @@ def test_distance_symmetry():
     assert color_distance((10, 20, 30), (10, 20, 30)) == 0.0
     a = color_distance((255, 0, 0), (0, 0, 255))
     assert a == color_distance((0, 0, 255), (255, 0, 0)) and a > 100
+
+
+def test_detect_media_colors_matches_kernel(spark, sf_dir):
+    # value-level verification of the rows-only contract query: the
+    # operator's per-image output must equal the kernel run over the
+    # ANALYTICALLY generated pixel array (same gradient formula the
+    # media table synthesizes), for a deterministic sample of docs
+    import os
+
+    from palladian_spark.operators.colors import detect_media_colors
+    from palladian_spark.operators.multimodal import synthesize_media_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+        "doc_id % 25 = 0"
+    )
+    media = synthesize_media_table(spark, docs)
+    got = {}
+    for r in detect_media_colors(media).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["rank"], r["hex"], r["specific_color"], r["main_color"])
+        )
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert doc_ids
+    for d in doc_ids:
+        w, h = 16 + d % 32, 12 + (d * 7) % 24
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xs * 3 + d) % 256, (ys * 5 + d * 11) % 256, (xs + ys + d * 7) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        want = [
+            (i + 1, hx, fine, main)
+            for i, (hx, fine, main) in enumerate(detect_colors(img))
+        ]
+        assert sorted(got.get(f"m{d}", [])) == want, d
