@@ -150,6 +150,7 @@ def correct_tokens(
     token_col: str = "token",
     left_col: str = "left",
     right_col: str = "right",
+    dist2_strategy: str = "symdelete",
 ) -> DataFrame:
     """Correct (token, left, right) rows against (word, count) /
     (left, word, count) tables with the reference's full decision
@@ -188,14 +189,22 @@ def correct_tokens(
     ).localCheckpoint(eager=False)
 
     distinct_unknown = unknown.select("token").distinct()
+    # generate-derived tables carry garbage size ESTIMATES (Catalyst
+    # cannot see through explode fan-out), so without a hint the static
+    # planner happily picks BroadcastHashJoin on a gigarow side and the
+    # driver OOMs building the broadcast (observed at 12.5k distinct
+    # distance-2 tokens, tools/probe_spell_scale.py).  Force merge
+    # joins wherever an exploded table is a join input; the dictionary
+    # side stays planner-chosen (genuinely small -> broadcast).
     cand1 = (
         spell_edits1(distinct_unknown)
+        .hint("merge")
         .join(dic.withColumnRenamed("word", "edit"), "edit")
         .localCheckpoint(eager=False)
     )
 
     # context boosts are per (token, left, right) combo
-    combo1 = unknown.join(cand1, "token")
+    combo1 = unknown.join(cand1.hint("merge"), "token")
     if has_ctx:
         ctx = context.select(
             F.col("left"), F.col("word"), F.col("count").cast("long").alias("ctxn")
@@ -244,19 +253,41 @@ def correct_tokens(
     no1 = distinct_unknown.join(
         cand1.select("token").distinct(), "token", "left_anti"
     )
-    mids = spell_edits1(no1).where(
-        F.length("edit") <= MAX_WORD_LENGTH_DISTANCE_TWO
-    ).select("token", F.col("seq").alias("seq1"), F.col("edit").alias("mid"))
-    cand2 = (
-        mids.select("token", "seq1", F.explode(F.expr(_edits1_expr("mid"))).alias("e"))
-        .select(
-            "token",
-            (F.col("seq1") * F.lit(100000) + F.col("e.seq")).alias("seqg"),
-            F.col("e.edit").alias("edit"),
-        )
-        .join(dic.withColumnRenamed("word", "edit"), "edit")
-        .where(F.substring("edit", 1, 1) == F.substring("token", 1, 1))
+    # duplicate intermediates (alternations/insertions often coincide)
+    # collapse to their MAX seq1: for every w reachable through a mid,
+    # the max over generation paths of seqg = seq1*K + seq2 is
+    # preserved, so the (count, last-put) winner is EXACTLY Java's —
+    # while the expensive second expansion runs once per DISTINCT mid
+    mids = (
+        spell_edits1(no1)
+        .where(F.length("edit") <= MAX_WORD_LENGTH_DISTANCE_TWO)
+        .groupBy("token", F.col("edit").alias("mid"))
+        .agg(F.max("seq").alias("seq1"))
     )
+    if dist2_strategy == "symdelete":
+        # meet-in-the-middle candidate generation (see _cand2_symdelete):
+        # ~(n+1) delete keys per side instead of ~31n² second-level
+        # edits; measured 23x fewer generated rows at 5k typos, same
+        # winners (strategy-parity pytest + the naive DuckDB oracle)
+        cand2 = _cand2_symdelete(mids, dic).where(
+            F.substring("edit", 1, 1) == F.substring("token", 1, 1)
+        )
+    else:
+        cand2 = (
+            mids.select(
+                "token", "seq1", F.explode(F.expr(_edits1_expr("mid"))).alias("e")
+            )
+            .select(
+                "token",
+                (F.col("seq1") * F.lit(100000) + F.col("e.seq")).alias("seqg"),
+                F.col("e.edit").alias("edit"),
+            )
+            # firstCharacterSame is a property of (token, edit) alone —
+            # apply it BEFORE the dictionary join, not after
+            .where(F.substring("edit", 1, 1) == F.substring("token", 1, 1))
+            .hint("merge")
+            .join(dic.withColumnRenamed("word", "edit"), "edit")
+        )
     win2 = cand2.groupBy("token").agg(
         F.max(F.struct(F.col("count").alias("score"), F.col("seqg"), F.col("edit"))).alias("w")
     ).select("token", F.col("w.edit").alias("c2"), F.col("w.score").alias("s2"))
@@ -496,3 +527,110 @@ from sp_typos t
 left join sp_win1 w1 on t.token = w1.token and t.lw is not distinct from w1.lw
 left join sp_win2 w2 on t.token = w2.token
 """
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-delete distance-2 candidates (the scale path)
+# ---------------------------------------------------------------------------
+def _deletes01_expr(col: str) -> str:
+    """array<string>: the string itself plus every single-char deletion
+    (the SymSpell/symmetric-delete key set — public algorithm)."""
+    t, n = col, f"length({col})"
+    return (
+        f"array_distinct(concat(array({t}),"
+        f" transform(sequence(1, {n}),"
+        f" i -> concat(substring({t}, 1, i - 1), substring({t}, i + 1, {n})))))"
+    )
+
+
+def _cand2_symdelete(mids: DataFrame, dic: DataFrame) -> DataFrame:
+    """Exact replacement for the naive distance-2 expansion: instead of
+    generating all ~31n² second-level edits per intermediate and joining
+    the dictionary (79M rows for 5k typos, measured), meet in the
+    middle: ``w ∈ edits1(mid)`` implies mid and w share a key in
+    {x} ∪ deletes1(x) (delete → w itself; insert → mid ∈ deletes1(w);
+    alter at p → both minus char p; transpose at i → mid minus i ==
+    w minus i+1), so a key join over ~(n+1) keys per side finds every
+    candidate pair, and a per-pair JVM verification recovers BOTH
+    membership and the exact Java generation seq:
+
+    the edit family is determined by the LENGTH DELTA (deletes → n−1,
+    transpose/alter → n, inserts → n+1), the diff position by common
+    prefix/suffix lengths, run-ambiguous positions resolve to their MAX
+    index (the last-generated, which is what the HashMap put-wins rule
+    keeps), and alter/insert additionally require the introduced char
+    to be in the reference's a-z+äöü alphabet.  Output matches the
+    naive expansion row-for-(winning)-row — proven by the unchanged
+    naive DuckDB oracle and the strategy-parity pytest.
+
+    `mids`: (token, mid, seq1).  Returns (token, seqg, edit, count)."""
+    mid_keys = mids.select(
+        "token", "mid", "seq1", F.explode(F.expr(_deletes01_expr("mid"))).alias("key")
+    )
+    dict_keys = dic.select(
+        F.col("word"), "count", F.explode(F.expr(_deletes01_expr("word"))).alias("key")
+    )
+    pairs = (
+        mid_keys.hint("merge")
+        .join(dict_keys, "key")
+        .select("token", "mid", "seq1", "word", "count")
+        .distinct()
+    )
+    n, lw = "length(mid)", "length(word)"
+    lmin = f"least({n}, {lw})"
+    cpl = (
+        f"size(filter(sequence(1, {lmin}),"
+        f" i -> substring(mid, 1, i) = substring(word, 1, i)))"
+    )
+    csl = (
+        f"size(filter(sequence(1, {lmin}),"
+        f" i -> substring(mid, {n} - i + 1, i) = substring(word, {lw} - i + 1, i)))"
+    )
+    li = f"(instr('{_LETTERS}', _c) - 1)"
+    verified = (
+        pairs.where(F.expr(f"mid <> word and abs({n} - {lw}) <= 1"))
+        .withColumn("_cpl", F.expr(cpl))
+        .withColumn("_csl", F.expr(csl))
+        .withColumn(
+            "seq2",
+            F.expr(
+                f"""case
+                when {lw} = {n} - 1 then
+                  -- delete family, seq = i (0-based); max valid i
+                  case when _cpl + _csl >= {n} - 1
+                       then least(_cpl, {n} - 1) end
+                when {lw} = {n} then
+                  case
+                    -- transpose: first diff at i, swapped, rest equal
+                    when _cpl <= {n} - 2
+                         and substring(word, _cpl + 1, 1) = substring(mid, _cpl + 2, 1)
+                         and substring(word, _cpl + 2, 1) = substring(mid, _cpl + 1, 1)
+                         and substring(word, _cpl + 3) = substring(mid, _cpl + 3)
+                      then {n} + _cpl
+                    -- alter: exactly one diff at p = _cpl, new char in alphabet
+                    when _cpl + _csl >= {n} - 1 then
+                      case when instr('{_LETTERS}', substring(word, _cpl + 1, 1)) > 0
+                           then 2 * {n} - 1 + _cpl * 29
+                                + (instr('{_LETTERS}', substring(word, _cpl + 1, 1)) - 1)
+                      end
+                  end
+                when {lw} = {n} + 1 then
+                  -- insert at max valid i, inserted char in alphabet
+                  case when _cpl + _csl >= {n}
+                        and instr('{_LETTERS}',
+                                  substring(word, least(_cpl, {n}) + 1, 1)) > 0
+                       then 2 * {n} - 1 + 29 * {n} + least(_cpl, {n}) * 29
+                            + (instr('{_LETTERS}',
+                                     substring(word, least(_cpl, {n}) + 1, 1)) - 1)
+                  end
+                end"""
+            ),
+        )
+        .where(F.col("seq2").isNotNull())
+    )
+    return verified.select(
+        "token",
+        (F.col("seq1") * F.lit(100000) + F.col("seq2")).alias("seqg"),
+        F.col("word").alias("edit"),
+        "count",
+    )

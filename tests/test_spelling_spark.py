@@ -122,3 +122,53 @@ def test_typo_synthesis_deterministic(spark, sf_dir):
     d = {(r["word"], r["token"]) for r in double_deletion_typos(docs).collect()}
     for word, token in d:
         assert len(token) == len(word) - 2
+
+
+def test_dist2_strategy_parity(spark, dict_docs, kernel):
+    # symdelete meet-in-the-middle vs the naive second-level expansion:
+    # identical (corrected, score) for every probe — including the
+    # distance-2-only probes and their exact Java tie-breaks
+    from palladian_spark.operators.spelling import corpus_dictionary
+
+    with open(os.path.join(FIX, "spell_word_golden.tsv"), encoding="utf-8") as f:
+        rows = [line.rstrip("\n").split("\t") for line in f if line.strip()]
+    probes = [(w, None, None) for w, l, r, _ in rows if w == w.lower()]
+    toks = spark.createDataFrame(probes, "token string, left string, right string")
+    dic = corpus_dictionary(dict_docs)
+    out = {}
+    for strat in ("symdelete", "expand"):
+        res = correct_tokens(toks, dic, dist2_strategy=strat)
+        out[strat] = {
+            (r["token"]): (r["corrected"], r["score"]) for r in res.collect()
+        }
+    assert out["symdelete"] == out["expand"]
+    # and both equal the kernel
+    for w, _, _ in probes:
+        assert out["symdelete"][w][0] == kernel.correct_word(w, None, None), w
+
+
+def test_dist2_strategy_parity_runs_fuzz(spark):
+    # run-heavy fuzz: repeated-char words are where the max-seq-in-run
+    # recovery of the symdelete path could diverge from the naive
+    # expansion (delete/insert position ambiguity) — scores must match
+    # exactly, pinning the Java last-put tie-break
+    import random
+
+    rng = random.Random(99)
+    alpha = "ab"  # tiny alphabet maximizes runs and count ties
+    words = set()
+    while len(words) < 60:
+        words.add("".join(rng.choice(alpha) for _ in range(rng.randint(2, 6))))
+    dic_rows = [(w, rng.randint(1, 5)) for w in sorted(words)]
+    dic = spark.createDataFrame(dic_rows, "word string, count long")
+    # tokens: distance-2-ish junk over the same alphabet + 'c' noise
+    toks = set()
+    while len(toks) < 80:
+        toks.add("".join(rng.choice("abc") for _ in range(rng.randint(2, 7))))
+    tdf = spark.createDataFrame([(t, None, None) for t in sorted(toks)],
+                                "token string, left string, right string")
+    out = {}
+    for strat in ("symdelete", "expand"):
+        res = correct_tokens(tdf, dic, dist2_strategy=strat)
+        out[strat] = {r["token"]: (r["corrected"], r["score"]) for r in res.collect()}
+    assert out["symdelete"] == out["expand"]

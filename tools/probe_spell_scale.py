@@ -1,0 +1,98 @@
+"""Scale probe for the distributed spelling corrector: cost at 100 TB
+is bounded by DISTINCT unknown tokens x ~31n candidate edits, never by
+corpus size — this measures that directly.  Deterministic synthetic
+load: a `dict_words`-word frequency dictionary (hash-derived, with
+realistic 3-12 char lengths) plus `n_typos` distinct unknown tokens
+derived from dictionary words by middle-char deletion (distance-1
+regime) and double deletion (distance-2 regime, the expensive path).
+
+Usage: python tools/probe_spell_scale.py [dict_words] [n_typos] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    dict_words = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_typos = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+
+    from pyspark.sql import functions as F
+
+    from palladian_spark.operators.spelling import correct_tokens
+    from palladian_spark.sources.session import get_spark
+
+    spark = get_spark(f"spell-scale", master=f"local[{cpus}]", shuffle_partitions=64)
+
+    # dictionary: hash-derived lowercase words, zipf-ish counts
+    dic = (
+        spark.range(dict_words)
+        .select(
+            F.expr(
+                "substring(translate(md5(cast(id as string)),"
+                " '0123456789', 'ghijklmnop'), 1,"
+                " 3 + cast(pmod(id, 10) as int))"
+            ).alias("word"),
+            (F.lit(1) + F.pmod(F.col("id"), F.lit(997))).alias("count"),
+        )
+        .groupBy("word")
+        .agg(F.max("count").alias("count"))
+        .localCheckpoint()
+    )
+    n_dict = dic.count()
+
+    # typos: delete the middle char (dist-1 recoverable), and for a
+    # quarter of them delete two chars (dist-2 regime)
+    base = dic.limit(n_typos).select("word")
+    t1 = base.select(
+        F.expr(
+            "concat(substring(word, 1, cast(length(word)/2 as int)),"
+            " substring(word, cast(length(word)/2 as int) + 2, length(word)))"
+        ).alias("token")
+    )
+    typos = t1.withColumn(
+        "token",
+        F.expr(
+            "case when pmod(length(token), 4) = 0 and length(token) > 3 then"
+            " concat(substring(token, 1, 1), substring(token, 3, length(token)))"
+            " else token end"
+        ),
+    ).localCheckpoint()
+    n_distinct = typos.distinct().count()
+
+    t0 = time.time()
+    out = correct_tokens(typos, dic)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("corrected") != F.col("token"), 1).otherwise(0)).alias(
+            "n_corrected"
+        ),
+    ).collect()[0]
+    dt = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "spell_correct_scale",
+                "dict_words": n_dict,
+                "distinct_typos": n_distinct,
+                "rows_out": stats["n"],
+                "corrected": stats["n_corrected"],
+                "wall_sec": round(dt, 2),
+                "typos_per_sec": round(n_distinct / dt),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
