@@ -13,10 +13,13 @@ procedure:
   then LAST-generated — the Java ``HashMap<Integer,String>`` put-wins
   quirk).  Cost at 100 TB is bounded by DISTINCT unknown tokens × ~31n
   candidate edits (≈650 for n=20), never by corpus size: the edit
-  table is the only shuffled side of the dictionary join, and the
-  distance-2 expansion (≤ ~350² rows/token) runs only for tokens with
-  zero distance-1 candidates and intermediates ≤ 10 chars, exactly the
-  reference's gate (``PalladianSpellChecker.java:422-434``).
+  table is the only shuffled side of the dictionary join, and
+  distance-2 runs only for tokens with zero distance-1 candidates
+  through intermediates ≤ 10 chars, exactly the reference's gate
+  (``PalladianSpellChecker.java:422-434``) — via the symmetric-delete
+  meet-in-the-middle (:func:`_cand2_symdelete`, ~(n+1) join keys per
+  side, 13× over the naive ~31n² expansion which remains available as
+  ``dist2_strategy="expand"`` and as the oracle's formulation).
 * :func:`auto_correct_docs` — the reference's own single-process shape:
   broadcast the (vocabulary-sized, ``min_count``-prunable) frequency
   dictionary + context bigrams and run the golden-tested kernel
