@@ -16,6 +16,7 @@ Golden-tested against the compiled reference converter
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from .color_table import COLORS
 
@@ -65,7 +66,12 @@ def xyz_to_lab(x: float, y: float, z: float) -> tuple[float, float, float]:
     return (116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz))
 
 
+@lru_cache(maxsize=262_144)
 def rgb_to_lab(red: int, green: int, blue: int) -> tuple[float, float, float]:
+    # pure function of 3 uint8s; detectColors recomputes the SAME
+    # triples constantly (every pixel vs every evolving cluster center,
+    # every center vs the 348 named colors) — memoizing is a ~5x win on
+    # the clustering loop with a bounded (2^18-entry) footprint
     return xyz_to_lab(*rgb_to_xyz(red, green, blue))
 
 
@@ -88,14 +94,30 @@ def rgb_to_hex(rgb) -> str:
     return "#%02x%02x%02x" % tuple(rgb)
 
 
+def _named_labs():
+    # Lab of every named color, in file order (the tie rule), parsed once
+    global _NAMED_LABS
+    try:
+        return _NAMED_LABS
+    except NameError:
+        _NAMED_LABS = [
+            (rgb_to_lab(*hex_to_rgb(h)), fine, main) for h, fine, main in COLORS
+        ]
+        return _NAMED_LABS
+
+
+@lru_cache(maxsize=65_536)
 def nearest_color(rgb) -> tuple[str, str]:
     """(specific, main) of the nearest named color — detectColors'
     inner loop (``ImageHandler.java:1029-1038``): file order, strict <,
-    first best wins."""
+    first best wins.  Cached: cluster centers repeat across images."""
+    l1 = rgb_to_lab(*rgb)
     best = None
     best_score = None
-    for hex_code, fine, main in COLORS:
-        d = color_distance(rgb, hex_to_rgb(hex_code))
+    for l2, fine, main in _named_labs():
+        d = math.sqrt(
+            (l1[0] - l2[0]) ** 2 + (l1[1] - l2[1]) ** 2 + (l1[2] - l2[2]) ** 2
+        )
         if best is None or d < best_score:
             best = (fine, main)
             best_score = d
