@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # Java: [\w\p{L}-]+ — Spark regexes ARE Java regexes, so use it verbatim.
 # The _SQL variant doubles backslashes for embedding in a SQL string
