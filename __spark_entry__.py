@@ -245,6 +245,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score").cast("long").alias("score"),
         )
 
+    def nominal_classify(spark, sf_dir):
+        # co-occurrence nominal classifier (NominalClassifier.java twin,
+        # value-only count matrix incl. its cross-feature row-sharing
+        # quirk) over source + first_word, class = lang
+        from palladian_spark.operators.nominal import nominal_classify as nc
+
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "first_word", F.expr("element_at(split(text, ' '), 1)")
+        )
+        return nc(docs, "lang", "doc_id", ["source", "first_word"])
+
     def media_pixel_colors(spark, sf_dir):
         # nearest-named-color per sampled pixel of the real-PNG media
         # table (ColorSpaceConverter + ImageHandler color matching
@@ -2008,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feature_ranking=feature_ranking,
         doc_noun_phrases=doc_noun_phrases,
         nb_classify=nb_classify,
+        nominal_classify=nominal_classify,
         media_pixel_colors=media_pixel_colors,
         media_colors=media_colors,
     )
@@ -4062,4 +4074,12 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.colors import media_pixel_colors_sql
 
     oracles["media_pixel_colors"] = media_pixel_colors_sql()
+
+    from palladian_spark.operators.nominal import nominal_classify_sql
+
+    oracles["nominal_classify"] = nominal_classify_sql(
+        "lang",
+        "doc_id",
+        {"source": "source", "first_word": "split_part(text, ' ', 1)"},
+    )
     return oracles

@@ -1,0 +1,213 @@
+"""The reference's remaining small classifier-family surfaces —
+faithful twins, each validated against the reference's own unit tests:
+
+* ``classification/nominal/NominalClassifier.java:21-67`` — the
+  co-occurrence nominal classifier: score(category) = Σ over the
+  vector's nominal values of count(category, value) / rowSum(value).
+  NOTE the reference keys its matrix by the VALUE STRING ONLY (not the
+  feature name), so identical strings across features share rows — a
+  real quirk, replicated;
+* ``classification/zeror/ZeroRLearner.java`` / ``ZeroRClassifier.java``
+  — the majority-prior baseline;
+* ``classification/encode/FrequencyEncoder.java:1-105`` /
+  ``LabelEncoder.java:1-90`` — nominal→numeric encodings (global value
+  frequency; sorted-distinct index a la sklearn LabelEncoder);
+* ``classification/evaluation/LogLossEvaluator.java:26-52`` — note the
+  reference's EPSILON is the literal ``10e-15`` (= 1e-14);
+* ``classification/evaluation/roc/RocCurves.java:105-264`` — ROC points
+  by confidence-descending sweep, AUC by the exact trapezoid
+  accumulation (Δspecificity · Σsensitivity / 2);
+* ``classification/evaluation/RandomCrossValidator.java`` /
+  ``IdBasedCrossValidator.java`` — k-fold splits: shuffled round-robin
+  assignments (seeded here for determinism; the reference uses an
+  unseeded Random) and ``int(id) % numFolds`` membership.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter, defaultdict
+
+LOG_LOSS_EPSILON = 10e-15  # the reference's literal (1e-14), kept verbatim
+
+
+# -- NominalClassifier ---------------------------------------------------
+class NominalModel:
+    def __init__(self):
+        # (value -> category -> count); rows keyed by VALUE ONLY
+        self.counts: dict[str, Counter] = defaultdict(Counter)
+        self.categories: set[str] = set()
+
+
+def train_nominal(instances) -> NominalModel:
+    model = NominalModel()
+    for feats, category in instances:
+        model.categories.add(category)
+        for value in feats.values():
+            if value is not None:
+                model.counts[str(value)][category] += 1
+    return model
+
+
+def classify_nominal(feats: dict, model: NominalModel) -> dict[str, float]:
+    """Raw summed scores (CategoryEntriesBuilder.add semantics); an
+    unknown value contributes Java's 0/0 = NaN to every category."""
+    scores: dict[str, float] = {c: 0.0 for c in sorted(model.categories)}
+    for value in feats.values():
+        if value is None:
+            continue
+        row = model.counts.get(str(value), Counter())
+        row_sum = sum(row.values())
+        for c in scores:
+            if row_sum == 0:
+                scores[c] += float("nan")
+            else:
+                scores[c] += row.get(c, 0) / row_sum
+    return scores
+
+
+def nominal_probabilities(scores: dict[str, float]) -> dict[str, float]:
+    total = sum(scores.values())
+    if total == 0:
+        return {c: 0.0 for c in scores}
+    return {c: s / total for c, s in scores.items()}
+
+
+# -- ZeroR ---------------------------------------------------------------
+def train_zeror(instances) -> Counter:
+    return Counter(cat for _, cat in instances)
+
+
+def classify_zeror(model: Counter) -> dict[str, float]:
+    total = sum(model.values())
+    return {c: n / total for c, n in sorted(model.items())}
+
+
+# -- Encoders ------------------------------------------------------------
+class FrequencyEncoder:
+    """FrequencyEncoder (value frequency over the reference dataset);
+    null_strategy in ('keep_null', 'assign_frequency')."""
+
+    SUFFIX = "_frequency"
+
+    def __init__(self, instances, nominal_features, null_strategy="keep_null"):
+        self.total = 0
+        self.value_counts: dict[str, Counter] = {f: Counter() for f in nominal_features}
+        self.null_counts: Counter = Counter()
+        self.null_strategy = null_strategy
+        for feats, _ in instances:
+            self.total += 1
+            for f in nominal_features:
+                v = feats.get(f)
+                if v is None:
+                    self.null_counts[f] += 1
+                else:
+                    self.value_counts[f][str(v)] += 1
+
+    def apply(self, feats: dict) -> dict:
+        out = {}
+        for f, counts in self.value_counts.items():
+            v = feats.get(f)
+            if v is not None:
+                out[f + self.SUFFIX] = counts.get(str(v), 0) / self.total
+            elif self.null_strategy == "assign_frequency":
+                out[f + self.SUFFIX] = self.null_counts.get(f, 0) / self.total
+            else:
+                out[f + self.SUFFIX] = None
+        return out
+
+
+class LabelEncoder:
+    """sorted-distinct value -> [0, n-1] index per nominal feature;
+    unseen and null map to None."""
+
+    SUFFIX = "_labelEncoded"
+
+    def __init__(self, instances, nominal_features):
+        values: dict[str, set] = {f: set() for f in nominal_features}
+        for feats, _ in instances:
+            for f in nominal_features:
+                v = feats.get(f)
+                if v is not None:
+                    values[f].add(str(v))
+        self.mappings = {
+            f: {v: i for i, v in enumerate(sorted(vs))} for f, vs in values.items()
+        }
+
+    def apply(self, feats: dict) -> dict:
+        out = {}
+        for f, mapping in self.mappings.items():
+            v = feats.get(f)
+            out[f + self.SUFFIX] = (
+                mapping.get(str(v)) if v is not None else None
+            )
+        return out
+
+
+# -- Log loss ------------------------------------------------------------
+def log_loss(actual: bool, predicted: float) -> float:
+    y = 1.0 if actual else 0.0
+    p = max(min(predicted, 1 - LOG_LOSS_EPSILON), LOG_LOSS_EPSILON)
+    return -y * math.log(p)
+
+
+def mean_log_loss(pairs) -> float:
+    """(actual, predicted) pairs — LogLossEvaluator.evaluate."""
+    losses = [log_loss(a, p) for a, p in pairs]
+    return sum(losses) / len(losses)
+
+
+# -- ROC / AUC -----------------------------------------------------------
+def roc_points(results):
+    """(sensitivity, specificity, threshold) sweep over (is_true,
+    confidence) results, confidence descending (stable on ties like
+    Java's Collections.sort)."""
+    ordered = sorted(results, key=lambda r: -r[1])
+    positives = sum(1 for t, _ in ordered if t)
+    negatives = len(ordered) - positives
+    tp, tn = 0, negatives
+    out = []
+    for is_true, confidence in ordered:
+        if is_true:
+            tp += 1
+        else:
+            tn -= 1
+        out.append((tp / positives, tn / negatives, confidence))
+    return out
+
+
+def roc_auc(results) -> float:
+    auc = 0.0
+    prev = None
+    for sens, spec, _ in roc_points(results):
+        if prev is not None:
+            auc += (-spec + prev[1]) * (sens + prev[0])
+        prev = (sens, spec)
+    return auc / 2
+
+
+# -- Cross validators ----------------------------------------------------
+def random_cross_folds(n: int, num_folds: int, seed: int = 0):
+    """[(train_indices, test_indices)] per fold — shuffled round-robin
+    assignments (RandomCrossValidator semantics; seeded for
+    reproducibility where the reference uses an unseeded Random)."""
+    assignments = [i % num_folds for i in range(n)]
+    random.Random(seed).shuffle(assignments)
+    folds = []
+    for fold in range(num_folds):
+        test = [i for i, a in enumerate(assignments) if a == fold]
+        train = [i for i, a in enumerate(assignments) if a != fold]
+        folds.append((train, test))
+    return folds
+
+
+def id_based_cross_folds(ids, num_folds: int):
+    """[(train_indices, test_indices)] with membership int(id) %
+    num_folds == fold (IdBasedCrossValidator)."""
+    folds = []
+    for fold in range(num_folds):
+        test = [i for i, v in enumerate(ids) if int(v) % num_folds == fold]
+        train = [i for i, v in enumerate(ids) if int(v) % num_folds != fold]
+        folds.append((train, test))
+    return folds

@@ -1,0 +1,155 @@
+"""Distributed co-occurrence nominal classifier — Spark shape of
+``classification/nominal/NominalClassifier.java:21-67`` (kernel twin
+with the reference's unit goldens:
+kernels/classifiers_misc.train_nominal/classify_nominal).
+
+The reference keys its count matrix by the VALUE STRING ONLY (not the
+feature name), so identical strings across features share rows — the
+quirk is replicated on both engines: counts are aggregated per
+(value, category) over the UNION of all feature columns.
+
+Engine-exact: scores are sums (in fixed column order) of exact integer
+ratios count/row_sum — identical IEEE doubles in Spark and DuckDB —
+rounded to micro at the end; argmax ties break on category asc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def nominal_counts(
+    df: DataFrame, category_col: str, feature_cols: list[str]
+) -> DataFrame:
+    """(value, category, cnt) over the union of all feature columns —
+    the CountMatrix build (value-only rows)."""
+    selects = [
+        df.select(
+            F.col(c).cast("string").alias("value"),
+            F.col(category_col).alias("category"),
+        )
+        for c in feature_cols
+    ]
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return (
+        out.where(F.col("value").isNotNull())
+        .groupBy("value", "category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nominal_classify(
+    df: DataFrame, category_col: str, id_col: str, feature_cols: list[str]
+) -> DataFrame:
+    """Train on `df`, classify every row.  Output: (id, predicted,
+    score_micro)."""
+    counts = nominal_counts(df, category_col, feature_cols)
+    row_sums = counts.groupBy("value").agg(F.sum("cnt").alias("row_sum"))
+    cell = counts.join(row_sums, "value")
+    cats = df.select(F.col(category_col).alias("category")).distinct()
+
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).cast("string").alias(f"v_{c}") for c in feature_cols],
+    )
+    scored = rows.crossJoin(F.broadcast(cats))
+    terms = []
+    for c in feature_cols:
+        scored = scored.join(
+            F.broadcast(
+                cell.select(
+                    F.col("value").alias(f"v_{c}"),
+                    "category",
+                    F.col("cnt").alias(f"cnt_{c}"),
+                    F.col("row_sum").alias(f"rs_{c}"),
+                )
+            ),
+            [f"v_{c}", "category"],
+            "left",
+        ).join(
+            F.broadcast(
+                row_sums.select(
+                    F.col("value").alias(f"v_{c}"),
+                    F.col("row_sum").alias(f"rsall_{c}"),
+                )
+            ),
+            [f"v_{c}"],
+            "left",
+        )
+        # known value, unseen (value, category) cell -> 0/row_sum = 0;
+        # completely unknown value -> Java NaN, pinned to 0 for the
+        # hashable contract (kernel preserves the NaN; corpus-trained
+        # classification never hits it since every value was seen)
+        terms.append(
+            f"case when rsall_{c} is null then cast(0 as double)"
+            f" else cast(coalesce(cnt_{c}, 0) as double) / rsall_{c} end"
+        )
+    score = " + ".join(f"({t})" for t in terms)
+    scored = scored.withColumn(
+        "score_micro", F.expr(f"cast(floor(1e6 * ({score}) + 0.5) as bigint)")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("category").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("category").alias("predicted"),
+            "score_micro",
+        )
+    )
+
+
+def nominal_classify_sql(
+    category_col: str,
+    id_col: str,
+    feature_exprs: dict[str, str],
+    documents: str = "documents",
+) -> str:
+    """Full independent DuckDB recomputation of :func:`nominal_classify`."""
+    union = " union all ".join(
+        f"select cast({e} as varchar) as value, {category_col} as category"
+        f" from {documents}"
+        for e in feature_exprs.values()
+    )
+    joins, terms = [], []
+    row_feats = ", ".join(
+        f"cast({e} as varchar) as v_{c}" for c, e in feature_exprs.items()
+    )
+    for c in feature_exprs:
+        joins.append(
+            f"left join nom_cell c_{c}"
+            f" on c_{c}.value = r.v_{c} and c_{c}.category = p.category"
+            f" left join nom_rows rs_{c} on rs_{c}.value = r.v_{c}"
+        )
+        terms.append(
+            f"case when rs_{c}.row_sum is null then cast(0 as double)"
+            f" else cast(coalesce(c_{c}.cnt, 0) as double) / rs_{c}.row_sum end"
+        )
+    score = " + ".join(f"({t})" for t in terms)
+    return f"""
+with nom_union as ({union}),
+nom_cell as (
+  select value, category, count(*)::bigint as cnt
+  from nom_union where value is not null group by 1, 2),
+nom_rows as (
+  select value, sum(cnt)::bigint as row_sum from nom_cell group by 1),
+nom_cats as (select distinct {category_col} as category from {documents}),
+nom_r as (select {id_col}, {row_feats} from {documents}),
+nom_scored as (
+  select r.{id_col}, p.category,
+         cast(floor(1e6 * ({score}) + 0.5) as bigint) as score_micro
+  from nom_r r
+  cross join nom_cats p
+  {' '.join(joins)})
+select {id_col}, category as predicted, score_micro from (
+  select *, row_number() over (partition by {id_col}
+                               order by score_micro desc, category asc) as rn
+  from nom_scored) where rn = 1
+"""
