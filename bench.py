@@ -139,6 +139,7 @@ HEADLINE = [
     "feature_ranking",
     "doc_noun_phrases",
     "nb_classify",
+    "nominal_classify",
     "media_pixel_colors",
     "media_colors",
 ]

@@ -138,3 +138,35 @@ def test_cross_validators():
             assert not (set(train) & set(test))
             seen.update(test)
         assert seen == set(range(100))
+
+
+def test_nominal_classify_spark_matches_kernel(spark):
+    import random
+
+    from palladian_spark.operators.nominal import nominal_classify
+
+    rng = random.Random(5)
+    cats = ["en", "de", "zh"]
+    rows = []
+    for i in range(200):
+        cat = cats[i % 3]
+        src = ["web", "book", "code"][(i + (0 if rng.random() < 0.7 else 1)) % 3]
+        fw = ["alpha", "beta", "web"][(i * 7) % 3]  # 'web' collides with src
+        rows.append((i, cat, src, fw))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s string, fw string")
+    got = {
+        r["doc_id"]: (r["predicted"], r["score_micro"])
+        for r in nominal_classify(df, "lang", "doc_id", ["s", "fw"]).collect()
+    }
+    # kernel: one instance per row, features keyed by name but counts by
+    # VALUE (the quirk) — the deliberate 'web' collision exercises it
+    model = train_nominal([({"s": s, "fw": fw}, c) for _, c, s, fw in rows])
+    for i, cat, s, fw in rows:
+        scores = classify_nominal({"s": s, "fw": fw}, model)
+        want = max(sorted(scores), key=lambda c: (scores[c], ))
+        # tie-break: max score then category asc == min name among maxima
+        best = max(scores.values())
+        want = min(c for c, v in scores.items() if v == best)
+        pred, micro = got[i]
+        assert pred == want, (i, scores, got[i])
+        assert abs(micro - math.floor(1e6 * scores[want] + 0.5)) <= 1
