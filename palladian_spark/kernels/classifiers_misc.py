@@ -211,3 +211,83 @@ def id_based_cross_folds(ids, num_folds: int):
         train = [i for i, v in enumerate(ids) if int(v) % num_folds != fold]
         folds.append((train, test))
     return folds
+
+
+# -- Wrapper feature selection (FeatureSelector.java) --------------------
+def feature_selection(
+    instances,
+    direction: str = "backward",
+    seed: int = 0,
+    feature_groups=None,
+    classify_fn=None,
+) -> dict[str, int]:
+    """Greedy wrapper feature selection —
+    ``classification/featureselection/FeatureSelector.java:140-210``:
+    RandomSplit(0.5) (AbstractFeatureRanker.java:42-45; seeded shuffle
+    here where the reference uses an unseeded one), then stepwise
+    backward elimination / forward construction scored by held-out
+    accuracy of the supplied classifier (default: the NaiveBayes twin).
+    ``feature_groups`` is a list of regex patterns treated as single
+    units (the reference's addFeatureGroup); remaining features become
+    singletons.  Returns {feature_or_group_name: rank} — higher =
+    more important (the reference's featureIndex bookkeeping: backward
+    ranks eliminations 1..n in order, forward ranks selections
+    n-1..0)."""
+    import re as _re
+
+    if classify_fn is None:
+        from . import naive_bayes as _nb
+
+        def classify_fn(train_rows, test_rows):
+            model = _nb.train(train_rows)
+            correct = 0
+            for feats, cat in test_rows:
+                scores = _nb.classify(feats, model)
+                if scores and _nb.most_likely(scores) == cat:
+                    correct += 1
+            return correct / len(test_rows) if test_rows else 0.0
+
+    rows = list(instances)
+    random.Random(seed).shuffle(rows)
+    train_rows = rows[: len(rows) // 2]
+    test_rows = rows[len(rows) // 2 :]
+
+    all_features = sorted({f for feats, _ in rows for f in feats})
+    groups: list[tuple[str, frozenset]] = []
+    grouped: set[str] = set()
+    for pattern in feature_groups or []:
+        members = frozenset(f for f in all_features if _re.fullmatch(pattern, f))
+        groups.append((pattern, members))
+        grouped.update(members)
+    for f in all_features:
+        if f not in grouped:
+            groups.append((f, frozenset([f])))
+
+    def _project(rs, keep: set):
+        return [({k: v for k, v in feats.items() if k in keep}, c) for feats, c in rs]
+
+    backward = direction == "backward"
+    selected: list[tuple[str, frozenset]] = []
+    ranks: dict[str, int] = {}
+    index = 0 if backward else len(groups)
+    while len(selected) < len(groups):
+        remaining = [g for g in groups if g not in selected]
+        best = None
+        best_score = 0.0
+        for g in remaining:  # sorted construction order = deterministic
+            current = selected + [g]
+            member_union = set().union(*(m for _, m in current))
+            keep = (
+                set(all_features) - member_union if backward else member_union
+            )
+            score = classify_fn(
+                _project(train_rows, keep), _project(test_rows, keep)
+            )
+            # Java: score >= highestScore || selectedFeature == null —
+            # the LAST evaluated among ties wins
+            if best is None or score >= best_score:
+                best, best_score = g, score
+        selected.append(best)
+        index += 1 if backward else -1
+        ranks[best[0]] = index
+    return ranks

@@ -170,3 +170,34 @@ def test_nominal_classify_spark_matches_kernel(spark):
         pred, micro = got[i]
         assert pred == want, (i, scores, got[i])
         assert abs(micro - math.floor(1e6 * scores[want] + 0.5)) <= 1
+
+
+def test_feature_selector_diabetes():
+    # FeatureSelectorTest.java: backward/forward over diabetes2.csv with
+    # the NaiveBayes classifier; the reference's own assertion is loose
+    # (top feature in a known-good set) because the split shuffles
+    path = os.path.join(REF, "diabetes2.csv")
+    if not os.path.exists(path):
+        pytest.skip("reference resources not available")
+    from palladian_spark.kernels.classifiers_misc import feature_selection
+
+    with open(path, encoding="utf-8") as f:
+        lines = [line.strip() for line in f if line.strip()]
+    header = lines[0].split(";")
+    rows = []
+    for line in lines[1:]:
+        parts = line.split(";")
+        rows.append(
+            ({h: float(v) for h, v in zip(header[:-1], parts[:-1])}, parts[-1])
+        )
+    good = {"plasma", "bmi", "bloodPressure", "triceps", "pedigree"}
+    for direction in ("backward", "forward"):
+        ranks = feature_selection(rows, direction=direction, seed=3)
+        top = max(ranks.items(), key=lambda kv: kv[1])[0]
+        assert top in good, (direction, sorted(ranks.items(), key=lambda kv: -kv[1]))
+    # feature-group variant: the grouped trio dominates
+    ranks = feature_selection(
+        rows, direction="backward", seed=3, feature_groups=["plasma|bmi|pedigree"]
+    )
+    top = max(ranks.items(), key=lambda kv: kv[1])[0]
+    assert top == "plasma|bmi|pedigree"
