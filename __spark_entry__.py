@@ -245,6 +245,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score").cast("long").alias("score"),
         )
 
+    def classifier_roc(spark, sf_dir):
+        # distributed ROC-AUC (RocCurves.java twin, reference unit
+        # golden) of the Naive Bayes posterior for class 'en': exact
+        # integer formulation AUC*P*N = sum over negatives of
+        # tp-so-far under the (score desc, doc asc) total order
+        from palladian_spark.operators.naive_bayes import nb_scores
+        from palladian_spark.operators.roc import roc_auc_exact
+
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "first_word", F.expr("element_at(split(text, ' '), 1)")
+        )
+        scores = nb_scores(
+            docs, "lang", "doc_id", ["source", "first_word"], ["n_chars"]
+        ).where(F.col("category") == "en")
+        labeled = scores.join(
+            docs.select("doc_id", (F.col("lang") == "en").alias("is_true")),
+            "doc_id",
+        ).select("doc_id", "is_true", F.col("score_milli").alias("score"))
+        return roc_auc_exact(labeled, "is_true", "score", "doc_id")
+
     def nominal_classify(spark, sf_dir):
         # co-occurrence nominal classifier (NominalClassifier.java twin,
         # value-only count matrix incl. its cross-feature row-sharing
@@ -2019,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feature_ranking=feature_ranking,
         doc_noun_phrases=doc_noun_phrases,
         nb_classify=nb_classify,
+        classifier_roc=classifier_roc,
         nominal_classify=nominal_classify,
         media_pixel_colors=media_pixel_colors,
         media_colors=media_colors,
@@ -4074,6 +4095,24 @@ def oracle_sql() -> dict[str, str]:
     from palladian_spark.operators.colors import media_pixel_colors_sql
 
     oracles["media_pixel_colors"] = media_pixel_colors_sql()
+
+    from palladian_spark.operators.naive_bayes import nb_scored_with_clause
+    from palladian_spark.operators.roc import roc_auc_exact_sql
+
+    _nb_with = nb_scored_with_clause(
+        "lang",
+        "doc_id",
+        {"source": "source", "first_word": "split_part(text, ' ', 1)"},
+        ["n_chars"],
+    )
+    oracles["classifier_roc"] = f"""
+{_nb_with},
+roc_scores as (
+  select s.doc_id, s.score_milli as score, d.lang
+  from nb_scored s join documents d using (doc_id)
+  where s.category = 'en'),
+{roc_auc_exact_sql("roc_scores", "lang = 'en'", "doc_id")}
+"""
 
     from palladian_spark.operators.nominal import nominal_classify_sql
 

@@ -140,6 +140,7 @@ HEADLINE = [
     "doc_noun_phrases",
     "nb_classify",
     "nominal_classify",
+    "classifier_roc",
     "media_pixel_colors",
     "media_colors",
 ]

@@ -63,15 +63,17 @@ def _sd_expr(n: str = "n", sx: str = "sx", sx2: str = "sx2") -> str:
     )
 
 
-def nb_classify(
+def nb_scores(
     df: DataFrame,
     category_col: str,
     id_col: str,
     nominal_cols: list[str],
     numeric_cols: list[str],
 ) -> DataFrame:
-    """Train on `df` and classify every row of `df` (the contract
-    shape).  Output: (id, predicted, score_milli)."""
+    """Train on `df` and score every (row, category) pair.  Output:
+    (id, category, score_milli) — the full posterior table behind
+    :func:`nb_classify` (whose argmax consumes it), and the confidence
+    source for threshold/ROC evaluation."""
     priors = nb_priors(df, category_col)
     n_total = df.count()
     k = priors.count()
@@ -129,32 +131,50 @@ def nb_classify(
         terms.append(f"case when ({density}) > 0 then ln({density}) else 0.0 end")
 
     score = " + ".join(f"({t})" for t in terms)
-    scored = scored.withColumn(
-        "score_milli", F.expr(f"cast(floor(1000 * ({score}) + 0.5) as bigint)")
+    return scored.select(
+        F.col("id").alias(id_col),
+        "category",
+        F.expr(f"cast(floor(1000 * ({score}) + 0.5) as bigint)").alias(
+            "score_milli"
+        ),
     )
-    w = Window.partitionBy("id").orderBy(
+
+
+def nb_classify(
+    df: DataFrame,
+    category_col: str,
+    id_col: str,
+    nominal_cols: list[str],
+    numeric_cols: list[str],
+) -> DataFrame:
+    """Train on `df` and classify every row of `df` (the contract
+    shape).  Output: (id, predicted, score_milli)."""
+    scored = nb_scores(df, category_col, id_col, nominal_cols, numeric_cols)
+    w = Window.partitionBy(id_col).orderBy(
         F.col("score_milli").desc(), F.col("category").asc()
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
-            F.col("id").alias(id_col),
+            id_col,
             F.col("category").alias("predicted"),
             "score_milli",
         )
     )
 
 
-def nb_classify_sql(
+def nb_scored_with_clause(
     category_col: str,
     id_col: str,
     nominal_exprs: dict[str, str],
     numeric_cols: list[str],
     documents: str = "documents",
 ) -> str:
-    """Full independent DuckDB recomputation of :func:`nb_classify`.
-    `nominal_exprs` maps feature name -> SQL expression."""
+    """The shared DuckDB WITH clause ending in the full posterior table
+    `nb_scored(id, category, score_milli)` — composed by both
+    :func:`nb_classify_sql` (argmax) and the ROC oracle
+    (__spark_entry__ classifier_roc)."""
     nom_ctes, nom_joins, terms = [], [], []
     row_feats = ", ".join(
         [f"cast({e} as varchar) as v_{c}" for c, e in nominal_exprs.items()]
@@ -235,7 +255,23 @@ nb_scored as (
   from nb_rows r
   cross join nb_pri p
   {' '.join(nom_joins)}
-  {' '.join(num_joins)})
+  {' '.join(num_joins)})"""
+
+
+def nb_classify_sql(
+    category_col: str,
+    id_col: str,
+    nominal_exprs: dict[str, str],
+    numeric_cols: list[str],
+    documents: str = "documents",
+) -> str:
+    """Full independent DuckDB recomputation of :func:`nb_classify`.
+    `nominal_exprs` maps feature name -> SQL expression."""
+    with_clause = nb_scored_with_clause(
+        category_col, id_col, nominal_exprs, numeric_cols, documents
+    )
+    return f"""
+{with_clause}
 select {id_col}, category as predicted, score_milli from (
   select *, row_number() over (partition by {id_col}
                                order by score_milli desc, category asc) as rn

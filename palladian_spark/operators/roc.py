@@ -1,0 +1,58 @@
+"""Distributed ROC-AUC — the Spark shape of the reference's
+``classification/evaluation/roc/RocCurves.java:105-264`` (kernel twin
+with the reference's unit golden: kernels/classifiers_misc.roc_auc).
+
+Exact-integer formulation: with a TOTAL order over rows (confidence
+desc, id asc — the deterministic stand-in for Java's stable input
+order on ties), every negative row's trapezoid strip is a rectangle of
+width 1/N at the current sensitivity tp/P, so
+
+    AUC · (P · N)  =  Σ over negative rows of (true positives so far)
+
+— a single cumulative-sum window over integers, bit-exact on any
+engine.  Output: one row (positives, negatives, auc_num) with
+AUC = auc_num / (positives · negatives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def roc_auc_exact(
+    df: DataFrame,
+    label_col: str = "is_true",
+    score_col: str = "score",
+    id_col: str = "id",
+) -> DataFrame:
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    tps = df.withColumn(
+        "tp_so_far",
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).over(w),
+    )
+    return tps.agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).cast("long").alias("positives"),
+        F.sum(F.when(~F.col(label_col), 1).otherwise(0)).cast("long").alias("negatives"),
+        F.sum(F.when(~F.col(label_col), F.col("tp_so_far")).otherwise(0))
+        .cast("long")
+        .alias("auc_num"),
+    )
+
+
+def roc_auc_exact_sql(scores_cte: str, label_expr: str, id_col: str = "id") -> str:
+    """DuckDB twin: `scores_cte` must expose (id, score); `label_expr`
+    is a boolean over its columns."""
+    return f"""
+roc_tp as (
+  select {id_col}, ({label_expr}) as is_true,
+         sum(case when ({label_expr}) then 1 else 0 end)
+           over (order by score desc, {id_col} asc
+                 rows between unbounded preceding and current row) as tp_so_far
+  from {scores_cte})
+select sum(case when is_true then 1 else 0 end)::bigint as positives,
+       sum(case when not is_true then 1 else 0 end)::bigint as negatives,
+       sum(case when not is_true then tp_so_far else 0 end)::bigint as auc_num
+from roc_tp
+"""

@@ -201,3 +201,28 @@ def test_feature_selector_diabetes():
     )
     top = max(ranks.items(), key=lambda kv: kv[1])[0]
     assert top == "plasma|bmi|pedigree"
+
+
+def test_roc_auc_exact_matches_kernel(spark):
+    # the integer formulation must equal the kernel trapezoid under the
+    # same total order (ties broken by id asc)
+    import random
+
+    from palladian_spark.operators.roc import roc_auc_exact
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.random() < 0.4, rng.randint(0, 20))  # coarse scores -> ties
+        for i in range(300)
+    ]
+    if not any(t for _, t, _ in rows) or all(t for _, t, _ in rows):
+        rows[0] = (0, True, 5)
+        rows[1] = (1, False, 5)
+    df = spark.createDataFrame(rows, "id long, is_true boolean, score long")
+    got = roc_auc_exact(df, "is_true", "score", "id").collect()[0]
+    auc_spark = got["auc_num"] / (got["positives"] * got["negatives"])
+    ordered = sorted(rows, key=lambda r: (-r[2], r[0]))
+    want = roc_auc([(t, s) for _, t, s in ordered])
+    # within the total order roc_auc's sort is stable, so both sweeps
+    # walk the identical sequence
+    assert auc_spark == pytest.approx(want, abs=1e-12)
